@@ -1,0 +1,35 @@
+"""SparkSession helpers tuned for the engine.
+
+The engine targets large clusters (the reference's telemetry model scaled to
+~100 TB); locally we run ``local[N]``.  The settings below are the ones that
+matter at scale and are harmless locally:
+
+- AQE on (runtime partition coalescing + skew-join splitting),
+- auto broadcast for small dimension tables (sla_config, executors),
+- a modest shuffle-partition default that AQE can coalesce further.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "streaminglens-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fixture parquet uses TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as BIGINT nanos and convert to millis ourselves
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
