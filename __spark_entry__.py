@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (telemetry -> per-batch health
+results) on sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 with its DuckDB oracle (see
+``streaminglens_spark/registry.py``).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from streaminglens_spark import registry  # noqa: E402
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    # fixture parquet uses TIMESTAMP(NANOS); read as BIGINT nanos
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full streaming-health analysis of sf0.001 telemetry
+    (per-batch running time, critical time, SLA state)."""
+    from streaminglens_spark.operators.pipeline import results_table
+    from streaminglens_spark.sources.loaders import load_table
+    from streaminglens_spark.telemetry import derive_telemetry
+
+    _configure(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return results_table(derive_telemetry(spark, events))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, fn in registry.queries().items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            return _fn(_configure(spark), sf_dir)
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Timing counts full materialization (count + a collect of a bounded result)
+per query, after a warmup that absorbs JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from streaminglens_spark import registry  # noqa: E402
+from streaminglens_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_state_classify",   # full analysis pipeline (A1..A10)
+    "q_critical_path",    # iterative stage-DAG longest path (A8)
+    "q_max_concurrency",  # concurrency sweep (A11)
+    "q_results_topk",     # retention + ranking (A19)
+    "q_discounted_state", # reporting aggregation (A13)
+    "q_dedup_exact",      # exact dedup
+    "q_minhash_lsh",      # MinHash+LSH near-dup
+    "q_cosine_topk",      # similarity search
+    "q_text_stats",       # text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("streaminglens-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the fixture scan + a tiny job so JVM startup is excluded
+    registry.queries()["q_batch_bounds"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry.queries()[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

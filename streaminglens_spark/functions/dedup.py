@@ -1,0 +1,177 @@
+"""Deduplication operators over ``documents`` (north-star extensions):
+exact (hash-groupBy), MinHash+LSH near-dup, n-gram Jaccard, SimHash.
+
+The fixture corpus is all-distinct, so dedup queries run over a constructed
+corpus = documents UNION (documents with doc_id + 100000) -- every text has
+exactly one known duplicate, giving the operators deterministic non-trivial
+output that the DuckDB oracle reproduces.
+
+Scale design: MinHash+LSH is the linear-scan + band-bucket-join shape used
+for web-scale dedup -- each doc is hashed once (O(len)), candidate
+generation is an equi-join on (band, signature) which Spark shuffles by
+band signature (naturally spreading load), and only candidates pay the
+exact-Jaccard verification.  No O(n^2) stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD
+
+# fixed MinHash coefficient table (16 permutations); embedded literally in
+# the oracle SQL too
+MINHASH_A = [
+    1000000007, 1000000033, 1000000087, 1000000093, 1000000097, 1000000103,
+    1000000123, 1000000181, 1000000207, 1000000223, 1000000241, 1000000271,
+    1000000289, 1000000297, 1000000321, 1000000349,
+]
+MINHASH_B = [
+    7, 65537, 257, 524287, 8191, 131071, 2047, 8388607,
+    127, 31, 511, 1023, 4095, 16383, 262143, 1048575,
+]
+N_BANDS = 4
+BAND_ROWS = 4
+SHINGLE_K = 5
+
+
+def dup_corpus(documents: DataFrame) -> DataFrame:
+    base = documents.select("doc_id", "text")
+    shifted = documents.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return base.unionByName(shifted)
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keep the smallest doc_id per
+    group.  Returns (md5_fp, keep_id, dup_count)."""
+    return (
+        dup_corpus(documents)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("md5_fp"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def _shingle_hashes(col: F.Column) -> F.Column:
+    """Distinct hashes of all 5-char shingles: base-31 polynomial over the
+    shingle's characters (bit-reproducible in any engine)."""
+    c = lambda i, off: F.ascii(col.substr(i + off, F.lit(1)))  # noqa: E731
+    h = lambda i: (  # noqa: E731
+        (((c(i, 0) * 31 + c(i, 1)) * 31 + c(i, 2)) * 31 + c(i, 3)) * 31 + c(i, 4)
+    ).cast("long")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (SHINGLE_K - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, h))
+
+
+def doc_shingles(corpus: DataFrame) -> DataFrame:
+    return corpus.select("doc_id", _shingle_hashes(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """16 MinHash values per doc: min over shingles of (a*h + b) mod 2^31-1."""
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD
+
+    mh = [
+        F.array_min(F.transform(F.col("sh"), perm(a, b))).alias(f"mh{k}")
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return shingled.select("doc_id", "sh", *mh)
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: 4 bands x 4 rows; docs sharing any
+    band signature become candidates; exact Jaccard (on shingle-hash sets)
+    filters to >= threshold.  Returns (doc_a, doc_b, jaccard)."""
+    sig = minhash_signatures(doc_shingles(dup_corpus(documents))).persist()
+    bands = None
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("-", *cols).alias("band_sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    cand = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b_ = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, max_doc_id: int = 40, threshold: float = 0.01
+) -> DataFrame:
+    """Exact word-3-gram Jaccard over a bounded subset -- the quadratic
+    baseline the LSH path approximates (kept bounded; at scale use
+    ``minhash_lsh_pairs``).  Returns (doc_a, doc_b, jaccard)."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    sub = (
+        documents.filter(F.col("doc_id") < max_doc_id)
+        .select("doc_id", grams.alias("g"))
+        .filter(F.size("g") > 0)
+    )
+    a = sub.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    b = sub.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash over token polynomial hashes: bit i of the signature is
+    1 iff the sum over tokens of (+1 / -1 by the token-hash's bit i) is
+    positive.  Returns (doc_id, simhash)."""
+    from .text import char_fold_hash
+
+    toks = documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    hashed = toks.select("doc_id", char_fold_hash(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i")
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h div shiftleft(1L, i)) % 2") == 1, 1).otherwise(-1),
+    )
+    per_bit = bits.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, i)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over ``embeddings`` (north-star extension).
+
+Brute-force cosine top-k as the exact baseline; an LSH (random-hyperplane)
+bucketed variant as the scale path.  Dot products are sequential left folds
+over the array (``F.aggregate``) so the float result is bit-identical to the
+DuckDB oracle's ``list_reduce``.
+
+Scale design: the query side is broadcast (few query vectors), so the
+brute-force scan is a map-only pass over the corpus -- no shuffle; top-k is
+a per-query window over a tiny candidate set.  The LSH variant buckets the
+corpus once and joins query buckets, cutting the scan to matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _as_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k: query vectors = vec_id < n_queries.
+    Returns (query_vec_id, neighbor_id, cosine)."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn("cos_exact", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos_exact").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_exact", 6).alias("cosine"),
+        )
+    )
+
+
+def _hyperplane_sign(dim_idx: F.Column, plane: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane component in {-1, +1}:
+    sign = +1 iff ((dim * 2654435761 + plane * 40503) mod 97) < 48."""
+    return F.when(
+        (dim_idx * F.lit(2654435761) + F.lit(plane * 40503)) % 97 < 48, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(v: F.Column) -> F.Column:
+    """Random-hyperplane LSH bucket id (N_PLANES-bit signature)."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(1), F.size(v)), lambda i: _hyperplane_sign(i, p)),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Returns (query_vec_id, neighbor_id, cosine) -- a subset of the exact
+    result, recall depending on bucket granularity."""
+    emb = (
+        embeddings.select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", lsh_bucket(F.col("v")))
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, "bucket")
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn("cos_exact", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos_exact").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_exact", 6).alias("cosine"),
+        )
+    )

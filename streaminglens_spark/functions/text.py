@@ -1,0 +1,105 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extensions, SURVEY §2d / BASELINE.json).
+
+All hot-path logic uses built-in higher-order functions (JVM-side,
+whole-stage-codegen) -- no Python UDFs -- so these scale to 100 TB corpora.
+The character-fold hash is a portable polynomial hash (base 31, mod 2^31-1)
+chosen because it is bit-reproducible in any SQL engine; a production
+deployment would swap in ``xxhash64`` (same shape, one builtin call).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# tiny deterministic stopword lexicons for n-gram-free language ID
+LANG_LEXICON = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "les", "et", "des", "un", "une"),
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def char_fold_hash(col: F.Column) -> F.Column:
+    """Polynomial rolling hash over the string's characters:
+    ``h = (h * 31 + ascii(c)) mod (2^31 - 1)`` -- a sequential fold, so the
+    result is bit-identical in Spark and DuckDB."""
+    chars = F.transform(F.sequence(F.lit(1), F.length(col)), lambda i: F.ascii(col.substr(i, F.lit(1))))
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % HASH_MOD
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Quality-scoring statistics per document: token count, average token
+    length, stopword ratio, type-token ratio."""
+    toks = _tokens()
+    n = F.size(toks)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_txt"),
+        n.cast("long").alias("n_tokens"),
+        F.round(tok_len_sum / n.cast("double"), 6).alias("avg_token_len"),
+        F.round(n_stop / n.cast("double"), 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6).alias("type_token_ratio"),
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace token count plus a BPE-ish regex token count
+    (alnum runs -- the subword-tokenizer budget estimate)."""
+    return documents.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long").alias("n_re_tokens"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprints: md5 (exact-dup key) + portable polynomial
+    rolling hash (cheap locality-free fingerprint)."""
+    return documents.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_fp"),
+        char_fold_hash(F.col("text")).alias("poly_fp"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-lexicon language ID: argmax of per-language lexicon hits
+    (tie -> lexicographically first language; no hits -> 'und')."""
+    spark = documents.sparkSession
+    lex_rows = [(lang, w) for lang, words in LANG_LEXICON.items() for w in words]
+    lexicon = spark.createDataFrame(lex_rows, "lex_lang string, word string")
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("word"))
+    hits = (
+        toks.join(F.broadcast(lexicon), "word")
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lex_lang").asc())
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("lex_lang").alias("pred"))
+    )
+    return documents.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("pred", F.lit("und")).alias("pred_lang")
+    )

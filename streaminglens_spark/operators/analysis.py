@@ -1,0 +1,112 @@
+"""Core micro-batch analysis operators (reference A1, A4-A7).
+
+Each operator is a pure DataFrame -> DataFrame transform; Catalyst fuses the
+chain.  All are keyed by (query_id, batch_id) so every shuffle partitions on
+the batch key -- at 100 TB of telemetry this scales horizontally: no global
+windows, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def batch_bounds(progress: DataFrame) -> DataFrame:
+    """A1 -- estimate micro-batch wall-clock bounds from progress.
+
+    Reference ``analyzer/StreamingQueryAnalyzer.scala:118-129``:
+    ``end = (start + (numInputRows / processedRowsPerSecond) * 1000).toLong``
+    (double math truncated), and ``(0, 0)`` when the batch moved no rows
+    (the NONEWBATCHES path at ``:102-113``).
+    """
+    valid = (F.col("num_input_rows") != 0) & (F.col("processed_rps") != 0)
+    end = (
+        F.col("ts_ms") + (F.col("num_input_rows") / F.col("processed_rps")) * 1000
+    ).cast("long")
+    return progress.select(
+        "query_id",
+        "batch_id",
+        valid.alias("valid"),
+        F.when(valid, F.col("ts_ms")).otherwise(F.lit(0)).cast("long").alias("start_ms"),
+        F.when(valid, end).otherwise(F.lit(0)).cast("long").alias("end_ms"),
+        (F.when(valid, end).otherwise(F.lit(0)) - F.when(valid, F.col("ts_ms")).otherwise(0))
+        .cast("long")
+        .alias("batch_running_ms"),
+    )
+
+
+def batch_slice(jobs: DataFrame) -> DataFrame:
+    """A4 -- per-batch telemetry slice, preserving the reference's
+    *range* (not membership) semantics: all jobs whose id falls in
+    ``[min, max]`` of the batch's own jobs are swept in, including jobs of
+    concurrently-running other queries
+    (reference ``common/MicroBatchContext.scala:89-121``).
+
+    The ranges side is tiny (one row per batch) -- broadcast it so the
+    range-predicate join never shuffles the big ``jobs`` table.
+    """
+    own = jobs.groupBy("query_id", "batch_id").agg(
+        F.min("job_id").alias("lo"), F.max("job_id").alias("hi")
+    )
+    swept = F.broadcast(own).join(
+        jobs.select(
+            F.col("job_id"),
+            F.col("sql_exec_id"),
+            F.col("start_ms"),
+            F.col("end_ms"),
+        ),
+        on=[F.col("job_id") >= F.col("lo"), F.col("job_id") <= F.col("hi")],
+    )
+    return swept.select(
+        "query_id", "batch_id", "job_id", "sql_exec_id", "start_ms", "end_ms"
+    )
+
+
+def exec_groups(sliced: DataFrame) -> DataFrame:
+    """A5 -- jobs sharing ``sql.execution.id`` form one group; jobs without
+    one become singleton groups (reference ``helper/JobOverlapHelper.scala:35-56``,
+    set-difference at ``:40-43`` == a null-key branch here).
+    """
+    return sliced.withColumn(
+        "group_key",
+        F.when(
+            F.col("sql_exec_id").isNotNull(),
+            F.concat(F.lit("exec-"), F.col("sql_exec_id").cast("string")),
+        ).otherwise(F.concat(F.lit("job-"), F.col("job_id").cast("string"))),
+    )
+
+
+def islands(grouped: DataFrame) -> DataFrame:
+    """A6 -- serial-split islanding inside each exec group.
+
+    Reference ``helper/JobOverlapHelper.scala:83-106``: jobs sorted by start
+    time; a new sublist starts when ``prev.endTime < cur.startTime``.
+    CRITICAL quirk: ``prev`` is the *previous job in start order* (the last
+    appended element), NOT the running max end -- a long first job does not
+    keep later pairs together.  So this is ``lag(end_ms)``, not a cumulative
+    max.  Touching spans (prev.end == cur.start) stay together (strict <).
+
+    Start-time ties: the reference's ``sortWith(a.start < b.start)`` is a
+    stable sort over map-iteration order (nondeterministic); we pin
+    ``(start_ms, job_id)`` and document the divergence (SURVEY §4.1).
+    """
+    w = Window.partitionBy("query_id", "batch_id", "group_key").orderBy("start_ms", "job_id")
+    prev_end = F.lag("end_ms").over(w)
+    split = F.when(prev_end < F.col("start_ms"), 1).otherwise(0)
+    return grouped.withColumn(
+        "island_id",
+        F.sum(split).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def job_walltime(islanded: DataFrame) -> DataFrame:
+    """A7 -- wall-clock time spent in jobs: per final island
+    ``max(end) - min(start)``, summed per batch
+    (reference ``helper/JobOverlapHelper.scala:72-75``)."""
+    per_island = islanded.groupBy("query_id", "batch_id", "group_key", "island_id").agg(
+        (F.max("end_ms") - F.min("start_ms")).alias("island_ms")
+    )
+    return per_island.groupBy("query_id", "batch_id").agg(
+        F.sum("island_ms").cast("long").alias("job_walltime_ms")
+    )

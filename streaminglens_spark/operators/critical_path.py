@@ -1,0 +1,125 @@
+"""Critical-path analysis (reference A8, A9).
+
+A8 reproduces sparklens 0.3.1 ``JobTimeSpan.computeCriticalTimeForJob`` (the
+reference imports it at ``helper/JobOverlapHelper.scala:22,77-81``): starting
+from the job's MAX stage id, walk the stage DAG rootward; each stage
+contributes its max single-task duration; a stage's critical time is its own
+weight plus the max over its parents; missing parents contribute 0.
+
+Spark mapping: a bounded iterative loop of self-joins (DAG depth is small --
+single-digit for real Spark jobs), each iteration a hash join partitioned by
+stage_id.  No driver-side data; scales to arbitrarily many jobs since the
+loop length depends only on DAG *depth*, not job count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stage_weights(stages: DataFrame, tasks: DataFrame) -> DataFrame:
+    """Per-stage node weight = max single-task duration (sparklens
+    ``taskExecutionTimes.max``): with infinite executors a stage cannot
+    finish faster than its slowest task."""
+    w = tasks.groupBy("stage_id").agg(F.max("duration_ms").alias("w"))
+    return stages.select("job_id", "stage_id", "parent_ids").join(w, "stage_id", "left").select(
+        "job_id", "stage_id", "parent_ids", F.coalesce("w", F.lit(0)).cast("long").alias("w")
+    )
+
+
+def critical_path_per_job(
+    stages: DataFrame, tasks: DataFrame, max_depth: int = 64
+) -> DataFrame:
+    """A8 -- longest rootward path from the max stage id, per job.
+
+    Returns (job_id, critical_ms).
+    """
+    nodes = stage_weights(stages, tasks).persist()
+    rn = Window.partitionBy("job_id").orderBy(F.col("stage_id").desc())
+    frontier = (
+        nodes.withColumn("_rn", F.row_number().over(rn))
+        .filter(F.col("_rn") == 1)
+        .select("job_id", "stage_id", "parent_ids", F.col("w").alias("cum"))
+        .persist()
+    )
+
+    terminals: list[DataFrame] = []
+    for _ in range(max_depth):
+        terminals.append(
+            frontier.filter(F.size("parent_ids") == 0).select("job_id", "cum")
+        )
+        expanded = (
+            frontier.filter(F.size("parent_ids") > 0)
+            .select("job_id", F.explode("parent_ids").alias("pid"), "cum")
+            .join(
+                # sparklens walks the *per-job* stageMap: key by (job_id, stage)
+                nodes.select(
+                    "job_id",
+                    F.col("stage_id").alias("pid"),
+                    F.col("parent_ids").alias("p_parents"),
+                    F.col("w").alias("pw"),
+                ),
+                on=["job_id", "pid"],
+                how="left",
+            )
+            .select(
+                "job_id",
+                F.col("pid").alias("stage_id"),
+                # missing parent stage: weight 0, no parents (sparklens getOrElse)
+                F.coalesce("p_parents", F.array().cast("array<bigint>")).alias("parent_ids"),
+                (F.col("cum") + F.coalesce("pw", F.lit(0))).alias("cum"),
+            )
+            .persist()
+        )
+        if expanded.isEmpty():
+            frontier.unpersist()
+            break
+        frontier.unpersist()
+        frontier = expanded
+
+    all_terminal = reduce(lambda a, b: a.unionByName(b), terminals)
+    out = all_terminal.groupBy("job_id").agg(F.max("cum").cast("long").alias("critical_ms"))
+    return out
+
+
+def critical_time(
+    bounds: DataFrame,
+    walltime: DataFrame,
+    islanded: DataFrame,
+    crit_per_job: DataFrame,
+) -> DataFrame:
+    """A9 -- ``criticalTime = driverTime + criticalPathTime`` where
+    ``driverTime = (batchEnd - batchStart) - sum(island wall-clock)`` and
+    ``criticalPathTime = sum over islands of max(per-job critical time)``
+    (reference ``analyzer/StreamingCriticalPathAnalyzer.scala:30-49``).
+
+    Only analyzed batches (valid bounds) get a critical time.
+    """
+    cp = (
+        islanded.join(crit_per_job, "job_id", "left")
+        .withColumn("jc", F.coalesce("critical_ms", F.lit(0)))
+        .groupBy("query_id", "batch_id", "group_key", "island_id")
+        .agg(F.max("jc").alias("island_crit"))
+        .groupBy("query_id", "batch_id")
+        .agg(F.sum("island_crit").cast("long").alias("critical_path_ms"))
+    )
+    analyzed = bounds.filter(F.col("valid"))
+    return (
+        analyzed.join(walltime, ["query_id", "batch_id"], "left")
+        .join(cp, ["query_id", "batch_id"], "left")
+        .select(
+            "query_id",
+            "batch_id",
+            "batch_running_ms",
+            (
+                F.col("batch_running_ms")
+                - F.coalesce("job_walltime_ms", F.lit(0))
+                + F.coalesce("critical_path_ms", F.lit(0))
+            )
+            .cast("long")
+            .alias("critical_ms"),
+        )
+    )

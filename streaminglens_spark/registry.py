@@ -1,0 +1,560 @@
+"""Query registry: one entry per implemented operator from SURVEY.md §2.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with the
+equivalent DuckDB oracle SQL (None => non-SQL-expressible, rows-only check).
+``__spark_entry__.py`` re-exports this as the driver contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .functions.similarity import ann_lsh_topk, cosine_topk
+from .functions.text import (
+    LANG_LEXICON,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count,
+)
+from .operators.analysis import batch_bounds, batch_slice, exec_groups, islands, job_walltime
+from .operators.classify import resolve_sla
+from .operators.concurrency import (
+    executor_cores,
+    job_executors,
+    max_concurrency,
+    sliced_executors,
+)
+from .operators.control import batch_gate, purge_set
+from .operators.critical_path import critical_path_per_job, critical_time
+from .operators.pipeline import results_table
+from .operators.reporting import (
+    discounted_state,
+    event_json,
+    fmt_durations,
+    insight_text,
+    last_gauges,
+    results_topk,
+    source_recommendations,
+    state_buckets,
+)
+from .oracle.analysis_sql import oracle_analysis
+from .sources.loaders import load_table
+from .telemetry import Telemetry, derive_telemetry
+
+
+def _telemetry(spark: SparkSession, sf_dir: str) -> Telemetry:
+    return derive_telemetry(spark, load_table(spark, sf_dir, "events"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------- analysis
+
+def q_batch_bounds(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return batch_bounds(t.progress).drop("valid")
+
+
+def q_batch_parse(spark, sf_dir):
+    # S4 -- parse the spark.job.description string
+    # (reference listener/StreamingAppListener.scala:57-66 +
+    #  common/BatchDescription.scala:28-39)
+    t = _telemetry(spark, sf_dir)
+    parts = F.split(F.col("description"), "<br/>")
+    is4 = F.size(parts) == 4
+    pick = lambda i4, i3: F.when(is4, F.element_at(parts, i4)).otherwise(  # noqa: E731
+        F.element_at(parts, i3)
+    )
+    return t.jobs.select(
+        "job_id",
+        F.regexp_extract(pick(2, 1), "= (.*)$", 1).alias("parsed_query_id"),
+        F.regexp_extract(pick(4, 3), "= (.*)$", 1).cast("long").alias("parsed_batch_id"),
+    )
+
+
+def q_batch_slice(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return batch_slice(t.jobs).select("query_id", "batch_id", "job_id")
+
+
+def q_exec_groups(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return exec_groups(batch_slice(t.jobs)).select(
+        "query_id", "batch_id", "job_id", "group_key"
+    )
+
+
+def q_islands(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return islands(exec_groups(batch_slice(t.jobs))).select(
+        "query_id", "batch_id", "group_key", "job_id", "island_id"
+    )
+
+
+def q_job_walltime(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return job_walltime(islands(exec_groups(batch_slice(t.jobs))))
+
+
+def q_critical_path(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return critical_path_per_job(t.stages, t.tasks)
+
+
+def q_critical_time(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    bounds = batch_bounds(t.progress)
+    islanded = islands(exec_groups(batch_slice(t.jobs)))
+    return critical_time(
+        bounds, job_walltime(islanded), islanded, critical_path_per_job(t.stages, t.tasks)
+    )
+
+
+def q_state_classify(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return results_table(t)
+
+
+def q_sla_resolve(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return resolve_sla(t.progress, t.sla_config)
+
+
+def q_job_executors(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return job_executors(t.tasks)
+
+
+def q_stage_metrics(spark, sf_dir):
+    # S8 -- per-stage task-metric rollup
+    # (reference listener/StreamingAppListener.scala:110-142)
+    t = _telemetry(spark, sf_dir)
+    return t.tasks.groupBy("stage_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.sum("duration_ms").cast("long").alias("sum_ms"),
+        F.max("duration_ms").cast("long").alias("max_ms"),
+        F.min("duration_ms").cast("long").alias("min_ms"),
+        F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("failed_tasks"),
+    )
+
+
+def q_max_concurrency(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    be = sliced_executors(batch_slice(t.jobs), job_executors(t.tasks), t.executors)
+    return max_concurrency(be, batch_bounds(t.progress))
+
+
+def q_executor_cores(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    be = sliced_executors(batch_slice(t.jobs), job_executors(t.tasks), t.executors)
+    return executor_cores(be, batch_bounds(t.progress))
+
+
+# ---------------------------------------------------------------- reporting
+
+def q_results_topk(spark, sf_dir):
+    return results_topk(results_table(_telemetry(spark, sf_dir)))
+
+
+def q_discounted_state(spark, sf_dir):
+    return discounted_state(results_table(_telemetry(spark, sf_dir)))
+
+
+def q_state_buckets(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return state_buckets(results_table(t), t.progress)
+
+
+def q_source_recos(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return source_recommendations(t.progress)
+
+
+def q_event_json(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return event_json(results_table(t), t.progress)
+
+
+def q_last_gauges(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return last_gauges(results_table(t), t.progress)
+
+
+def q_fmt_duration(spark, sf_dir):
+    return fmt_durations(results_table(_telemetry(spark, sf_dir)))
+
+
+def q_insight_text(spark, sf_dir):
+    return insight_text(results_table(_telemetry(spark, sf_dir)))
+
+
+def q_ts_parse(spark, sf_dir):
+    # A22 -- ISO-8601 round-trip
+    # (reference analyzer/StreamingQueryAnalyzer.scala:43-44,138-141)
+    t = _telemetry(spark, sf_dir)
+    iso = F.date_format(
+        F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    )
+    return t.progress.select(
+        "query_id",
+        "batch_id",
+        iso.alias("iso_ts"),
+        F.unix_millis(
+            F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        ).alias("parsed_ms"),
+    )
+
+
+def q_batch_gate(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return batch_gate(t.progress, min_batches=3)
+
+
+def q_purge_set(spark, sf_dir):
+    t = _telemetry(spark, sf_dir)
+    return purge_set(t.progress, t.jobs)
+
+
+# ---------------------------------------------------------------- extensions
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    return ann_lsh_topk(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+_LEX_SQL = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in sorted(LANG_LEXICON.items()) for w in words
+)
+_MINHASH_SQL = ", ".join(
+    f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+)
+
+_CORPUS = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents
+)
+"""
+
+_SHINGLES = _CORPUS + """
+, shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(length(text) - 3, 1)),
+               i -> CAST((((ascii(substr(text, CAST(i AS INT), 1)) * 31
+                    + ascii(substr(text, CAST(i AS INT) + 1, 1))) * 31
+                    + ascii(substr(text, CAST(i AS INT) + 2, 1))) * 31
+                    + ascii(substr(text, CAST(i AS INT) + 3, 1))) * 31
+                    + ascii(substr(text, CAST(i AS INT) + 4, 1)) AS BIGINT)
+           )) AS sh
+    FROM corpus
+    WHERE length(text) >= 5
+),
+coeffs AS (SELECT * FROM (VALUES %s) AS c(k, a, b)),
+sigs AS (
+    SELECT doc_id, k,
+           CAST(list_min(list_transform(sh, h -> (a * h + b) %% 2147483647)) AS BIGINT) AS mh
+    FROM shingled CROSS JOIN coeffs
+    GROUP BY ALL
+),
+bands AS (
+    SELECT doc_id, CAST(k // 4 AS INT) AS band,
+           string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS band_sig
+    FROM sigs
+    GROUP BY 1, 2
+)
+""" % _MINHASH_SQL
+
+ORACLE: dict[str, str | None] = {
+    "q_batch_bounds": oracle_analysis(
+        "SELECT query_id, batch_id, start_ms, end_ms, batch_running_ms FROM bounds2"
+    ),
+    "q_batch_parse": oracle_analysis("""
+        SELECT job_id,
+               CASE WHEN len(string_split(description, '<br/>')) = 4
+                    THEN regexp_extract(string_split(description, '<br/>')[2], '= (.*)$', 1)
+                    ELSE regexp_extract(string_split(description, '<br/>')[1], '= (.*)$', 1)
+               END AS parsed_query_id,
+               CAST(CASE WHEN len(string_split(description, '<br/>')) = 4
+                    THEN regexp_extract(string_split(description, '<br/>')[4], '= (.*)$', 1)
+                    ELSE regexp_extract(string_split(description, '<br/>')[3], '= (.*)$', 1)
+               END AS BIGINT) AS parsed_batch_id
+        FROM jobs"""),
+    "q_batch_slice": oracle_analysis("SELECT query_id, batch_id, job_id FROM sliced"),
+    "q_exec_groups": oracle_analysis(
+        "SELECT query_id, batch_id, job_id, group_key FROM grouped"
+    ),
+    "q_islands": oracle_analysis(
+        "SELECT query_id, batch_id, group_key, job_id, island_id FROM islanded"
+    ),
+    "q_job_walltime": oracle_analysis("SELECT * FROM walltime"),
+    "q_critical_path": oracle_analysis("SELECT * FROM crit_job"),
+    "q_critical_time": oracle_analysis("SELECT * FROM crit"),
+    "q_state_classify": oracle_analysis("SELECT * FROM results"),
+    "q_sla_resolve": oracle_analysis("SELECT * FROM sla"),
+    "q_job_executors": oracle_analysis("SELECT * FROM job_execs"),
+    "q_stage_metrics": oracle_analysis("""
+        SELECT stage_id, COUNT(*) AS n_tasks,
+               CAST(SUM(duration_ms) AS BIGINT) AS sum_ms,
+               CAST(MAX(duration_ms) AS BIGINT) AS max_ms,
+               CAST(MIN(duration_ms) AS BIGINT) AS min_ms,
+               CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_tasks
+        FROM tasks GROUP BY stage_id"""),
+    "q_max_concurrency": oracle_analysis("SELECT * FROM conc"),
+    "q_executor_cores": oracle_analysis("SELECT * FROM cores"),
+    "q_results_topk": oracle_analysis("SELECT * FROM topk"),
+    "q_discounted_state": oracle_analysis("SELECT * FROM disc"),
+    "q_state_buckets": oracle_analysis(
+        "SELECT query_id, aggregated_state, state, recommendation FROM buckets"
+    ),
+    "q_source_recos": oracle_analysis("SELECT * FROM src_recos"),
+    "q_event_json": oracle_analysis("SELECT * FROM event_json"),
+    "q_last_gauges": oracle_analysis("SELECT * FROM gauges"),
+    "q_fmt_duration": oracle_analysis("""
+        SELECT query_id, batch_id,
+               printf('%02ds %03dms', (batch_running_ms - batch_running_ms % 1000) // 1000,
+                      batch_running_ms % 1000) AS brt_fmt,
+               printf('%02ds %03dms', (critical_ms - critical_ms % 1000) // 1000,
+                      critical_ms % 1000) AS ct_fmt
+        FROM results"""),
+    "q_insight_text": oracle_analysis("""
+        SELECT query_id, batch_id,
+               ' |||||||||||||||||| StreamingLens Inisights |||||||||||||||||||||||||'
+               || chr(10) || ' BatchId: ' || CAST(batch_id AS VARCHAR)
+               || chr(10) || ' Analysis Time: '
+               || printf('%02ds %03dms', (analysis_ms - analysis_ms % 1000) // 1000,
+                         analysis_ms % 1000)
+               || chr(10) || ' Expected Micro Batch SLA: '
+               || printf('%02ds %03dms', (sla_ms - sla_ms % 1000) // 1000, sla_ms % 1000)
+               || chr(10) || ' Batch Running Time: '
+               || printf('%02ds %03dms', (batch_running_ms - batch_running_ms % 1000) // 1000,
+                         batch_running_ms % 1000)
+               || chr(10) || ' Critical Time: '
+               || printf('%02ds %03dms', (critical_ms - critical_ms % 1000) // 1000,
+                         critical_ms % 1000)
+               || chr(10) || ' Streaming Query State: ' || state
+               || chr(10) || ' ' || repeat('|', 68) AS insight
+        FROM results"""),
+    "q_ts_parse": oracle_analysis("""
+        SELECT query_id, batch_id,
+               strftime(epoch_ms(ts_ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_ts,
+               epoch_ms(strptime(strftime(epoch_ms(ts_ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z',
+                                 '%Y-%m-%dT%H:%M:%S.%gZ')) AS parsed_ms
+        FROM progress"""),
+    "q_batch_gate": oracle_analysis(
+        "SELECT query_id, batch_id, (passes AND valid) AS analyzed FROM gate"
+    ),
+    "q_purge_set": oracle_analysis("""
+        SELECT p.query_id, p.batch_id AS purge_batch_id, h.purge_hi_job
+        FROM purge p
+        JOIN (SELECT query_id, batch_id, MAX(job_id) AS purge_hi_job
+              FROM jobs GROUP BY 1, 2) h
+        ON h.query_id = p.query_id AND h.batch_id = p.batch_id
+        WHERE p.purged"""),
+    # ------------------------------------------------------------ extensions
+    "q_dedup_exact": _CORPUS + """
+        SELECT md5(text) AS md5_fp,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM corpus GROUP BY 1""",
+    "q_minhash_lsh": _SHINGLES + """
+        , cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM cand c
+        JOIN shingled a ON a.doc_id = c.doc_a
+        JOIN shingled b ON b.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
+    "q_ngram_jaccard": """
+        WITH sub AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[CAST(i AS INT)] || ' '
+                            || string_split(text, ' ')[CAST(i AS INT) + 1] || ' '
+                            || string_split(text, ' ')[CAST(i AS INT) + 2]
+                   )) AS g
+            FROM documents WHERE doc_id < 40 AND len(string_split(text, ' ')) >= 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+        FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.01""",
+    "q_simhash": """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(tok) + 1),
+                               i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, i.i,
+                   SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << CAST(i.i AS INT))) % 2 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 32)) AS i) i
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id""",
+    "q_text_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_txt,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(text, ' '),
+                                        t -> CAST(length(t) AS BIGINT))),
+                         (a, x) -> a + x) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS type_token_ratio
+        FROM documents""",
+    "q_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens
+        FROM documents""",
+    "q_doc_fingerprint": """
+        SELECT doc_id, md5(text) AS md5_fp,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) AS poly_fp
+        FROM documents""",
+    "q_lang_id": f"""
+        WITH lex AS (SELECT * FROM (VALUES {_LEX_SQL}) AS l(lex_lang, word)),
+        hits AS (
+            SELECT doc_id, lex_lang, COUNT(*) AS hits
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) t
+            JOIN lex USING (word)
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, lex_lang FROM (
+                SELECT doc_id, lex_lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hits DESC, lex_lang) AS rn
+                FROM hits
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id, COALESCE(b.lex_lang, 'und') AS pred_lang
+        FROM documents d LEFT JOIN best b USING (doc_id)""",
+    "q_cosine_topk": """
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        normed AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                                    (a, b) -> a + b)) AS nrm
+            FROM emb
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_vec_id, e.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> q.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])),
+                       (a, b) -> a + b) / (q.nrm * e.nrm) AS cos_exact
+            FROM normed q JOIN normed e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < 5
+        )
+        SELECT query_vec_id, neighbor_id, round(cos_exact, 6) AS cosine
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cos_exact DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= 10""",
+    "q_ann_lsh": None,  # LSH-bucketed ANN: approximate; rows-only check
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    g = globals()
+    return {
+        name: g[name]
+        for name in list(ORACLE) + ["q_ann_lsh"]
+        if name in g
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, sql in ORACLE.items() if sql is not None}

@@ -1,0 +1,165 @@
+"""Hand-computed golden tests for the quirk semantics (SURVEY §4.1) on tiny
+in-memory fixtures -- independent of the telemetry derivation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.operators.analysis import (
+    batch_slice,
+    exec_groups,
+    islands,
+    job_walltime,
+)
+from streaminglens_spark.operators.classify import classify
+from streaminglens_spark.operators.concurrency import max_concurrency
+from streaminglens_spark.operators.critical_path import critical_path_per_job
+
+JOBS_SCHEMA = (
+    "query_id string, batch_id bigint, job_id bigint, sql_exec_id bigint,"
+    " start_ms bigint, end_ms bigint"
+)
+
+
+def _islands(spark, rows):
+    df = spark.createDataFrame(rows, JOBS_SCHEMA)
+    out = islands(exec_groups(df.withColumn("group_key", F.lit(None)).drop("group_key")))
+    return {
+        r["job_id"]: (r["group_key"], r["island_id"])
+        for r in out.collect()
+        if r["batch_id"] == 0 and r["query_id"] == "q"
+    }
+
+
+def test_islanding_uses_lag_not_cummax(spark):
+    """Reference JobOverlapHelper.scala:91 compares the PREVIOUS job's end
+    (last appended), not the running max: j0 covers j1 and j2 entirely, yet
+    j2 still starts a new island because j1 (the previous job) ended before
+    j2 started."""
+    rows = [
+        ("q", 0, 0, 1, 0, 2500),
+        ("q", 0, 1, 1, 500, 900),
+        ("q", 0, 2, 1, 1200, 2000),
+    ]
+    got = _islands(spark, rows)
+    assert got[0][1] == 0 and got[1][1] == 0
+    assert got[2][1] == 1  # cummax would keep it at 0
+
+
+def test_islanding_touching_spans_stay(spark):
+    """prev.end == cur.start is NOT a split (strict <)."""
+    rows = [("q", 0, 0, 1, 0, 1000), ("q", 0, 1, 1, 1000, 1800)]
+    got = _islands(spark, rows)
+    assert got[0][1] == 0 and got[1][1] == 0
+
+
+def test_null_exec_id_is_singleton_group(spark):
+    rows = [("q", 0, 0, 1, 0, 1000), ("q", 0, 1, None, 0, 1000)]
+    df = spark.createDataFrame(rows, JOBS_SCHEMA)
+    got = {r["job_id"]: r["group_key"] for r in exec_groups(df).collect()}
+    assert got[0] == "exec-1" and got[1] == "job-1"
+
+
+def test_batch_slice_sweeps_by_range(spark):
+    """A4 quirk (MicroBatchContext.scala:93-96): jobs of OTHER queries whose
+    ids fall inside [min, max] of the batch's own jobs are swept in."""
+    rows = [
+        ("q0", 0, 0, 1, 0, 10),
+        ("q0", 0, 4, 1, 0, 10),
+        ("q1", 1, 2, 11, 0, 10),  # id 2 inside q0's [0, 4]
+        ("q1", 1, 9, 11, 0, 10),
+    ]
+    df = spark.createDataFrame(rows, JOBS_SCHEMA)
+    sliced = batch_slice(df)
+    q0_jobs = sorted(
+        r["job_id"] for r in sliced.collect() if r["query_id"] == "q0"
+    )
+    assert q0_jobs == [0, 2, 4]  # 2 swept in, 9 not
+
+
+def test_job_walltime_sums_islands(spark):
+    rows = [
+        ("q", 0, 0, 1, 0, 1000),
+        ("q", 0, 1, 1, 2000, 3500),  # disjoint -> second island
+        ("q", 0, 2, None, 100, 700),  # singleton group
+    ]
+    df = spark.createDataFrame(rows, JOBS_SCHEMA)
+    out = job_walltime(islands(exec_groups(df))).collect()
+    assert out[0]["job_walltime_ms"] == 1000 + 1500 + 600
+
+
+def test_critical_path_diamond(spark):
+    """A8: longest path from max stage id through a diamond DAG; weight =
+    max task duration per stage."""
+    stages = spark.createDataFrame(
+        [
+            (0, 1, [], 1),
+            (1, 1, [0], 1),
+            (2, 1, [0], 1),
+            (3, 1, [1, 2], 1),
+        ],
+        "stage_id bigint, job_id bigint, parent_ids array<bigint>, num_tasks bigint",
+    )
+    tasks = spark.createDataFrame(
+        [
+            (0, 0, 100), (1, 0, 150),   # s0 max=150
+            (2, 1, 200),                 # s1
+            (3, 2, 500),                 # s2 (heavier branch)
+            (4, 3, 50),                  # s3
+        ],
+        "task_id bigint, stage_id bigint, duration_ms bigint",
+    )
+    out = critical_path_per_job(stages, tasks).collect()
+    assert out[0]["critical_ms"] == 50 + 500 + 150
+
+
+def test_classification_thresholds(spark):
+    crit = spark.createDataFrame(
+        [
+            ("q", 0, 1000, 900),    # 1000 <= 1200 -> OVER
+            ("q", 1, 1500, 900),    # (1200, 2800] -> OPTIMUM
+            ("q", 2, 3000, 2000),   # brt > 2800, ct <= 2800 -> UNDER
+            ("q", 3, 3000, 2900),   # both above -> UNHEALTHY
+        ],
+        "query_id string, batch_id bigint, batch_running_ms bigint, critical_ms bigint",
+    )
+    sla = spark.createDataFrame([("q", 4000)], "query_id string, sla_ms bigint")
+    got = {r["batch_id"]: r["state"] for r in classify(crit, sla).collect()}
+    assert got == {
+        0: "OVERPROVISIONED",
+        1: "OPTIMUM",
+        2: "UNDERPROVISIONED",
+        3: "UNHEALTHY",
+    }
+
+
+def test_max_concurrency_tie_break(spark):
+    """A11: on a timestamp tie, +1 sorts before -1 (MicroBatchContext:72-77),
+    so back-to-back spans [0,5],[5,9] count as 2 concurrent at t=5."""
+    be = spark.createDataFrame(
+        [("q", 0, "e1", 2, 0, 5), ("q", 0, "e2", 2, 5, 9)],
+        "query_id string, batch_id bigint, executor_id string, cores bigint,"
+        " start_ms bigint, end_ms bigint",
+    )
+    bounds = spark.createDataFrame(
+        [("q", 0, True, 0, 100, 100)],
+        "query_id string, batch_id bigint, valid boolean, start_ms bigint,"
+        " end_ms bigint, batch_running_ms bigint",
+    )
+    out = max_concurrency(be, bounds).collect()
+    assert out[0]["max_concurrent"] == 2
+
+
+def test_open_executor_span_corrected_to_batch_end(spark):
+    be = spark.createDataFrame(
+        [("q", 0, "e1", 2, 0, None), ("q", 0, "e2", 2, 50, 80)],
+        "query_id string, batch_id bigint, executor_id string, cores bigint,"
+        " start_ms bigint, end_ms bigint",
+    )
+    bounds = spark.createDataFrame(
+        [("q", 0, True, 0, 100, 100)],
+        "query_id string, batch_id bigint, valid boolean, start_ms bigint,"
+        " end_ms bigint, batch_running_ms bigint",
+    )
+    out = max_concurrency(be, bounds).collect()
+    assert out[0]["max_concurrent"] == 2  # open span runs to batch end (100)

@@ -1,0 +1,24 @@
+"""Every registry query vs its DuckDB oracle at sf0.001 (the driver runs the
+same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaminglens_spark import registry
+from streaminglens_spark.oracle.compare import compare
+from tests.conftest import SF_DIR
+
+NAMES = sorted(registry.ORACLE)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_vs_oracle(spark, duck, name):
+    fn = registry.queries()[name]
+    df = fn(spark, SF_DIR)
+    sql = registry.ORACLE[name]
+    if sql is None:
+        assert df.count() >= 0  # rows-only check
+        return
+    res = compare(df, duck, sql)
+    assert res["ok"], {k: v for k, v in res.items() if k != "spark_cols"}
