@@ -31,12 +31,59 @@ def stage_weights(stages: DataFrame, tasks: DataFrame) -> DataFrame:
 
 
 def critical_path_per_job(
-    stages: DataFrame, tasks: DataFrame, max_depth: int = 64
+    stages: DataFrame, tasks: DataFrame, impl: str = "pandas", max_depth: int = 64
 ) -> DataFrame:
     """A8 -- longest rootward path from the max stage id, per job.
 
     Returns (job_id, critical_ms).
+
+    Two implementations, same semantics:
+
+    - ``pandas`` (default): grouped-map ``applyInPandas`` -- one shuffle on
+      job_id, then a memoized DAG walk per job.  Real Spark jobs have tiny
+      DAGs (tens of stages), so per-group work is trivial and the operator
+      scales with the *number* of jobs, exactly what grouped-map
+      parallelizes.
+    - ``joins``: a bounded loop of JVM-side self-joins (one per DAG depth
+      level).  No Python in the loop; use for adversarially deep DAGs or
+      UDF-free deployments.
     """
+    if impl == "pandas":
+        return _critical_path_pandas(stages, tasks)
+    return _critical_path_joins(stages, tasks, max_depth)
+
+
+def _critical_path_pandas(stages: DataFrame, tasks: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    def machine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        nodes = {
+            int(s): (int(w), [] if parents is None else [int(p) for p in parents])
+            for s, w, parents in zip(pdf["stage_id"], pdf["w"], pdf["parent_ids"])
+        }
+        memo: dict[int, int] = {}
+
+        def crit(sid: int) -> int:
+            # sparklens JobTimeSpan.criticalTime: missing stage -> (0, [])
+            if sid in memo:
+                return memo[sid]
+            w, parents = nodes.get(sid, (0, []))
+            out = w + (max((crit(p) for p in parents), default=0) if parents else 0)
+            memo[sid] = out
+            return out
+
+        start = max(nodes)  # recursion starts at the max stage id
+        return pd.DataFrame(
+            {"job_id": [int(pdf["job_id"].iloc[0])], "critical_ms": [crit(start)]}
+        )
+
+    nodes = stage_weights(stages, tasks)
+    return nodes.groupBy("job_id").applyInPandas(
+        machine, "job_id bigint, critical_ms bigint"
+    )
+
+
+def _critical_path_joins(stages: DataFrame, tasks: DataFrame, max_depth: int) -> DataFrame:
     nodes = stage_weights(stages, tasks).persist()
     rn = Window.partitionBy("job_id").orderBy(F.col("stage_id").desc())
     frontier = (

@@ -1,0 +1,96 @@
+"""Event-time windowed aggregations over the ``events`` stream table --
+the engine's generalization of the reference's processing-time gates and
+islanding (SURVEY §2d "streaming-only"): tumbling / sliding / session
+windows, watermark-ready.
+
+In batch mode these run on the ``events`` fixture and are DuckDB-checkable;
+in live mode the same expressions run under ``readStream`` +
+``withWatermark`` (see ``streaming/live.py``).  Double sums are carried as
+exact integer cents so the oracle comparison is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOUR_MS = 3_600_000
+HALF_HOUR_MS = 1_800_000
+SESSION_GAP_MS = 600_000  # 10 minutes
+
+
+def _ev(events: DataFrame) -> DataFrame:
+    """events with epoch-millis ts and exact integer value_cents."""
+    if dict(events.dtypes)["ts"] == "bigint":
+        ms = F.expr("ts div 1000000")
+    else:
+        ms = F.unix_millis("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ms.alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows: event count + exact value sum per window.
+    Spark's ``window()`` is epoch-aligned, i.e. start = floor(ms / 1h) * 1h."""
+    e = _ev(events)
+    w = F.window(F.timestamp_millis(F.col("ms")), "1 hour")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            F.unix_millis("w.end").alias("window_end_ms"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    e = _ev(events)
+    w = F.window(F.timestamp_millis(F.col("ms")), "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            F.unix_millis("w.end").alias("window_end_ms"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap
+    (``F.session_window``): session end = last event + gap; a new session
+    starts when the inter-event gap is >= the gap.  This is exactly the A6
+    islanding shape applied to event time."""
+    e = _ev(events)
+    w = F.session_window(F.timestamp_millis(F.col("ms")), "10 minutes")
+    return (
+        e.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+            "sum_cents",
+        )
+    )

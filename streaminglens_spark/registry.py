@@ -234,6 +234,26 @@ def q_purge_set(spark, sf_dir):
     return purge_set(t.progress, t.jobs)
 
 
+# ------------------------------------------------- streaming generalizations
+
+def q_tumbling_agg(spark, sf_dir):
+    from .operators.windows import tumbling_agg
+
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_sliding_agg(spark, sf_dir):
+    from .operators.windows import sliding_agg
+
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_session_agg(spark, sf_dir):
+    from .operators.windows import session_agg
+
+    return session_agg(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- extensions
 
 def q_dedup_exact(spark, sf_dir):
@@ -409,6 +429,48 @@ ORACLE: dict[str, str | None] = {
               FROM jobs GROUP BY 1, 2) h
         ON h.query_id = p.query_id AND h.batch_id = p.batch_id
         WHERE p.purged"""),
+    # ------------------------------------------- streaming generalizations
+    "q_tumbling_agg": """
+        WITH e AS (
+            SELECT epoch_ms(ts) AS ms, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT (ms // 3600000) * 3600000 AS window_start_ms,
+               (ms // 3600000) * 3600000 + 3600000 AS window_end_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY 1, 2""",
+    "q_sliding_agg": """
+        WITH e AS (
+            SELECT epoch_ms(ts) AS ms, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT w AS window_start_ms, w + 3600000 AS window_end_ms,
+               COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM (
+            SELECT ((ms // 1800000) - k.k) * 1800000 AS w, cents
+            FROM e CROSS JOIN (SELECT UNNEST(range(0, 2)) AS k) k
+        ) GROUP BY 1, 2""",
+    "q_session_agg": """
+        WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS ms,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        marked AS (
+            SELECT *, CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                                >= 600000 THEN 1 ELSE 0 END AS new_s
+            FROM e
+        ),
+        sessioned AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        )
+        SELECT user_id, MIN(ms) AS session_start_ms,
+               MAX(ms) + 600000 AS session_end_ms,
+               COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM sessioned GROUP BY user_id, sess""",
     # ------------------------------------------------------------ extensions
     "q_dedup_exact": _CORPUS + """
         SELECT md5(text) AS md5_fp,
