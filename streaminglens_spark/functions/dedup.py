@@ -15,6 +15,8 @@ exact-Jaccard verification.  No O(n^2) stage anywhere.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,31 +57,58 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_hashes(col: F.Column) -> F.Column:
-    """Distinct hashes of all 5-char shingles: base-31 polynomial over the
-    shingle's characters (bit-reproducible in any engine)."""
-    c = lambda i, off: F.ascii(col.substr(i + off, F.lit(1)))  # noqa: E731
-    h = lambda i: (  # noqa: E731
-        (((c(i, 0) * 31 + c(i, 1)) * 31 + c(i, 2)) * 31 + c(i, 3)) * 31 + c(i, 4)
-    ).cast("long")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (SHINGLE_K - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, h))
+def _shingle_minhash_udf():
+    """Arrow-vectorized shingling + MinHash: numpy rolling polynomial hash
+    of all 5-char shingles plus the 16 MinHash values, one pass per doc.
+
+    Why a pandas UDF here: character-level hashing is per-element work that
+    interpreted higher-order functions do object-at-a-time on the JVM, and
+    expression inlining (CollapseProject) makes a char-array subexpression
+    re-evaluate per position -- O(len^2).  Arrow-batched numpy does the
+    whole document in vectorized O(len).  Values are bit-identical to the
+    DuckDB oracle's ascii/substr formulation (ASCII corpus).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array(MINHASH_A, dtype=np.int64)
+    B = np.array(MINHASH_B, dtype=np.int64)
+    P = np.array([31 ** 4, 31 ** 3, 31 ** 2, 31, 1], dtype=np.int64)
+
+    @pandas_udf("struct<sh: array<long>, mh: array<long>>")
+    def shingle_minhash(texts: pd.Series) -> pd.DataFrame:
+        shs, mhs = [], []
+        for t in texts:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            if len(b) < SHINGLE_K:
+                shs.append([])
+                mhs.append([])
+                continue
+            n = len(b) - SHINGLE_K + 1
+            h = sum(P[k] * b[k : k + n] for k in range(SHINGLE_K))
+            h = np.unique(h)  # distinct shingle hashes
+            mh = ((h[:, None] * A[None, :] + B[None, :]) % HASH_MOD).min(axis=0)
+            shs.append(h.tolist())
+            mhs.append(mh.tolist())
+        return pd.DataFrame({"sh": shs, "mh": mhs})
+
+    return shingle_minhash
 
 
 def doc_shingles(corpus: DataFrame) -> DataFrame:
-    return corpus.select("doc_id", _shingle_hashes(F.col("text")).alias("sh")).filter(
-        F.size("sh") > 0
+    udf = _shingle_minhash_udf()
+    return (
+        corpus.select("doc_id", udf(F.col("text")).alias("s"))
+        .select("doc_id", F.col("s.sh").alias("sh"), F.col("s.mh").alias("mh"))
+        .filter(F.size("sh") > 0)
     )
 
 
 def minhash_signatures(shingled: DataFrame) -> DataFrame:
-    """16 MinHash values per doc: min over shingles of (a*h + b) mod 2^31-1."""
-    def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD
-
+    """16 MinHash values per doc: min over shingles of (a*h + b) mod 2^31-1
+    (already computed vectorized in ``doc_shingles``; exploded to columns)."""
     mh = [
-        F.array_min(F.transform(F.col("sh"), perm(a, b))).alias(f"mh{k}")
-        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        F.element_at(F.col("mh"), k + 1).alias(f"mh{k}") for k in range(len(MINHASH_A))
     ]
     return shingled.select("doc_id", "sh", *mh)
 

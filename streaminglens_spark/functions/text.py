@@ -34,7 +34,7 @@ def char_fold_hash(col: F.Column) -> F.Column:
     """Polynomial rolling hash over the string's characters:
     ``h = (h * 31 + ascii(c)) mod (2^31 - 1)`` -- a sequential fold, so the
     result is bit-identical in Spark and DuckDB."""
-    chars = F.transform(F.sequence(F.lit(1), F.length(col)), lambda i: F.ascii(col.substr(i, F.lit(1))))
+    chars = F.transform(F.split(col, ""), F.ascii)  # O(n), not substr-per-char
     return F.aggregate(
         chars, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % HASH_MOD
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,13 +41,12 @@ def critical_path_per_job(
 
     Two implementations, same semantics:
 
-    - ``pandas`` (default): grouped-map ``applyInPandas`` -- one shuffle on
-      job_id, then a memoized DAG walk per job.  Real Spark jobs have tiny
-      DAGs (tens of stages), so per-group work is trivial and the operator
-      scales with the *number* of jobs, exactly what grouped-map
-      parallelizes.
+    - ``pandas`` (default): one shuffle collecting each job's (tiny) stage
+      DAG into an array, then an Arrow-batched pandas UDF does a memoized
+      DAG walk -- thousands of jobs per Python batch, so per-job Python
+      overhead is amortized.  Scales with the *number* of jobs.
     - ``joins``: a bounded loop of JVM-side self-joins (one per DAG depth
-      level).  No Python in the loop; use for adversarially deep DAGs or
+      level).  No Python anywhere; use for adversarially deep/wide DAGs or
       UDF-free deployments.
     """
     if impl == "pandas":
@@ -54,33 +55,38 @@ def critical_path_per_job(
 
 
 def _critical_path_pandas(stages: DataFrame, tasks: DataFrame) -> DataFrame:
-    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def machine(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        nodes = {
-            int(s): (int(w), [] if parents is None else [int(p) for p in parents])
-            for s, w, parents in zip(pdf["stage_id"], pdf["w"], pdf["parent_ids"])
-        }
-        memo: dict[int, int] = {}
+    @pandas_udf("long")
+    def walk(dags: pd.Series) -> pd.Series:
+        out = []
+        for dag in dags:
+            nodes = {
+                int(n["stage_id"]): (
+                    int(n["w"]),
+                    [] if n["parent_ids"] is None else [int(p) for p in n["parent_ids"]],
+                )
+                for n in dag
+            }
+            memo: dict[int, int] = {}
 
-        def crit(sid: int) -> int:
-            # sparklens JobTimeSpan.criticalTime: missing stage -> (0, [])
-            if sid in memo:
-                return memo[sid]
-            w, parents = nodes.get(sid, (0, []))
-            out = w + (max((crit(p) for p in parents), default=0) if parents else 0)
-            memo[sid] = out
-            return out
+            def crit(sid: int) -> int:
+                # sparklens JobTimeSpan.criticalTime: missing stage -> (0, [])
+                if sid in memo:
+                    return memo[sid]
+                w, parents = nodes.get(sid, (0, []))
+                v = w + (max((crit(p) for p in parents), default=0) if parents else 0)
+                memo[sid] = v
+                return v
 
-        start = max(nodes)  # recursion starts at the max stage id
-        return pd.DataFrame(
-            {"job_id": [int(pdf["job_id"].iloc[0])], "critical_ms": [crit(start)]}
-        )
+            out.append(crit(max(nodes)))  # recursion starts at the max stage id
+        return pd.Series(out)
 
     nodes = stage_weights(stages, tasks)
-    return nodes.groupBy("job_id").applyInPandas(
-        machine, "job_id bigint, critical_ms bigint"
+    dags = nodes.groupBy("job_id").agg(
+        F.collect_list(F.struct("stage_id", "w", "parent_ids")).alias("dag")
     )
+    return dags.select("job_id", walk(F.col("dag")).alias("critical_ms"))
 
 
 def _critical_path_joins(stages: DataFrame, tasks: DataFrame, max_depth: int) -> DataFrame:
