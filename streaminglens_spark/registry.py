@@ -288,6 +288,32 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_blob_meta(spark, sf_dir):
+    from .functions.multimodal import blob_meta
+
+    return blob_meta(_docs(spark, sf_dir))
+
+
+def q_resize_meta(spark, sf_dir):
+    from .functions.multimodal import attach_blob, resize_meta
+
+    return resize_meta(attach_blob(_docs(spark, sf_dir)))
+
+
+def q_decode_image(spark, sf_dir):
+    from .functions.multimodal import attach_blob, decode_image
+
+    return decode_image(attach_blob(_docs(spark, sf_dir))).select(
+        "doc_id", "width", "height", "format", "mean_byte"
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    from .functions.multimodal import attach_blob, frame_sample
+
+    return frame_sample(attach_blob(_docs(spark, sf_dir)))
+
+
 def q_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir))
 
@@ -578,6 +604,48 @@ ORACLE: dict[str, str | None] = {
         )
         SELECT d.doc_id, COALESCE(b.lex_lang, 'und') AS pred_lang
         FROM documents d LEFT JOIN best b USING (doc_id)""",
+    # ------------------------------------------------- multimodal columns
+    "q_blob_meta": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'webp' END AS format,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5,
+               CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels
+        FROM documents""",
+    "q_resize_meta": """
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+                   CAST(doc_id % 48 + 1 AS BIGINT) AS height
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               CAST(GREATEST(FLOOR(width * CASE WHEN GREATEST(width, height) > 16
+                        THEN CAST(16 AS DOUBLE) / GREATEST(width, height)
+                        ELSE 1.0 END), 1) AS BIGINT) AS out_width,
+               CAST(GREATEST(FLOOR(height * CASE WHEN GREATEST(width, height) > 16
+                        THEN CAST(16 AS DOUBLE) / GREATEST(width, height)
+                        ELSE 1.0 END), 1) AS BIGINT) AS out_height
+        FROM m""",
+    "q_decode_image": """
+        SELECT doc_id,
+               CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'webp' END AS format,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                        (a, c) -> a + c) AS DOUBLE) / length(text) AS mean_byte
+        FROM documents""",
+    "q_frame_sample": """
+        SELECT d.doc_id, k.k AS frame_idx,
+               CAST(k.k * 64 AS BIGINT) AS offset_byte,
+               md5(substr(d.text, CAST(k.k * 64 + 1 AS INT), 64)) AS frame_hash
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST(range(0, 4)) AS k) k
+        WHERE k.k < LEAST(4, GREATEST(length(d.text) // 64, 1))""",
     "q_cosine_topk": """
         WITH emb AS (
             SELECT vec_id,
@@ -605,7 +673,43 @@ ORACLE: dict[str, str | None] = {
                                          ORDER BY cos_exact DESC, neighbor_id) AS rn
             FROM scored
         ) WHERE rn <= 10""",
-    "q_ann_lsh": None,  # LSH-bucketed ANN: approximate; rows-only check
+    "q_ann_lsh": """
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        normed AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                                    (a, b) -> a + b)) AS nrm,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(0, 8), p ->
+                            CASE WHEN list_reduce(list_prepend(0.0,
+                                     list_transform(range(1, 65), i ->
+                                         v[CAST(i AS INT)] *
+                                         (CASE WHEN (i * 2654435761 + p * 40503) % 97 < 48
+                                               THEN 1.0 ELSE -1.0 END))),
+                                     (a, b) -> a + b) > 0
+                                 THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                                 ELSE CAST(0 AS BIGINT) END)),
+                        (a, b) -> a + b) AS BIGINT) AS bucket
+            FROM emb
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_vec_id, e.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> q.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])),
+                       (a, b) -> a + b) / (q.nrm * e.nrm) AS cos_exact
+            FROM normed q JOIN normed e ON e.bucket = q.bucket AND e.vec_id != q.vec_id
+            WHERE q.vec_id < 5
+        )
+        SELECT query_vec_id, neighbor_id, round(cos_exact, 6) AS cosine
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cos_exact DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5""",
 }
 
 
