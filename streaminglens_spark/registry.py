@@ -157,6 +157,30 @@ def q_stage_metrics(spark, sf_dir):
     )
 
 
+def q_job_metrics(spark, sf_dir):
+    # S8 rollup, job level (the reference upserts the same task metrics
+    # into stage, job AND executor aggregates,
+    # listener/StreamingAppListener.scala:110-142)
+    t = _telemetry(spark, sf_dir)
+    return t.tasks.groupBy("job_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.sum("duration_ms").cast("long").alias("sum_ms"),
+        F.max("duration_ms").cast("long").alias("max_ms"),
+        F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("failed_tasks"),
+    )
+
+
+def q_executor_metrics(spark, sf_dir):
+    # S8 rollup, executor level
+    t = _telemetry(spark, sf_dir)
+    return t.tasks.groupBy("executor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.sum("duration_ms").cast("long").alias("sum_ms"),
+        F.max("duration_ms").cast("long").alias("max_ms"),
+        F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("failed_tasks"),
+    )
+
+
 def q_max_concurrency(spark, sf_dir):
     t = _telemetry(spark, sf_dir)
     be = sliced_executors(batch_slice(t.jobs), job_executors(t.tasks), t.executors)
@@ -270,6 +294,43 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """End-to-end dedup materialization: drop every near-duplicate 'loser'
+    (the larger doc_id of any pair with Jaccard >= 0.9) and return the
+    surviving doc ids -- the anti-join shape a training-data pipeline runs
+    after candidate generation."""
+    from .functions.dedup import dup_corpus, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    corpus = dup_corpus(docs)
+    losers = (
+        minhash_lsh_pairs(docs, threshold=0.9)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (training-data pipeline op).  Each
+    float is quantized to an exact integer (1e6 scale) BEFORE the sum, so
+    the aggregation is order-independent and bit-reproducible -- the same
+    correctness-at-scale trick as the windowed sums."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("q"),
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sum_q"),
+        (F.sum("q") / F.count(F.lit(1))).alias("centroid_q"),
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -404,6 +465,18 @@ ORACLE: dict[str, str | None] = {
                CAST(MIN(duration_ms) AS BIGINT) AS min_ms,
                CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_tasks
         FROM tasks GROUP BY stage_id"""),
+    "q_job_metrics": oracle_analysis("""
+        SELECT job_id, COUNT(*) AS n_tasks,
+               CAST(SUM(duration_ms) AS BIGINT) AS sum_ms,
+               CAST(MAX(duration_ms) AS BIGINT) AS max_ms,
+               CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_tasks
+        FROM tasks GROUP BY job_id"""),
+    "q_executor_metrics": oracle_analysis("""
+        SELECT executor_id, COUNT(*) AS n_tasks,
+               CAST(SUM(duration_ms) AS BIGINT) AS sum_ms,
+               CAST(MAX(duration_ms) AS BIGINT) AS max_ms,
+               CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_tasks
+        FROM tasks GROUP BY executor_id"""),
     "q_max_concurrency": oracle_analysis("SELECT * FROM conc"),
     "q_executor_cores": oracle_analysis("SELECT * FROM cores"),
     "q_results_topk": oracle_analysis("SELECT * FROM topk"),
@@ -604,6 +677,32 @@ ORACLE: dict[str, str | None] = {
         )
         SELECT d.doc_id, COALESCE(b.lex_lang, 'und') AS pred_lang
         FROM documents d LEFT JOIN best b USING (doc_id)""",
+    "q_dedup_corpus": _SHINGLES + """
+        , cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
+            WHERE l.doc_id < r.doc_id
+        ),
+        losers AS (
+            SELECT DISTINCT c.doc_b AS doc_id
+            FROM cand c
+            JOIN shingled a ON a.doc_id = c.doc_a
+            JOIN shingled b ON b.doc_id = c.doc_b
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
+        )
+        SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+    "q_label_centroids": """
+        WITH dims AS (
+            SELECT label, CAST(t.i - 1 AS INT) AS dim,
+                   CAST(round(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS q
+            FROM embeddings
+            CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t
+        )
+        SELECT label, dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
+               CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_q
+        FROM dims GROUP BY label, dim""",
     # ------------------------------------------------- multimodal columns
     "q_blob_meta": """
         SELECT doc_id,

@@ -133,6 +133,7 @@ class LiveAnalyzer:
         self._last_analyzed_batch: dict[str, int] = {}  # A2, per query
         self._last_analyzed_time_ms = 0  # A3 (0 => first tick analyzes)
         self._last_purged_batch: dict[str, int] = {}  # A18
+        self._last_event_time_ms = int(self.clock() * 1000)  # A16
 
     # -- plumbing ------------------------------------------------------
     def progress_df(self) -> DataFrame:
@@ -255,8 +256,15 @@ class LiveAnalyzer:
                 self.capture.purge_below(qid, latest["batch_id"])
                 self._last_purged_batch[qid] = latest["batch_id"]
 
-        # U1 reporters
-        if new_results and self.reporters:
+        # U1 reporters, behind the A16 reporting-interval gate
+        # (helper/StreamingLensReportingHelper.scala:66-78,199-201: events at
+        # most every reportingIntervalMinutes, tracking lastEventTime)
+        interval_ms = self.config.reporting_interval_minutes * 60_000
+        if (
+            new_results
+            and self.reporters
+            and now_ms - self._last_event_time_ms >= interval_ms
+        ):
             import json
 
             info = json.dumps(
@@ -270,6 +278,7 @@ class LiveAnalyzer:
                     rep.send_insights_event(info)
                 except Exception:
                     pass  # fail-open like the reference (sendEvent catch)
+            self._last_event_time_ms = now_ms
         return new_results
 
 

@@ -148,3 +148,13 @@ def test_reporter_plugin_receives_events(spark):
     clock.advance(3600)
     a.tick()
     assert events and "OVERPROVISIONED" in events[0]
+
+    # A16: a second tick inside the hour analyzes but does NOT re-report
+    cap.rows.append(_fake_progress("q1", 1, 1_700_000_060_000))
+    clock.advance(360)  # past the 5-min A3 gate, inside the 60-min A16 gate
+    assert a.tick()
+    assert len(events) == 1
+    cap.rows.append(_fake_progress("q1", 2, 1_700_000_120_000))
+    clock.advance(3600)  # past the A16 gate
+    assert a.tick()
+    assert len(events) == 2
