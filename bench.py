@@ -29,6 +29,11 @@ HEADLINE = [
     "q_minhash_lsh",      # MinHash+LSH near-dup
     "q_cosine_topk",      # similarity search
     "q_text_stats",       # text analysis
+    "q_session_agg",      # event-time session windows
+    "q_tumbling_agg",     # event-time tumbling windows
+    "q_pricing_summary",  # star-schema aggregation
+    "q_region_volume",    # 5-table join chain
+    "q_frame_sample",     # multimodal mapInPandas
 ]
 
 

@@ -258,6 +258,37 @@ def q_purge_set(spark, sf_dir):
     return purge_set(t.progress, t.jobs)
 
 
+# ------------------------------------------------- relational analytics
+
+def q_pricing_summary(spark, sf_dir):
+    from .functions.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_customers(spark, sf_dir):
+    from .functions.relational import top_customers
+
+    return top_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_region_volume(spark, sf_dir):
+    from .functions.relational import region_volume
+
+    return region_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 # ------------------------------------------------- streaming generalizations
 
 def q_tumbling_agg(spark, sf_dir):
@@ -528,6 +559,51 @@ ORACLE: dict[str, str | None] = {
               FROM jobs GROUP BY 1, 2) h
         ON h.query_id = p.query_id AND h.batch_id = p.batch_id
         WHERE p.purged"""),
+    # -------------------------------------------- relational analytics
+    "q_pricing_summary": """
+        WITH li AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS disc_e8
+            FROM lineitem
+        )
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS count_order,
+               CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+               CAST(SUM(price_cents) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(disc_e8) AS BIGINT) AS sum_disc_e8
+        FROM li GROUP BY 1, 2""",
+    "q_top_customers": """
+        WITH rev AS (
+            SELECT o.o_custkey,
+                   SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+                       AS revenue_e8
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1
+        )
+        SELECT custkey, name, nation, revenue_e8 FROM (
+            SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+                   CAST(r.revenue_e8 AS BIGINT) AS revenue_e8,
+                   row_number() OVER (ORDER BY r.revenue_e8 DESC, c.c_custkey) AS rn
+            FROM rev r
+            JOIN customer c ON r.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE rn <= 20""",
+    "q_region_volume": """
+        SELECT rg.r_name AS region,
+               COUNT(*) AS n_lineitems,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+                   AS BIGINT) AS revenue_e8
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        GROUP BY 1""",
     # ------------------------------------------- streaming generalizations
     "q_tumbling_agg": """
         WITH e AS (

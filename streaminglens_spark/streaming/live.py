@@ -149,7 +149,7 @@ class LiveAnalyzer:
 
         progress = self.progress_df()
         if progress.isEmpty():
-            return []
+            return None  # no-op: nothing captured yet
 
         telemetry = self.telemetry_provider(progress) if self.telemetry_provider else None
         if telemetry is None:
@@ -191,7 +191,7 @@ class LiveAnalyzer:
             if bid - last >= self.config.min_batches:
                 gate_rows.append((qid, bid))
         if not gate_rows:
-            return []
+            return None  # no-op: every batch gated out
         gate_df = self.spark.createDataFrame(gate_rows, "query_id string, batch_id bigint")
 
         out = (
@@ -219,6 +219,12 @@ class LiveAnalyzer:
                 fut = pool.submit(self._analyze_once)
                 new_results = fut.result(timeout=self.config.max_analysis_time_seconds)
             self.retries = 0  # reset on success (U2)
+            if new_results is None:
+                # no-op tick (no progress captured / nothing newly gated in):
+                # does NOT consume the A3 interval -- the reference only ever
+                # analyzes on a progress event, so an idle tick must not
+                # starve the next real one
+                return []
         except Exception:
             # U2 -- retry counting; at maxRetries, self-shutdown
             self.retries += 1
@@ -280,6 +286,34 @@ class LiveAnalyzer:
                     pass  # fail-open like the reference (sendEvent catch)
             self._last_event_time_ms = now_ms
         return new_results
+
+
+def foreach_batch_monitor(analyzer: LiveAnalyzer, user_fn=None):
+    """Wrap a user's ``foreachBatch`` function with per-trigger analysis --
+    the engine's equivalent of the reference's "analysis runs after every
+    progress event" wiring (EP3), but on Spark's own micro-batch callback:
+
+        cap = attach(spark)
+        analyzer = LiveAnalyzer(spark, cap)
+        (df.writeStream
+           .foreachBatch(foreach_batch_monitor(analyzer, my_sink_fn))
+           .start())
+
+    The user function runs first (the actual sink work); the gated analysis
+    tick follows.  Analysis failures never fail the batch (fail-open, like
+    the reference's listener guards) -- they feed the U2 retry counter
+    inside ``tick`` instead.
+    """
+
+    def _fn(batch_df, batch_id: int) -> None:
+        if user_fn is not None:
+            user_fn(batch_df, batch_id)
+        try:
+            analyzer.tick()
+        except Exception:
+            pass
+
+    return _fn
 
 
 def attach(spark: SparkSession) -> ProgressCapture:

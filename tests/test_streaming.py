@@ -75,6 +75,35 @@ def test_listener_bridge_end_to_end(spark):
         detach(spark, cap)
 
 
+def test_foreach_batch_monitor_end_to_end(spark):
+    """The full deployment shape: a user pipeline with a monitored
+    foreachBatch sink; analysis ticks ride the micro-batch callbacks."""
+    from streaminglens_spark.streaming.live import LiveAnalyzer, foreach_batch_monitor
+
+    cap = attach(spark)
+    seen_batches = []
+    try:
+        analyzer = LiveAnalyzer(spark, cap, config=_cfg())
+        q = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 5)
+            .load()
+            .writeStream.foreachBatch(
+                foreach_batch_monitor(analyzer, lambda df, bid: seen_batches.append(bid))
+            )
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline and not analyzer.results:
+            time.sleep(0.5)
+        q.stop()
+        assert seen_batches, "user foreachBatch fn never ran"
+        assert analyzer.results, "monitored analysis produced no results"
+        assert {r["state"] for r in analyzer.results} <= {"OVERPROVISIONED", "NONEWBATCHES"}
+    finally:
+        detach(spark, cap)
+
+
 def test_interval_gate_blocks_rapid_ticks(spark):
     cap = ProgressCapture()
     cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]
