@@ -80,6 +80,36 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite document-quality score in [0, 1] from the text statistics
+    (length band + stopword presence + lexical diversity), the filter a
+    training-data pipeline thresholds on.  All components are exact
+    rationals rounded at the end, so the score is bit-reproducible."""
+    toks = _tokens()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n.cast(
+        "double"
+    )
+    ttr = F.size(F.array_distinct(toks)) / n.cast("double")
+    len_score = (
+        F.when((n >= 20) & (n <= 200), F.lit(1.0))
+        .when(n < 20, n / F.lit(20.0))
+        .otherwise(F.lit(200.0) / n)
+    )
+    # stopword sweet spot ~5-40%: too few = keyword spam, too many = filler
+    stop_score = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.4), 1.0).otherwise(0.5)
+    score = F.round((len_score * 0.4 + stop_score * 0.3 + ttr * 0.3), 6)
+    return documents.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        score.alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-lexicon language ID: argmax of per-language lexicon hits
     (tie -> lexicographically first language; no hits -> 'und')."""

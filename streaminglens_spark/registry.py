@@ -380,6 +380,12 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_quality_score(spark, sf_dir):
+    from .functions.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
 def q_blob_meta(spark, sf_dir):
     from .functions.multimodal import blob_meta
 
@@ -821,6 +827,36 @@ ORACLE: dict[str, str | None] = {
         FROM documents d
         CROSS JOIN (SELECT UNNEST(range(0, 4)) AS k) k
         WHERE k.k < LEAST(4, GREATEST(length(d.text) // 64, 1))""",
+    "q_quality_score": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stop_ratio,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        ),
+        sc AS (
+            SELECT doc_id, stop_ratio, ttr,
+                   CASE WHEN n >= 20 AND n <= 200 THEN CAST(1.0 AS DOUBLE)
+                        WHEN n < 20 THEN CAST(n AS DOUBLE) / CAST(20.0 AS DOUBLE)
+                        ELSE CAST(200.0 AS DOUBLE) / CAST(n AS DOUBLE) END AS len_score,
+                   CASE WHEN stop_ratio >= CAST(0.05 AS DOUBLE)
+                             AND stop_ratio <= CAST(0.4 AS DOUBLE)
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS stop_score
+            FROM s
+        )
+        SELECT doc_id,
+               round(len_score, 6) AS len_score,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(ttr, 6) AS ttr,
+               round(len_score * CAST(0.4 AS DOUBLE) + stop_score * CAST(0.3 AS DOUBLE)
+                     + ttr * CAST(0.3 AS DOUBLE), 6) AS quality,
+               (round(len_score * CAST(0.4 AS DOUBLE) + stop_score * CAST(0.3 AS DOUBLE)
+                      + ttr * CAST(0.3 AS DOUBLE), 6) >= CAST(0.5 AS DOUBLE)) AS keep
+        FROM sc""",
     "q_cosine_topk": """
         WITH emb AS (
             SELECT vec_id,
