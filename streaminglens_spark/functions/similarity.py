@@ -58,6 +58,30 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     )
 
 
+def embed_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``label`` (the
+    candidate-generation strategy when natural blocking keys exist: only
+    same-block pairs are compared, turning O(n^2) into O(sum of block^2);
+    for unlabeled corpora use the LSH bucket variant, ``ann_lsh_topk``'s
+    bucketing).  Returns (vec_a, vec_b, cosine) with cosine >= threshold."""
+    emb = embeddings.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = emb.select(
+        "label", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_exact", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.round("cos_exact", 6) >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cosine"))
+    )
+
+
 def _hyperplane_sign(dim_idx: F.Column, plane: int) -> F.Column:
     """Deterministic pseudo-random hyperplane component in {-1, +1}:
     sign = +1 iff ((dim * 2654435761 + plane * 40503) mod 97) < 48."""

@@ -420,6 +420,12 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def q_embed_dedup(spark, sf_dir):
+    from .functions.similarity import embed_dedup_pairs
+
+    return embed_dedup_pairs(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -884,6 +890,27 @@ ORACLE: dict[str, str | None] = {
                                          ORDER BY cos_exact DESC, neighbor_id) AS rn
             FROM scored
         ) WHERE rn <= 10""",
+    "q_embed_dedup": """
+        WITH emb AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        normed AS (
+            SELECT vec_id, label, v,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                                    (a, b) -> a + b)) AS nrm
+            FROM emb
+        )
+        SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])),
+                       (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+            FROM normed a JOIN normed b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= CAST(0.4 AS DOUBLE)""",
     "q_ann_lsh": """
         WITH emb AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
