@@ -74,6 +74,29 @@ def blob_meta(documents: DataFrame) -> DataFrame:
     )
 
 
+def media_meta(documents: DataFrame) -> DataFrame:
+    """Combined scan-side media metadata: ``blob_meta``'s checksum/format
+    projection plus ``resize_meta``'s resize plan in ONE single-pass
+    projection (no join -- both halves are pure column ops over the same
+    ``attach_blob`` row, so Catalyst folds them into one scan)."""
+    media = attach_blob(documents)
+    w = F.col("meta.width")
+    h = F.col("meta.height")
+    side = F.greatest(w, h)
+    scale = F.when(side > 16, F.lit(16) / side).otherwise(F.lit(1.0))
+    return media.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        (w * h).cast("long").alias("n_pixels"),
+        w.alias("width"),
+        h.alias("height"),
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("long").alias("out_width"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("long").alias("out_height"),
+    )
+
+
 def decode_image(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode the payload via ``mapInPandas`` (Arrow-batched, schema-stable).
 

@@ -386,16 +386,12 @@ def q_quality_score(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
-def q_blob_meta(spark, sf_dir):
-    from .functions.multimodal import blob_meta
+def q_media_meta(spark, sf_dir):
+    # one driver slot covering blob_meta + resize_meta (driver caps
+    # CORRECTNESS at 50 queries; both halves stay as public functions)
+    from .functions.multimodal import media_meta
 
-    return blob_meta(_docs(spark, sf_dir))
-
-
-def q_resize_meta(spark, sf_dir):
-    from .functions.multimodal import attach_blob, resize_meta
-
-    return resize_meta(attach_blob(_docs(spark, sf_dir)))
+    return media_meta(_docs(spark, sf_dir))
 
 
 def q_decode_image(spark, sf_dir):
@@ -792,22 +788,20 @@ ORACLE: dict[str, str | None] = {
                CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_q
         FROM dims GROUP BY label, dim""",
     # ------------------------------------------------- multimodal columns
-    "q_blob_meta": """
+    "q_media_meta": """
+        WITH m AS (
+            SELECT doc_id, text,
+                   CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+                   CAST(doc_id % 48 + 1 AS BIGINT) AS height
+            FROM documents
+        )
         SELECT doc_id,
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                     ELSE 'webp' END AS format,
                CAST(length(text) AS BIGINT) AS n_bytes,
                md5(text) AS payload_md5,
-               CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels
-        FROM documents""",
-    "q_resize_meta": """
-        WITH m AS (
-            SELECT doc_id,
-                   CAST(doc_id % 64 + 1 AS BIGINT) AS width,
-                   CAST(doc_id % 48 + 1 AS BIGINT) AS height
-            FROM documents
-        )
-        SELECT doc_id, width, height,
+               CAST(width * height AS BIGINT) AS n_pixels,
+               width, height,
                CAST(GREATEST(FLOOR(width * CASE WHEN GREATEST(width, height) > 16
                         THEN CAST(16 AS DOUBLE) / GREATEST(width, height)
                         ELSE 1.0 END), 1) AS BIGINT) AS out_width,
@@ -953,11 +947,10 @@ ORACLE: dict[str, str | None] = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     g = globals()
-    return {
-        name: g[name]
-        for name in list(ORACLE) + ["q_ann_lsh"]
-        if name in g
-    }
+    # NOTE: the driver evaluates at most 50 correctness queries in dict
+    # order (round-1 run recorded exactly the first 50 of 51) -- keep
+    # len(ORACLE) <= 50 so every registered query gets a driver row.
+    return {name: g[name] for name in ORACLE if name in g}
 
 
 def oracle_sql() -> dict[str, str]:
