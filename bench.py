@@ -2,8 +2,11 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Timing counts full materialization (count + a collect of a bounded result)
-per query, after a warmup that absorbs JVM/session startup.
+Timing counts FULL materialization via the noop sink
+(``df.write.format("noop")``): every output column is computed and
+serialized on the executors, so projection-only queries pay for their
+computed columns (a bare ``count()`` lets Catalyst drop unused
+projections and would time just the scan).
 """
 
 from __future__ import annotations
@@ -44,18 +47,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: touch the fixture scan + a tiny job so JVM startup is excluded
-    registry.queries()["q_batch_bounds"](spark, sf_dir).count()
+    registry.queries()["q_batch_bounds"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = registry.queries()[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -34,6 +34,8 @@ class StreamingLens:
         # per-query SLA override map (StreamingAppTracker.scala:41,76-91)
         self._sla_overrides: dict[str, int] = {}
         self._reporters: list = []
+        self._live = None
+        self._live_captures: tuple | None = None
 
     # -- convenience constructors -------------------------------------
     @classmethod
@@ -92,7 +94,48 @@ class StreamingLens:
             default_sla_ms=self.config.expected_micro_batch_sla_millis,
         )
 
+    # -- live mode -----------------------------------------------------
+    def attach_live(self, with_scheduler: bool = True):
+        """Register the two live listeners and return the analyzer -- the
+        engine equivalent of the reference constructor's listener wiring
+        (``StreamingLens.scala:59-79``): a ``StreamingQueryListener`` for
+        progress (S12-S14) and, by default, the scheduler-listener bridge
+        for job/stage/task telemetry (S1-S11) so critical-path analysis is
+        real out of the box.  Call ``analyzer.tick()`` per trigger or wrap a
+        sink with ``foreach_batch_monitor``."""
+        from .streaming.live import LiveAnalyzer, attach
+
+        cap = attach(self.spark)
+        sched = None
+        if with_scheduler:
+            from .streaming.scheduler import attach_scheduler
+
+            sched = attach_scheduler(self.spark)
+        self._live = LiveAnalyzer(
+            self.spark,
+            cap,
+            config=self.config,
+            reporters=list(self._reporters),
+            scheduler_capture=sched,
+        )
+        self._live_captures = (cap, sched)
+        return self._live
+
     def stop(self) -> None:
-        """stopStreamingLens(): drop reporters and overrides."""
+        """stopStreamingLens(): stop live analysis (terminated events),
+        detach listeners, drop reporters and overrides
+        (``StreamingLens.scala:66-79``)."""
+        if self._live is not None:
+            self._live.stop()
+            cap, sched = self._live_captures
+            from .streaming.live import detach
+
+            detach(self.spark, cap)
+            if sched is not None:
+                from .streaming.scheduler import detach_scheduler
+
+                detach_scheduler(self.spark, sched)
+            self._live = None
+            self._live_captures = None
         self._reporters.clear()
         self._sla_overrides.clear()

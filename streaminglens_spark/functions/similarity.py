@@ -58,23 +58,41 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     )
 
 
-def embed_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embed_dedup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, max_block: int = 1000
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``label`` (the
     candidate-generation strategy when natural blocking keys exist: only
-    same-block pairs are compared, turning O(n^2) into O(sum of block^2);
-    for unlabeled corpora use the LSH bucket variant, ``ann_lsh_topk``'s
-    bucketing).  Returns (vec_a, vec_b, cosine) with cosine >= threshold."""
+    same-block pairs are compared, turning O(n^2) into O(sum of block^2)).
+
+    Skew guard: a label holding a disproportionate share of the corpus makes
+    its block^2 the job -- so labels with more than ``max_block`` vectors
+    are SUB-BLOCKED by their random-hyperplane LSH bucket (``lsh_bucket``);
+    only same-(label, bucket) pairs are compared.  Near-duplicates project
+    to the same side of the hyperplanes with high probability, so recall
+    within an oversized label degrades to the LSH guarantee instead of the
+    exact one; normal-sized labels keep exact within-label semantics (at the
+    fixture scales every label is under the default cap, so the driver
+    oracle is unchanged).  Label counts are a broadcast (O(#labels)).
+    Returns (vec_a, vec_b, cosine) with cosine >= threshold."""
     emb = embeddings.select(
         "vec_id", "label", _as_double("embedding").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    emb = emb.join(F.broadcast(counts), "label").withColumn(
+        "block",
+        F.when(F.col("_n") > max_block, lsh_bucket(F.col("v"))).otherwise(F.lit(0)).cast("long"),
+    )
     a = emb.select(
-        "label", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        "label", "block", F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = emb.select(
-        "label", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        "label", "block", F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "block"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_exact", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.round("cos_exact", 6) >= threshold)

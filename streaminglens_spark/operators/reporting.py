@@ -126,7 +126,9 @@ def source_recommendations(progress: DataFrame) -> DataFrame:
     return over.unionByName(unhealthy)
 
 
-def state_buckets(results: DataFrame, progress: DataFrame) -> DataFrame:
+def state_buckets(
+    results: DataFrame, progress: DataFrame, last_reported_batch: int = -1
+) -> DataFrame:
     """A14 -- bucket the aggregated state and render the recommendation text
     (reference ``helper/StreamingLensReportingHelper.scala:103-141``).
 
@@ -135,7 +137,7 @@ def state_buckets(results: DataFrame, progress: DataFrame) -> DataFrame:
     swallowed by ``sendEvent``'s catch; the engine mirrors this by emitting
     NO row for such queries.
     """
-    agg = discounted_state(results)
+    agg = discounted_state(results, last_reported_batch)
     srcs = latest_sources(progress)
     joined = agg.join(srcs, "query_id", "left")
 

@@ -661,18 +661,36 @@ ORACLE: dict[str, str | None] = {
                COUNT(*) AS dup_count
         FROM corpus GROUP BY 1""",
     "q_minhash_lsh": _SHINGLES + """
-        , cand AS (
+        , sigv AS (
+            SELECT doc_id, list(mh ORDER BY k) AS mhv FROM sigs GROUP BY doc_id
+        ),
+        cand AS (
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
             WHERE l.doc_id < r.doc_id
+        ),
+        scored AS (
+            SELECT doc_a, doc_b, est FROM (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(len(list_filter(range(1, 17),
+                            i -> ma.mhv[CAST(i AS INT)] = mb.mhv[CAST(i AS INT)]))
+                            AS DOUBLE) / 16 AS est
+                FROM cand c
+                JOIN sigv ma ON ma.doc_id = c.doc_a
+                JOIN sigv mb ON mb.doc_id = c.doc_b
+            ) WHERE est >= 0.5
         )
-        SELECT c.doc_a, c.doc_b,
+        SELECT doc_a, doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM scored WHERE est = 1.0
+        UNION ALL
+        SELECT s.doc_a, s.doc_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        FROM cand c
-        JOIN shingled a ON a.doc_id = c.doc_a
-        JOIN shingled b ON b.doc_id = c.doc_b
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        FROM scored s
+        JOIN shingled a ON a.doc_id = s.doc_a
+        JOIN shingled b ON b.doc_id = s.doc_b
+        WHERE s.est < 1.0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
     "q_ngram_jaccard": """
         WITH sub AS (
@@ -762,17 +780,34 @@ ORACLE: dict[str, str | None] = {
         SELECT d.doc_id, COALESCE(b.lex_lang, 'und') AS pred_lang
         FROM documents d LEFT JOIN best b USING (doc_id)""",
     "q_dedup_corpus": _SHINGLES + """
-        , cand AS (
+        , sigv AS (
+            SELECT doc_id, list(mh ORDER BY k) AS mhv FROM sigs GROUP BY doc_id
+        ),
+        cand AS (
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
             WHERE l.doc_id < r.doc_id
         ),
+        scored AS (
+            SELECT doc_a, doc_b, est FROM (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(len(list_filter(range(1, 17),
+                            i -> ma.mhv[CAST(i AS INT)] = mb.mhv[CAST(i AS INT)]))
+                            AS DOUBLE) / 16 AS est
+                FROM cand c
+                JOIN sigv ma ON ma.doc_id = c.doc_a
+                JOIN sigv mb ON mb.doc_id = c.doc_b
+            ) WHERE est >= 0.9
+        ),
         losers AS (
-            SELECT DISTINCT c.doc_b AS doc_id
-            FROM cand c
-            JOIN shingled a ON a.doc_id = c.doc_a
-            JOIN shingled b ON b.doc_id = c.doc_b
-            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            SELECT DISTINCT doc_b AS doc_id FROM scored WHERE est = 1.0
+            UNION
+            SELECT DISTINCT s.doc_b AS doc_id
+            FROM scored s
+            JOIN shingled a ON a.doc_id = s.doc_a
+            JOIN shingled b ON b.doc_id = s.doc_b
+            WHERE s.est < 1.0
+              AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
         )
         SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",

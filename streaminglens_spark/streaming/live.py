@@ -18,18 +18,28 @@ Engine wiring (Spark-first):
     * A19 results ring buffer (``maxResultsRetention``),
     * A18 progress retention purge,
     * U2 retry-then-self-shutdown (``maxRetries``),
-    * U3 timeout-bounded analysis (``maxAnalysisTimeSeconds``),
-    * U1 duck-typed reporter plugins (``send_insights_event(info)``).
+    * U3 timeout-bounded analysis -> ERROR(-1) result
+      (``analyzer/StreamingQueryAnalyzer.scala:69-98``),
+    * U1 reporters: pre-instantiated duck-typed objects AND class-name
+      loading with started/insights/terminated events
+      (``helper/StreamingLensReportingHelper.scala:48-97``).
 
-Job/stage/task telemetry in live mode comes from a pluggable
-``telemetry_provider`` (e.g. the Spark REST status API when the UI is up;
-tests inject the deterministic derivation).  Without one, critical time
-degrades gracefully to the batch running time (no job spans to subtract).
+Each tick analyzes ONLY the newly gated-in batches' progress slice (the
+full captured history is NOT re-analyzed): per-batch results are
+independent in the pipeline, so the incremental slice produces identical
+rows at per-tick cost bounded by new batches, not retention.
+
+Job/stage/task telemetry in live mode comes from the scheduler-listener
+bridge (``streaming/scheduler.py``) or any injected ``telemetry_provider``;
+without either, critical time degrades gracefully to the batch running time
+(no job spans to subtract).
 """
 
 from __future__ import annotations
 
 import concurrent.futures
+import json
+import logging
 import threading
 import time
 from collections.abc import Callable
@@ -43,6 +53,7 @@ try:  # the listener API needs the JVM bridge; guard for doc builds
 except Exception:  # pragma: no cover
     StreamingQueryListener = object  # type: ignore
 
+logger = logging.getLogger("streaminglens_spark")
 
 PROGRESS_SCHEMA = (
     "query_id string, query_name string, run_id string, batch_id bigint,"
@@ -58,6 +69,28 @@ def _iso_to_ms(ts: str) -> int:
 
     dt = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S.%fZ").replace(tzinfo=timezone.utc)
     return int(dt.timestamp() * 1000)
+
+
+def _fmt_ms(ms: int) -> str:
+    """A21 -- '%02ds %03dms' (``QueryInsightsManager.scala:228-232``)."""
+    return "%02ds %03dms" % (ms // 1000, ms % 1000)
+
+
+def _insight_block(r: dict) -> str:
+    """A24 -- the boxed driver-log insight (``QueryInsightsManager.scala:206-227``,
+    'Inisights' typo included); same template as ``reporting.insight_text``."""
+    return "\n".join(
+        [
+            f" {'|' * 18} StreamingLens Inisights {'|' * 25}",
+            f" BatchId: {r['batch_id']}",
+            f" Analysis Time: {_fmt_ms(r['analysis_ms'])}",
+            f" Expected Micro Batch SLA: {_fmt_ms(r['sla_ms'])}",
+            f" Batch Running Time: {_fmt_ms(r['batch_running_ms'])}",
+            f" Critical Time: {_fmt_ms(r['critical_ms'])}",
+            f" Streaming Query State: {r['state']}",
+            f" {'|' * 68}",
+        ]
+    )
 
 
 class ProgressCapture(StreamingQueryListener):
@@ -108,6 +141,19 @@ class ProgressCapture(StreamingQueryListener):
             ]
 
 
+class _ReportingState:
+    """Per-query reporter bookkeeping (the engine's ReportingHelper,
+    ``helper/StreamingLensReportingHelper.scala:38-46``): event counter,
+    A16 last-event time, last-reported batch watermark, and the reporter
+    instances serving this query."""
+
+    def __init__(self, reporters: list, now_ms: int):
+        self.reporters = reporters
+        self.event_id = 0
+        self.last_event_time_ms = now_ms
+        self.last_reported_batch = -1
+
+
 class LiveAnalyzer:
     """Per-trigger analysis driver with the reference's control-plane
     semantics (gates, retention, retries, timeout, reporters)."""
@@ -120,36 +166,62 @@ class LiveAnalyzer:
         telemetry_provider: Callable[[DataFrame], "object | None"] | None = None,
         reporters: list | None = None,
         clock: Callable[[], float] = time.time,
+        scheduler_capture=None,
     ) -> None:
         self.spark = spark
         self.capture = capture
         self.config = config or StreamingLensConfig()
+        self.scheduler_capture = scheduler_capture
+        if telemetry_provider is None and scheduler_capture is not None:
+            from .scheduler import scheduler_telemetry_provider
+
+            telemetry_provider = scheduler_telemetry_provider(spark, scheduler_capture)
         self.telemetry_provider = telemetry_provider
-        self.reporters = reporters or []
+        self.reporters = reporters or []  # pre-instantiated, shared across queries
         self.clock = clock
         self.results: list[dict] = []  # ring buffer (A19)
         self.retries = 0  # U2
         self.stopped = False
+        self.last_error_results: list[dict] = []  # U3 ERROR rows of the last failure
+        self.last_tick_analyzed_rows = 0  # progress rows analyzed by the last tick
         self._last_analyzed_batch: dict[str, int] = {}  # A2, per query
         self._last_analyzed_time_ms = 0  # A3 (0 => first tick analyzes)
         self._last_purged_batch: dict[str, int] = {}  # A18
-        self._last_event_time_ms = int(self.clock() * 1000)  # A16
+        self._reporting: dict[str, _ReportingState] = {}  # U1, per query
+        # A16 anchor: the reference helper sets lastEventTimeMillis at
+        # construction (StreamingLensReportingHelper.scala:42)
+        self._init_time_ms = int(self.clock() * 1000)
 
     # -- plumbing ------------------------------------------------------
     def progress_df(self) -> DataFrame:
         return self.spark.createDataFrame(self.capture.snapshot(), PROGRESS_SCHEMA)
 
-    def _analyze_once(self) -> list[dict]:
-        """One gated analysis pass over all captured progress; returns new
-        results rows (dicts)."""
-        from pyspark.sql import functions as F
+    def _gated_rows(self) -> list[tuple]:
+        """A2 gate: progress rows of batches newer than the per-query
+        watermark by >= minBatches."""
+        out = []
+        for r in self.capture.snapshot():
+            qid, bid = r[0], r[3]
+            if bid - self._last_analyzed_batch.get(qid, -1) >= self.config.min_batches:
+                out.append(r)
+        return out
 
+    def _analyze_once(self) -> list[dict] | None:
+        """One gated analysis pass over the NEWLY GATED batches' progress
+        slice only; returns new results rows (dicts).  Incremental by
+        construction: per-batch results are independent downstream, so the
+        slice yields rows identical to a full re-analysis at a per-tick cost
+        bounded by new batches (not retained history)."""
         from ..operators.pipeline import results_table
-        from ..telemetry import Telemetry, derive_sla_config
+        from ..telemetry import Telemetry
 
-        progress = self.progress_df()
-        if progress.isEmpty():
+        if not self.capture.snapshot():
             return None  # no-op: nothing captured yet
+        gated = self._gated_rows()
+        if not gated:
+            return None  # no-op: every batch gated out
+        self.last_tick_analyzed_rows = len(gated)
+        progress = self.spark.createDataFrame(gated, PROGRESS_SCHEMA)
 
         telemetry = self.telemetry_provider(progress) if self.telemetry_provider else None
         if telemetry is None:
@@ -179,28 +251,25 @@ class LiveAnalyzer:
                 stages=empty_stages,
                 tasks=empty_tasks,
                 executors=empty_execs,
-                sla_config=derive_sla_config(self.spark),
+                sla_config=self.spark.createDataFrame(
+                    [], "query_key string, sla_ms bigint"
+                ),
+            )
+        else:
+            # analyze the gated slice even if the provider carries its own
+            # (full) progress table -- incrementality lives here
+            telemetry = Telemetry(
+                progress=progress,
+                jobs=telemetry.jobs,
+                stages=telemetry.stages,
+                tasks=telemetry.tasks,
+                executors=telemetry.executors,
+                sla_config=telemetry.sla_config,
             )
 
-        # A2 gate: only batches newer than the per-query watermark by
-        # >= minBatches get a fresh analysis
-        gate_rows = []
-        for r in self.capture.snapshot():
-            qid, bid = r[0], r[3]
-            last = self._last_analyzed_batch.get(qid, -1)
-            if bid - last >= self.config.min_batches:
-                gate_rows.append((qid, bid))
-        if not gate_rows:
-            return None  # no-op: every batch gated out
-        gate_df = self.spark.createDataFrame(gate_rows, "query_id string, batch_id bigint")
-
-        out = (
-            results_table(
-                telemetry, default_sla_ms=self.config.expected_micro_batch_sla_millis
-            )
-            .join(F.broadcast(gate_df), ["query_id", "batch_id"], "left_semi")
-            .collect()
-        )
+        out = results_table(
+            telemetry, default_sla_ms=self.config.expected_micro_batch_sla_millis
+        ).collect()
         return [row.asDict() for row in out]
 
     # -- the per-trigger entry point ----------------------------------
@@ -214,10 +283,14 @@ class LiveAnalyzer:
         if now_ms - self._last_analyzed_time_ms < self.config.analysis_interval_minutes * 60_000:
             return []
         try:
-            # U3 -- timeout-bounded analysis
-            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            # U3 -- timeout-bounded analysis.  No context manager: its
+            # __exit__ would join the worker and block past the timeout.
+            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            try:
                 fut = pool.submit(self._analyze_once)
                 new_results = fut.result(timeout=self.config.max_analysis_time_seconds)
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
             self.retries = 0  # reset on success (U2)
             if new_results is None:
                 # no-op tick (no progress captured / nothing newly gated in):
@@ -226,13 +299,13 @@ class LiveAnalyzer:
                 # starve the next real one
                 return []
         except Exception:
-            # U2 -- retry counting; at maxRetries, self-shutdown
-            self.retries += 1
-            if self.retries >= self.config.max_retries:
-                self.stopped = True
+            self._on_analysis_error(now_ms)
             return []
 
         self._last_analyzed_time_ms = now_ms
+        if self.config.should_log_results:
+            for r in new_results:
+                logger.info(_insight_block(r))
         for r in new_results:
             if r["state_id"] != 0:
                 self._last_analyzed_batch[r["query_id"]] = max(
@@ -250,7 +323,7 @@ class LiveAnalyzer:
             for r in rows[-self.config.max_results_retention:]
         ]
 
-        # A18 purge: progress retention per query
+        # A18 purge: progress + scheduler retention per query
         for qid, rows in by_query.items():
             if not rows:
                 continue
@@ -260,32 +333,173 @@ class LiveAnalyzer:
             last_purged = self._last_purged_batch.get(qid, -1)
             if latest["batch_id"] - last_purged >= self.config.max_batches_retention:
                 self.capture.purge_below(qid, latest["batch_id"])
+                if self.scheduler_capture is not None:
+                    self.scheduler_capture.purge_below(qid, latest["batch_id"])
                 self._last_purged_batch[qid] = latest["batch_id"]
 
-        # U1 reporters, behind the A16 reporting-interval gate
-        # (helper/StreamingLensReportingHelper.scala:66-78,199-201: events at
-        # most every reportingIntervalMinutes, tracking lastEventTime)
-        interval_ms = self.config.reporting_interval_minutes * 60_000
-        if (
-            new_results
-            and self.reporters
-            and now_ms - self._last_event_time_ms >= interval_ms
-        ):
-            import json
+        self._report_if_necessary(now_ms, {r["query_id"] for r in new_results})
+        return new_results
 
-            info = json.dumps(
-                {"results": [
-                    {k: v for k, v in r.items()} for r in new_results
-                ]},
-                default=str,
+    # -- U3: analysis failure -> ERROR result + retry accounting -------
+    def _on_analysis_error(self, now_ms: int) -> None:
+        """Timeout/error path (``analyzer/StreamingQueryAnalyzer.scala:84-98``
+        + ``QueryInsightsManager.scala:180-192``): render an ERROR(-1) result
+        for each query's latest batch -- batch running time is computable
+        without analysis, critical time is 0 -- log it, consume the A3
+        interval, and count the retry (at maxRetries: self-shutdown).  Like
+        the reference, ERROR rows are NOT enqueued in the results buffer
+        (the throw at ``QueryInsightsManager.scala:186-188`` precedes the
+        enqueue), so they never join the A13 discounted average here; the
+        quirk's (0,1) bucket gap stays pinned by the batch-mode oracle."""
+        latest: dict[str, tuple] = {}
+        for r in self.capture.snapshot():
+            if r[0] not in latest or r[3] >= latest[r[0]][3]:
+                latest[r[0]] = r
+        err_rows = []
+        for qid, r in latest.items():
+            nir, rps = r[5], r[6]
+            brt = int((nir / rps) * 1000) if (nir and rps) else 0
+            err_rows.append(
+                {
+                    "query_id": qid,
+                    "batch_id": r[3],
+                    "analysis_ms": 0,
+                    "sla_ms": self.config.expected_micro_batch_sla_millis,
+                    "batch_running_ms": brt,
+                    "critical_ms": 0,
+                    "state_id": -1,
+                    "state": "ERROR",
+                }
             )
-            for rep in self.reporters:
+        self.last_error_results = err_rows
+        if self.config.should_log_results:
+            for r in err_rows:
+                logger.warning(_insight_block(r))
+        self._last_analyzed_time_ms = now_ms  # QueryInsightsManager.scala:182
+        self.retries += 1  # U2
+        if self.retries >= self.config.max_retries:
+            self.stop()
+
+    # -- U1: reporters -------------------------------------------------
+    def _reporting_state(self, qid: str, now_ms: int) -> _ReportingState:
+        st = self._reporting.get(qid)
+        if st is not None:
+            return st
+        reps = list(self.reporters)
+        if self.config.enable_reporting and self.config.reporter_class_name:
+            # class-name loading, one instance per query like the reference's
+            # per-query helper (StreamingLensReportingHelper.scala:48-64);
+            # init failure is fail-open (QueryInsightsManager.scala:120-133)
+            try:
+                from .reporters import load_reporter
+
+                reps.append(
+                    load_reporter(
+                        self.config.reporter_class_name,
+                        self.config.reporting_options,
+                        qid,
+                    )
+                )
+            except Exception as e:
+                logger.warning("Error in registering StreamingLens Events Reporter. %s", e)
+        st = _ReportingState(reps, self._init_time_ms)
+        self._reporting[qid] = st
+        info = json.dumps(
+            {"queryId": qid, "eventTimeMillis": now_ms}, separators=(",", ":")
+        )
+        for rep in reps:
+            try:
+                send = getattr(rep, "send_started_event", None)
+                if send:
+                    send(info)
+            except Exception:
+                pass  # fail-open (sendEvent catch)
+        return st
+
+    def _report_if_necessary(self, now_ms: int, query_ids: set[str]) -> None:
+        """A16-gated aggregated-state insights event per query
+        (``helper/StreamingLensReportingHelper.scala:66-101``): discounted
+        A13 fold over buffered results newer than lastReportedBatch, A14
+        bucket text, JSON with an incrementing eventId.  The (0,1) bucket
+        gap emits no event and advances nothing (the reference's swallowed
+        MatchError)."""
+        interval_ms = self.config.reporting_interval_minutes * 60_000
+        due = [
+            qid
+            for qid in sorted(query_ids)
+            if (st := self._reporting_state(qid, now_ms))
+            and now_ms - st.last_event_time_ms >= interval_ms
+            and st.reporters
+        ]
+        if not due:
+            return
+        from ..operators.reporting import latest_sources, state_buckets
+
+        progress = self.progress_df()
+        meta = {r["query_id"]: r for r in latest_sources(progress).collect()}
+        from pyspark.sql import functions as F
+
+        for qid in due:
+            st = self._reporting[qid]
+            # ALL buffered rows for the query: the lastReportedBatch cutoff
+            # applies inside the discounted fold only, while buffer
+            # membership drives the 0.0 -> "NO NEW BATCHES" fallback
+            # (StreamingLensReportingHelper.scala:180-197)
+            rows = [r for r in self.results if r["query_id"] == qid]
+            results_df = self.spark.createDataFrame(
+                rows or [],
+                "query_id string, batch_id bigint, analysis_ms bigint, sla_ms bigint,"
+                " batch_running_ms bigint, critical_ms bigint, state_id int, state string",
+            )
+            bucket = (
+                state_buckets(results_df, progress, st.last_reported_batch)
+                .filter(F.col("query_id") == qid)
+                .collect()
+            )
+            if not bucket:
+                continue  # (0,1) bucket gap: no event, no advance
+            b = bucket[0]
+            m = meta.get(qid)
+            info = json.dumps(
+                {
+                    "eventId": st.event_id,
+                    "name": m["query_name"] if m else None,
+                    "runId": m["run_id"] if m else None,
+                    "eventTimeMillis": now_ms,
+                    "state": b["state"],
+                    "displayText": b["recommendation"],
+                },
+                separators=(",", ":"),
+            )
+            for rep in st.reporters:
                 try:
                     rep.send_insights_event(info)
                 except Exception:
                     pass  # fail-open like the reference (sendEvent catch)
-            self._last_event_time_ms = now_ms
-        return new_results
+            st.event_id += 1
+            st.last_event_time_ms = now_ms
+            buffered = [r["batch_id"] for r in self.results if r["query_id"] == qid]
+            if buffered:
+                st.last_reported_batch = max(buffered)
+
+    def stop(self) -> None:
+        """Self-shutdown (U2) / user stop: emit terminated events once and
+        go quiet (``QueryInsightsManager.scala:251-268``)."""
+        if self.stopped:
+            return
+        self.stopped = True
+        now_ms = int(self.clock() * 1000)
+        for qid, st in self._reporting.items():
+            info = json.dumps(
+                {"queryId": qid, "eventTimeMillis": now_ms}, separators=(",", ":")
+            )
+            for rep in st.reporters:
+                try:
+                    send = getattr(rep, "send_terminated_event", None)
+                    if send:
+                        send(info)
+                except Exception:
+                    pass
 
 
 def foreach_batch_monitor(analyzer: LiveAnalyzer, user_fn=None):

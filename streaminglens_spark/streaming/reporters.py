@@ -1,0 +1,98 @@
+"""Pluggable event reporters (U1).
+
+Reference surface: a reporter class is reflection-loaded from
+``streamingLens.reporter.className`` and constructed with the
+``streamingLens.reporter.*`` options bag plus the query id
+(``helper/StreamingLensReportingHelper.scala:48-64``); it receives
+started / insights / terminated events
+(``reporter/StreamingLensEventsReporterInterface.scala:20-28``; the
+reference defines all three, though its own code paths only emit insights
+events -- the engine emits all three).
+
+Python mapping: ``Class.forName`` becomes importlib dotted-path loading;
+bare names resolve against this module's built-ins (the reference's default
+``className`` is likewise a bare built-in name).
+"""
+
+from __future__ import annotations
+
+import importlib
+
+EVENT_METHODS = ("send_started_event", "send_insights_event", "send_terminated_event")
+
+
+class StreamingLensEventsReporterInterface:
+    """Engine mirror of the reference reporter trait
+    (``reporter/StreamingLensEventsReporterInterface.scala:20-28``): three
+    no-op event hooks; subclasses override what they need.  Constructed with
+    the reporting-options bag (including ``queryId``)."""
+
+    def __init__(self, options: dict[str, str] | None = None):
+        self.options = dict(options or {})
+
+    def send_started_event(self, info: str) -> None:  # noqa: D102
+        pass
+
+    def send_insights_event(self, info: str) -> None:  # noqa: D102
+        pass
+
+    def send_terminated_event(self, info: str) -> None:  # noqa: D102
+        pass
+
+
+class JsonFileReporter(StreamingLensEventsReporterInterface):
+    """Built-in default (the engine's counterpart of the reference's default
+    ``reporter.className``): append one JSON line per event to
+    ``streamingLens.reporter.path`` (default ``streaminglens_events.jsonl``)."""
+
+    def __init__(self, options: dict[str, str] | None = None):
+        super().__init__(options)
+        self.path = self.options.get(
+            "streaminglens.reporter.path", "streaminglens_events.jsonl"
+        )
+
+    def _append(self, kind: str, info: str) -> None:
+        import json
+
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(json.dumps({"event": kind, "info": info}) + "\n")
+
+    def send_started_event(self, info: str) -> None:
+        self._append("started", info)
+
+    def send_insights_event(self, info: str) -> None:
+        self._append("insights", info)
+
+    def send_terminated_event(self, info: str) -> None:
+        self._append("terminated", info)
+
+
+def load_reporter(class_name: str, options: dict[str, str], query_id: str):
+    """Instantiate a reporter by class name (the engine's ``Class.forName``,
+    ``helper/StreamingLensReportingHelper.scala:48-64``): dotted import path,
+    or a bare name resolved against the built-ins above.  The class must
+    subclass the interface or duck-type at least one event method; it is
+    constructed with ``reportingOptions + {"queryId": query_id}``.  Raises on
+    any failure (the caller decides whether to fail open, mirroring
+    ``QueryInsightsManager.scala:120-133``)."""
+    module_path, _, cls_name = class_name.rpartition(".")
+    if module_path:
+        cls = getattr(importlib.import_module(module_path), cls_name)
+    else:
+        cls = globals().get(cls_name)
+        if cls is None:
+            raise ImportError(
+                f"Unable to initialize {class_name}: not a built-in reporter and "
+                "not a dotted import path"
+            )
+    is_iface = isinstance(cls, type) and issubclass(
+        cls, StreamingLensEventsReporterInterface
+    )
+    has_hook = any(callable(getattr(cls, m, None)) for m in EVENT_METHODS)
+    if not (is_iface or has_hook):
+        raise TypeError(
+            f"Unable to initialize {class_name}: reporter must subclass "
+            "StreamingLensEventsReporterInterface or define one of "
+            f"{EVENT_METHODS}"
+        )
+    return cls({**options, "queryId": str(query_id)})

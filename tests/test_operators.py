@@ -53,6 +53,24 @@ def test_islanding_touching_spans_stay(spark):
     assert got[0][1] == 0 and got[1][1] == 0
 
 
+def test_islanding_start_time_tie_pinned(spark):
+    """Exact start-time ties: the reference's ``sortWith(a.start < b.start)``
+    is a stable sort over nondeterministic map-iteration order; the engine
+    pins ``(start_ms, job_id)`` (SURVEY §4.1, ``analysis.py:90-93``).  With
+    j2 and j5 both starting at 0, pinned order is j2 (end 2000) then j5
+    (end 100), so j7 (start 500) splits against j5's end -- the opposite
+    tie order (j5 first, j2 last) would keep j7 in island 0."""
+    rows = [
+        ("q", 0, 5, 1, 0, 100),
+        ("q", 0, 2, 1, 0, 2000),
+        ("q", 0, 7, 1, 500, 900),
+    ]
+    got = _islands(spark, rows)
+    assert got[2][1] == 0
+    assert got[5][1] == 0  # tie: j5 follows j2, prev end 2000 > 0 -> no split
+    assert got[7][1] == 1  # prev is j5 (end 100) < 500 -> split
+
+
 def test_null_exec_id_is_singleton_group(spark):
     rows = [("q", 0, 0, 1, 0, 1000), ("q", 0, 1, None, 0, 1000)]
     df = spark.createDataFrame(rows, JOBS_SCHEMA)
@@ -148,6 +166,47 @@ def test_max_concurrency_tie_break(spark):
     )
     out = max_concurrency(be, bounds).collect()
     assert out[0]["max_concurrent"] == 2
+
+
+def test_embed_dedup_skew_guard_sub_blocks_dominant_label(spark):
+    """Skew guard: a label holding ~95% of the corpus is sub-blocked by LSH
+    bucket, bounding sum(block^2); identical vectors still pair up (same
+    bucket by construction) and the blocked result is a subset of the exact
+    within-label result."""
+    from streaminglens_spark.functions.similarity import embed_dedup_pairs, lsh_bucket
+
+    dims = 8
+    rows = []
+    # dominant label: 190 one-hot vectors over 8 directions -> same-direction
+    # pairs have cosine 1.0 and identical LSH buckets
+    for i in range(190):
+        v = [0.0] * dims
+        v[i % dims] = 1.0 + (i // dims) * 0.001  # same direction, distinct ids
+        rows.append((i, "big", v))
+    for i in range(190, 200):
+        v = [0.0] * dims
+        v[i % dims] = 1.0
+        rows.append((i, "small", v))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+
+    blocked = embed_dedup_pairs(emb, threshold=0.99, max_block=50).collect()
+    exact = embed_dedup_pairs(emb, threshold=0.99, max_block=10**9).collect()
+    b_pairs = {(r["vec_a"], r["vec_b"]) for r in blocked}
+    e_pairs = {(r["vec_a"], r["vec_b"]) for r in exact}
+    assert b_pairs, "skew-guarded dedup found no pairs"
+    assert b_pairs <= e_pairs  # only same-sub-bucket pairs survive
+    # same-direction (cosine 1.0) pairs share a bucket -> recall preserved
+    same_dir = {(a, b) for (a, b) in e_pairs if a % dims == b % dims}
+    assert same_dir <= b_pairs
+    # the dominant label really was split into multiple sub-blocks
+    from pyspark.sql import functions as F
+
+    big = emb.filter(F.col("label") == "big").select(
+        lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    assert big.select("bucket").distinct().count() > 1
 
 
 def test_open_executor_span_corrected_to_batch_end(spark):
