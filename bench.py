@@ -46,8 +46,17 @@ def main() -> None:
     spark = get_spark("streaminglens-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch the fixture scan + a tiny job so JVM startup is excluded
+    # warmup: touch the fixture scan + a tiny job so JVM startup is excluded,
+    # and run a trivial pandas UDF so the Python worker pool (one proc per
+    # core, spawned on first use) is charged to startup, not to whichever
+    # query happens to hit Arrow first
     registry.queries()["q_batch_bounds"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    def _wu(batches):
+        yield from batches
+
+    spark.range(100_000).mapInPandas(_wu, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -482,6 +482,28 @@ class LiveAnalyzer:
             if buffered:
                 st.last_reported_batch = max(buffered)
 
+    def gauges(self) -> dict[str, dict[str, int]]:
+        """A20 -- live latest-result gauges, keyed like the reference's
+        Dropwizard source name ``spark.streaming.<queryName ?? queryId>``
+        (``metrics/StreamingLensMetricsReporter.scala:35,41-70``): the newest
+        buffered result's five metrics per query, as a plain dict any
+        metrics system (StatsD, Prometheus client, Spark custom source) can
+        publish verbatim.  Batch-mode equivalent: ``reporting.last_gauges``."""
+        from ..operators.reporting import GAUGES
+
+        names: dict[str, str | None] = {}
+        for r in self.capture.snapshot():
+            names[r[0]] = r[1]  # latest progress row wins, like the reference
+        last: dict[str, dict] = {}
+        for r in sorted(self.results, key=lambda x: (x["query_id"], x["batch_id"])):
+            last[r["query_id"]] = r
+        return {
+            "spark.streaming." + (names.get(qid) or qid): {
+                gauge: int(r[col]) for gauge, col in GAUGES
+            }
+            for qid, r in last.items()
+        }
+
     def stop(self) -> None:
         """Self-shutdown (U2) / user stop: emit terminated events once and
         go quiet (``QueryInsightsManager.scala:251-268``)."""

@@ -160,6 +160,29 @@ def test_timeout_retries_until_self_shutdown(spark):
     assert rep_events and rep_events[-1][0] == "terminated"
 
 
+def test_live_gauges_latest_result(spark):
+    """A20 live accessor: gauges read the newest buffered result per query,
+    named spark.streaming.<queryName ?? queryId>."""
+    cap = ProgressCapture()
+    cap.rows = [
+        _fake_progress("q1", 0, 1_700_000_000_000),
+        _fake_progress("q1", 1, 1_700_000_060_000),
+    ]
+    clock = _Clock()
+    a = LiveAnalyzer(spark, cap, config=_cfg(), clock=clock)
+    clock.advance(3600)
+    a.tick()
+    g = a.gauges()
+    assert set(g) == {"spark.streaming.q1"}  # unnamed query -> id
+    vals = g["spark.streaming.q1"]
+    assert vals["batchRunningTimeMillis"] == 2000  # newest batch (1)
+    assert vals["expectedMicroBatchSLAMillis"] == 120000
+    assert set(vals) == {
+        "expectedMicroBatchSLAMillis", "batchRunningTimeMillis",
+        "criticalTimeMillis", "streamingQueryState", "analysisTimeMillis",
+    }
+
+
 def test_api_attach_live_smoke(spark):
     """U4: StreamingLens(spark).attach_live() wires both listeners (progress
     + scheduler bridge) out of the box; stop() detaches and goes quiet."""
