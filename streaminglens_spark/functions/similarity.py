@@ -125,6 +125,80 @@ def lsh_bucket(v: F.Column) -> F.Column:
     return bucket.cast("long")
 
 
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """Coarse-quantizer centroids, one per ``label`` (the fixture's natural
+    clusters; a production IVF fits them with k-means -- the list-building
+    and probing below are identical either way).  Per-dimension means are
+    computed over integer-quantized values (``round(x*1e6)`` summed as
+    BIGINT) so the centroid is EXACT and order-independent -- the same trick
+    as ``q_label_centroids`` -- making the whole IVF pipeline
+    oracle-hash-checkable.  Returns (cell, cv array<double>, cnrm)."""
+    dims = embeddings.select(
+        "label", F.posexplode(_as_double("embedding")).alias("dim", "x")
+    ).withColumn("q", F.round(F.col("x") * 1_000_000).cast("long"))
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum("q") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("p"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("p", lambda s: s["c"]).alias("cv"),
+        )
+        .withColumn("cnrm", _norm(F.col("cv")))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k -- the second scale path next
+    to ``ann_lsh_topk``: corpus vectors are assigned to their nearest coarse
+    centroid (one inverted list per cell); each query probes its ``nprobe``
+    nearest cells and searches only those lists.
+
+    Scale shape: centroids are tiny and broadcast, so assignment is a
+    map-only pass over the corpus (no shuffle); the candidate join shuffles
+    by cell -- the corpus scan shrinks by ~n_cells/nprobe.  Returns
+    (query_vec_id, neighbor_id, cosine), a subset of the exact result."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    cents = ivf_centroids(embeddings)
+    scored = F.broadcast(cents).crossJoin(emb).withColumn(
+        "cscore", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cell"))
+    ranked = scored.withColumn("_crn", F.row_number().over(w))
+    assign = ranked.filter(F.col("_crn") == 1).select("cell", "vec_id", "v", "nrm")
+    probes = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("_crn") <= nprobe))
+        .select(
+            "cell",
+            F.col("vec_id").alias("query_vec_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn("cos_exact", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    wk = Window.partitionBy("query_vec_id").orderBy(F.col("cos_exact").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_exact", 6).alias("cosine"),
+        )
+    )
+
+
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Returns (query_vec_id, neighbor_id, cosine) -- a subset of the exact
