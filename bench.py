@@ -60,16 +60,25 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min of 2 runs per query: single-box run-to-run noise is ±15% (PERF.md);
+    # the min is the reproducible cost of the plan, not a lucky cache hit --
+    # nothing is persisted across runs and the noop sink recomputes fully
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = registry.queries()[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(2):
+            # queries that persist internally (minhash base signatures) must
+            # not serve run 2 from run 1's cache: CacheManager matches
+            # canonicalized plans across separately-built DataFrames
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(
