@@ -99,6 +99,50 @@ def test_reporter_by_class_name_full_lifecycle(spark):
     assert "OVERPROVISIONED" in payload["displayText"]
 
 
+def test_json_file_reporter_writes_event_lines(spark, tmp_path):
+    """The built-in default reporter (bare-name resolution, like the
+    reference's default className) appends one JSON line per event."""
+    path = str(tmp_path / "events.jsonl")
+    cap = ProgressCapture()
+    cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]
+    clock = _Clock()
+    a = LiveAnalyzer(
+        spark,
+        cap,
+        config=_cfg(
+            {
+                "streamingLens.reporter.enabled": "true",
+                "streamingLens.reporter.className": "JsonFileReporter",
+                "streamingLens.reporter.path": path,
+            }
+        ),
+        clock=clock,
+    )
+    clock.advance(3600)
+    assert a.tick()
+    a.stop()
+    with open(path) as f:
+        events = [json.loads(line) for line in f]
+    assert [e["event"] for e in events] == ["started", "insights", "terminated"]
+    assert "OVERPROVISIONED" in events[1]["info"]
+
+
+def test_should_log_results_emits_insight_blocks(spark, caplog):
+    """A24 in live mode: shouldLogResults (default true) logs the boxed
+    insight block -- 'Inisights' typo and all -- per analyzed batch."""
+    import logging
+
+    cap = ProgressCapture()
+    cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]
+    clock = _Clock()
+    a = LiveAnalyzer(spark, cap, config=_cfg(), clock=clock)
+    clock.advance(3600)
+    with caplog.at_level(logging.INFO, logger="streaminglens_spark"):
+        assert a.tick()
+    assert any("StreamingLens Inisights" in m for m in caplog.messages)
+    assert any("Streaming Query State: OVERPROVISIONED" in m for m in caplog.messages)
+
+
 def test_forced_timeout_emits_error_result(spark):
     """U3: an analysis that overruns maxAnalysisTimeSeconds yields the
     ERROR(-1) result row (batch running time kept, critical 0), consumes the
