@@ -238,6 +238,43 @@ def _jaccard_udf():
     return jac
 
 
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: the 32-bit signatures are
+    split into 4 byte-bands; docs sharing ANY band become candidates
+    (pigeonhole: <= 3 differing bits cannot touch all 4 bands, so the
+    blocking is EXACT for ``max_hamming <= 3`` -- every qualifying pair is
+    found, no all-pairs stage); candidates are verified with
+    ``bit_count(xor)`` on the JVM.  Returns (doc_a, doc_b, hamming)."""
+    sigs = simhash(dup_corpus(documents))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("val"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sigs.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    left = bands.select(
+        "band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    right = bands.select(
+        "band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("sig_a").bitwiseXOR(F.col("sig_b")).alias("x"))
+        .distinct()
+        .withColumn("hamming", F.bit_count("x").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, max_doc_id: int = 40, threshold: float = 0.01
 ) -> DataFrame:
