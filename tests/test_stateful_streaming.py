@@ -11,6 +11,66 @@ from streaminglens_spark.operators.reporting import discounted_state
 from streaminglens_spark.streaming.stateful import discounted_health_stream
 
 
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """Fault tolerance: the keyed ring-buffer state checkpoints and is
+    recovered by a NEW query instance -- n_seen keeps counting and the fold
+    covers rows from before the restart."""
+    import json as _json
+    import os
+
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def write_file(name, rows):
+        p = os.path.join(src_dir, name)
+        with open(p + ".tmp", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.rename(p + ".tmp", p)
+
+    outputs: list[tuple] = []
+
+    def start():
+        stream = (
+            spark.readStream.schema("query_id string, batch_id long, state_id int")
+            .json(src_dir)
+        )
+        return (
+            discounted_health_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: outputs.extend(
+                    (r["query_id"], r["aggregated_state"], r["n_seen"])
+                    for r in df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_file("f1.json", [
+        {"query_id": "qA", "batch_id": 0, "state_id": 2},
+        {"query_id": "qA", "batch_id": 1, "state_id": 3},
+    ])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    first = [o for o in outputs if o[0] == "qA"]
+    assert first and first[-1][2] == 2  # n_seen after phase 1
+
+    write_file("f2.json", [{"query_id": "qA", "batch_id": 2, "state_id": 1}])
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    final = [o for o in outputs if o[0] == "qA"][-1]
+    assert final[2] == 3, "state (n_seen) not recovered across restart"
+    # fold over ALL three rows (2,3,1 oldest->newest), d=0.95:
+    from streaminglens_spark.streaming.stateful import _fold
+
+    assert final[1] == _fold([0, 1, 2], [2, 3, 1], 0.95)
+
+
 def test_stateful_stream_matches_batch_fold(spark):
     """A real micro-batch stream through applyInPandasWithState: the final
     update per query equals the batch discounted_state over exactly the rows
