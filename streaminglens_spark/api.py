@@ -103,14 +103,22 @@ class StreamingLens:
         for job/stage/task telemetry (S1-S11) so critical-path analysis is
         real out of the box.  Call ``analyzer.tick()`` per trigger or wrap a
         sink with ``foreach_batch_monitor``."""
-        from .streaming.live import LiveAnalyzer, attach
+        from .streaming.live import LiveAnalyzer, attach, detach
 
+        if self._live is not None:
+            raise RuntimeError("live mode already attached; call stop() first")
         cap = attach(self.spark)
         sched = None
         if with_scheduler:
             from .streaming.scheduler import attach_scheduler
 
-            sched = attach_scheduler(self.spark)
+            try:
+                sched = attach_scheduler(self.spark)
+            except Exception:
+                # no callback server (e.g. Spark Connect): don't leak the
+                # progress listener we just registered
+                detach(self.spark, cap)
+                raise
         self._live = LiveAnalyzer(
             self.spark,
             cap,

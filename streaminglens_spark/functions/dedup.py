@@ -140,7 +140,18 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
        shuffle only carries the uncertain minority.
 
     Pairs in between pay the exact Jaccard on shingle-hash sets, filtered to
-    >= threshold.  Returns (doc_a, doc_b, jaccard)."""
+    >= threshold.  Returns (doc_a, doc_b, jaccard).
+
+    SEMANTICS NOTE -- this staging is an approximation, not a pure
+    optimization: (a) a pair whose exact Jaccard clears the threshold can be
+    dropped when its signature estimate falls below it (for J ~= threshold
+    the 16-position estimate has sd ~= 0.125, so borderline pairs lose
+    recall -- the same tradeoff as Spark MinHashLSH's
+    ``approxSimilarityJoin``, which joins on the estimate alone); (b) a
+    signature-certain pair reports jaccard 1.0 even if the texts differ.
+    Both rules are part of the operator's contract and are reproduced
+    verbatim in the DuckDB oracle (r2; r1 verified exactly on all band
+    candidates)."""
     # hash each distinct text once; the +100000 corpus copies share their
     # original's signature (at scale: hash distinct content, join back)
     # small parquet inputs arrive as 1-2 partitions: spread the (CPU-bound)

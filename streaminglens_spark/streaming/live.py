@@ -37,7 +37,6 @@ without either, critical time degrades gracefully to the batch running time
 
 from __future__ import annotations
 
-import concurrent.futures
 import json
 import logging
 import threading
@@ -226,31 +225,20 @@ class LiveAnalyzer:
         telemetry = self.telemetry_provider(progress) if self.telemetry_provider else None
         if telemetry is None:
             # progress-only degradation: no job spans -> walltime 0, cp 0
-            empty_jobs = self.spark.createDataFrame(
-                [],
-                "query_id string, batch_id bigint, job_id bigint, sql_exec_id bigint,"
-                " start_ms bigint, end_ms bigint, description string",
+            # (single source of truth for the table schemas: scheduler.py)
+            from .scheduler import (
+                EXECUTORS_SCHEMA,
+                JOBS_SCHEMA,
+                STAGES_SCHEMA,
+                TASKS_SCHEMA,
             )
-            empty_stages = self.spark.createDataFrame(
-                [],
-                "stage_id bigint, job_id bigint, parent_ids array<bigint>,"
-                " num_tasks bigint, start_ms bigint, end_ms bigint",
-            )
-            empty_tasks = self.spark.createDataFrame(
-                [],
-                "task_id bigint, stage_id bigint, job_id bigint, executor_id string,"
-                " launch_ms bigint, finish_ms bigint, duration_ms bigint, failed boolean",
-            )
-            empty_execs = self.spark.createDataFrame(
-                [], "executor_id string, host string, cores bigint, start_ms bigint,"
-                " end_ms bigint"
-            )
+
             telemetry = Telemetry(
                 progress=progress,
-                jobs=empty_jobs,
-                stages=empty_stages,
-                tasks=empty_tasks,
-                executors=empty_execs,
+                jobs=self.spark.createDataFrame([], JOBS_SCHEMA),
+                stages=self.spark.createDataFrame([], STAGES_SCHEMA),
+                tasks=self.spark.createDataFrame([], TASKS_SCHEMA),
+                executors=self.spark.createDataFrame([], EXECUTORS_SCHEMA),
                 sla_config=self.spark.createDataFrame(
                     [], "query_key string, sla_ms bigint"
                 ),
@@ -283,14 +271,42 @@ class LiveAnalyzer:
         if now_ms - self._last_analyzed_time_ms < self.config.analysis_interval_minutes * 60_000:
             return []
         try:
-            # U3 -- timeout-bounded analysis.  No context manager: its
-            # __exit__ would join the worker and block past the timeout.
-            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-            try:
-                fut = pool.submit(self._analyze_once)
-                new_results = fut.result(timeout=self.config.max_analysis_time_seconds)
-            finally:
-                pool.shutdown(wait=False, cancel_futures=True)
+            # U3 -- timeout-bounded analysis on a DAEMON thread (a
+            # ThreadPoolExecutor worker is non-daemon and joined at
+            # interpreter exit: one permanently-stuck collect would pile up
+            # leaked threads and block process shutdown).  On timeout the
+            # in-flight Spark jobs are cancelled by job group, so the worker
+            # actually dies instead of running the collect forever.
+            group = f"streaminglens-tick-{now_ms}"
+            box: dict = {}
+            done = threading.Event()
+
+            def _work() -> None:
+                try:
+                    try:
+                        self.spark.sparkContext.setJobGroup(
+                            group, "streaminglens analysis", interruptOnCancel=True
+                        )
+                    except Exception:
+                        pass  # job-group tagging is best-effort
+                    box["value"] = self._analyze_once()
+                except BaseException as ex:  # noqa: BLE001 -- surfaced below
+                    box["error"] = ex
+                finally:
+                    done.set()
+
+            threading.Thread(
+                target=_work, daemon=True, name="streaminglens-analysis"
+            ).start()
+            if not done.wait(timeout=self.config.max_analysis_time_seconds):
+                try:
+                    self.spark.sparkContext.cancelJobGroup(group)
+                except Exception:
+                    pass
+                raise TimeoutError("analysis exceeded maxAnalysisTimeSeconds")
+            if "error" in box:
+                raise box["error"]
+            new_results = box["value"]
             self.retries = 0  # reset on success (U2)
             if new_results is None:
                 # no-op tick (no progress captured / nothing newly gated in):
@@ -422,7 +438,12 @@ class LiveAnalyzer:
         A13 fold over buffered results newer than lastReportedBatch, A14
         bucket text, JSON with an incrementing eventId.  The (0,1) bucket
         gap emits no event and advances nothing (the reference's swallowed
-        MatchError)."""
+        MatchError).
+
+        Cost note: one tiny state_buckets job per due query.  Bounded by the
+        A16 gate (default: one event per query per HOUR), so this is not on
+        the per-trigger hot path; batching all due queries into one pass
+        would need a per-query cutoff join for marginal gain."""
         interval_ms = self.config.reporting_interval_minutes * 60_000
         due = [
             qid

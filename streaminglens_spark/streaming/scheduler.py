@@ -303,30 +303,19 @@ class SchedulerCapture:
 
 
 def _ensure_callback_server(spark: SparkSession) -> None:
-    """Start the py4j callback server (JVM -> Python calls) once per gateway,
-    wiring the JVM's CallbackClient to the real ephemeral port -- the same
-    bootstrap the old PySpark DStream API used."""
+    """Start the py4j callback server (JVM -> Python calls) once per gateway.
+    PySpark ships the blessed bootstrap (``ensure_callback_server_started``,
+    the one ``spark.streams.addListener`` uses); prefer it so we never poke
+    py4j internals ourselves."""
     sc = spark.sparkContext
     gw = getattr(sc, "_gateway", None)
     if gw is None:
         raise RuntimeError(
             "scheduler capture needs the classic py4j gateway (not Spark Connect)"
         )
-    if gw.__dict__.get("_callback_server") is not None:
-        return
-    from py4j.java_gateway import CallbackServerParameters, JavaObject
+    from pyspark.java_gateway import ensure_callback_server_started
 
-    params = gw.callback_server_parameters or CallbackServerParameters()
-    params.eager_load = True
-    params.daemonize = True
-    params.daemonize_connections = True
-    params.port = 0  # ephemeral
-    gw.start_callback_server(params)
-    port = gw._callback_server.server_socket.getsockname()[1]
-    gw._callback_server.port = port
-    gw._python_proxy_port = port
-    jgws = JavaObject("GATEWAY_SERVER", gw._gateway_client)
-    jgws.resetCallbackClient(jgws.getCallbackClient().getAddress(), port)
+    ensure_callback_server_started(gw)
 
 
 def attach_scheduler(spark: SparkSession) -> SchedulerCapture:

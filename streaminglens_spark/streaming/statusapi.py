@@ -24,12 +24,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from .scheduler import parse_batch_description
-
-JOBS_SCHEMA = (
-    "query_id string, batch_id bigint, job_id bigint, sql_exec_id bigint,"
-    " start_ms bigint, end_ms bigint, description string"
-)
+from .scheduler import JOBS_SCHEMA, parse_batch_description  # noqa: F401
 
 
 def _iso_api_ms(ts: str | None) -> int | None:
@@ -53,7 +48,10 @@ def rows_from_api(
     cluster.  Only jobs with a parseable streaming batch description and a
     completion time are kept, mirroring the listener bridge."""
     jobs, stage_job = [], {}
-    for j in jobs_raw:
+    # the REST /jobs endpoint returns newest-first; iterate oldest-first so
+    # the stage->job setdefault matches the listener bridge's chronological
+    # first-wins for stages shared across jobs (S2)
+    for j in sorted(jobs_raw, key=lambda j: j.get("jobId", 0)):
         parsed = parse_batch_description(j.get("description"))
         end = _iso_api_ms(j.get("completionTime"))
         if parsed is None or end is None:
@@ -103,9 +101,15 @@ def rows_from_api(
 
 class StatusApiPoller:
     """Poll the monitoring REST API for the telemetry tables.  Task lists
-    are fetched once per newly-completed stage (bounded per poll)."""
+    are fetched once per newly-completed stage, and the cache keeps only the
+    newest ``max_cached_stages`` stages (control-plane state must stay
+    bounded for app-lifetime polling, like the listener bridge's A18
+    purge)."""
 
-    def __init__(self, spark, base_url: str | None = None):
+    def __init__(
+        self, spark, base_url: str | None = None, max_cached_stages: int = 500
+    ):
+        self.max_cached_stages = max_cached_stages
         sc = spark.sparkContext
         self.base = base_url or sc.uiWebUrl
         if not self.base:
@@ -138,6 +142,9 @@ class StatusApiPoller:
                     )
                 except Exception:
                     self._task_cache[sid] = []
+        if len(self._task_cache) > self.max_cached_stages:
+            for sid in sorted(self._task_cache)[: -self.max_cached_stages]:
+                del self._task_cache[sid]
         return rows_from_api(jobs_raw, stages_raw, execs_raw, self._task_cache)
 
 
