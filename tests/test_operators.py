@@ -168,6 +168,96 @@ def test_max_concurrency_tie_break(spark):
     assert out[0]["max_concurrent"] == 2
 
 
+def test_islands_random_fixtures_match_reference_model(spark):
+    """Model-based check on 200 random batches: the DataFrame islanding
+    equals a direct Python transcription of the reference algorithm
+    (sort by start with (start, job_id) tie pin; split when the PREVIOUS
+    job's end < current start, strict; JobOverlapHelper.scala:83-106)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for batch in range(200):
+        n = rng.randint(1, 8)
+        for j in range(n):
+            start = rng.randint(0, 50) * 100  # coarse grid -> frequent ties
+            end = start + rng.randint(0, 30) * 100
+            rows.append(("q", batch, batch * 100 + j, 1, start, end))
+
+    def model(jobs):  # the reference's sublist builder
+        out = {}
+        ordered = sorted(jobs, key=lambda r: (r[4], r[2]))
+        island = 0
+        for i, r in enumerate(ordered):
+            if i > 0 and ordered[i - 1][5] < r[4]:  # prev END (lag), strict <
+                island += 1
+            out[r[2]] = island
+        return out
+
+    df = spark.createDataFrame(rows, JOBS_SCHEMA)
+    got_rows = islands(exec_groups(df)).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["batch_id"], {})[r["job_id"]] = r["island_id"]
+
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r[1], []).append(r)
+    for batch, jobs in by_batch.items():
+        assert got[batch] == model(jobs), f"batch {batch}"
+
+
+def test_max_concurrency_random_fixtures_match_reference_model(spark):
+    """Model-based check on 150 random batches: the windowed sweep equals a
+    direct transcription of the reference (events sorted by time with +1
+    before -1 on ties, open ends corrected to batch end, floor 1;
+    MicroBatchContext.scala:35-78)."""
+    import random
+
+    rng = random.Random(7)
+    exec_rows, bound_rows, expected = [], [], {}
+    for batch in range(150):
+        n = rng.randint(0, 6)
+        batch_end = 10_000
+        spans = []
+        for i in range(n):
+            s = rng.randint(0, 40) * 100
+            e = None if rng.random() < 0.3 else s + rng.randint(0, 40) * 100
+            spans.append((s, e))
+            exec_rows.append(
+                ("q", batch, f"e{i}", "h", 2, s, e)
+            )
+        bound_rows.append(("q", batch, True, 0, batch_end, batch_end))
+        events = []
+        for s, e in spans:
+            events.append((s, 1))
+            events.append((e if e is not None else batch_end, -1))
+        events.sort(key=lambda t: (t[0], -t[1]))  # +1 before -1 on ties
+        run = best = 0
+        for _, d in events:
+            run += d
+            best = max(best, run)
+        expected[batch] = max(best, 1)
+
+    be = spark.createDataFrame(
+        exec_rows,
+        "query_id string, batch_id bigint, executor_id string, host string,"
+        " cores bigint, start_ms bigint, end_ms bigint",
+    )
+    bounds = spark.createDataFrame(
+        bound_rows,
+        "query_id string, batch_id bigint, valid boolean, start_ms bigint,"
+        " end_ms bigint, batch_running_ms bigint",
+    )
+    got = {
+        r["batch_id"]: r["max_concurrent"]
+        for r in max_concurrency(be, bounds).collect()
+    }
+    for batch, want in expected.items():
+        # batches with no executors produce no row; the pipeline's floor is 1
+        assert got.get(batch, 1) == want, f"batch {batch}"
+
+
 def test_embed_dedup_skew_guard_sub_blocks_dominant_label(spark):
     """Skew guard: a label holding ~95% of the corpus is sub-blocked by LSH
     bucket, bounding sum(block^2); identical vectors still pair up (same
