@@ -69,6 +69,84 @@ def test_tumbling_watermark_drops_late_data(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_exact_dedup_with_watermark(spark, tmp_path):
+    """Streaming counterpart of dedup_exact: dropDuplicates on the content
+    fingerprint with a watermark bounding state -- duplicates arriving in
+    LATER micro-batches are suppressed; a duplicate older than the
+    watermark is dropped as late data (state for it was already evicted)."""
+    src_dir = str(tmp_path / "docs")
+    os.makedirs(src_dir)
+
+    def write_file(name, rows):
+        p = os.path.join(src_dir, name)
+        with open(p + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(p + ".tmp", p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ms long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+        .withColumn("ets", F.timestamp_millis(F.col("ms")))
+        .withColumn("md5_fp", F.md5(F.col("text").cast("binary")))
+        .withWatermark("ets", "10 minutes")
+        .dropDuplicates(["md5_fp"])
+        .select("doc_id", "md5_fp")
+    )
+    write_file("f1.json", [
+        {"doc_id": 1, "text": "alpha", "ms": 10 * 60_000},
+        {"doc_id": 2, "text": "beta", "ms": 11 * 60_000},
+        {"doc_id": 3, "text": "alpha", "ms": 12 * 60_000},  # in-batch dup
+    ])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # cross-batch duplicate: suppressed by state
+        write_file("f2.json", [{"doc_id": 4, "text": "beta", "ms": 13 * 60_000}])
+        q.processAllAvailable()
+        rows = {r["doc_id"] for r in spark.sql("SELECT * FROM stream_dedup").collect()}
+        assert rows == {1, 2}, rows  # one row per distinct text, first wins
+    finally:
+        q.stop()
+
+
+def test_live_control_plane_stays_bounded_over_many_ticks(spark):
+    """A18/A19 live: across 30 ticks of a growing stream, the captured
+    progress rows and the results buffer stay bounded by the retention
+    configs -- control-plane memory cannot grow with stream lifetime."""
+    from streaminglens_spark.config import StreamingLensConfig
+    from streaminglens_spark.streaming.live import LiveAnalyzer, ProgressCapture
+    from tests.test_streaming import _Clock, _fake_progress
+
+    cap = ProgressCapture()
+    clock = _Clock()
+    a = LiveAnalyzer(
+        spark,
+        cap,
+        config=StreamingLensConfig({
+            "streamingLens.maxAnalysisTimeSeconds": "120",
+            "streamingLens.maxResultsRetention": "5",
+            "streamingLens.maxBatchesRetention": "4",
+        }),
+        clock=clock,
+    )
+    base = 1_700_000_000_000
+    for b in range(30):
+        cap.rows.append(_fake_progress("q1", b, base + b * 60_000))
+        clock.advance(301)
+        a.tick()
+    assert len(a.results) <= 5, "A19 ring buffer overflowed"
+    # A18: progress rows of purged batches evicted; only a bounded tail kept
+    assert len(cap.snapshot()) <= 2 * 4 + 1, f"purge left {len(cap.snapshot())} rows"
+    assert max(r[3] for r in cap.snapshot()) == 29  # newest retained
+
+
 def test_scheduler_bridge_two_concurrent_queries(spark):
     """Two streams at once: S4 parses each job to its own query, A4's range
     slice runs per (query, batch), and tick() yields results for BOTH
