@@ -1,0 +1,31 @@
+"""Live-mode surface: listeners, analyzer, reporters, telemetry providers,
+stateful streaming operators."""
+
+from .live import LiveAnalyzer, ProgressCapture, attach, detach, foreach_batch_monitor
+from .reporters import JsonFileReporter, StreamingLensEventsReporterInterface, load_reporter
+from .scheduler import (
+    SchedulerCapture,
+    attach_scheduler,
+    detach_scheduler,
+    scheduler_telemetry_provider,
+)
+from .stateful import discounted_health_stream
+from .statusapi import StatusApiPoller, status_api_telemetry_provider
+
+__all__ = [
+    "JsonFileReporter",
+    "LiveAnalyzer",
+    "ProgressCapture",
+    "SchedulerCapture",
+    "StatusApiPoller",
+    "StreamingLensEventsReporterInterface",
+    "attach",
+    "attach_scheduler",
+    "detach",
+    "detach_scheduler",
+    "discounted_health_stream",
+    "foreach_batch_monitor",
+    "load_reporter",
+    "scheduler_telemetry_provider",
+    "status_api_telemetry_provider",
+]
