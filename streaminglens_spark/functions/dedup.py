@@ -123,35 +123,41 @@ def minhash_signatures(shingled: DataFrame) -> DataFrame:
     return shingled.select("doc_id", "sh", *mh)
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame, threshold: float = 0.5, est_margin: float = 0.2
+) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: 4 bands x 4 rows; docs sharing any
     band signature become candidates; candidates are then staged through two
     scale optimizations before the exact verify (both mirrored bit-exactly in
     the DuckDB oracle):
 
     1. **MinHash-estimate prefilter** -- the estimated Jaccard (fraction of
-       equal signature positions, the statistic Spark's own MinHashLSH joins
-       on) must reach ``threshold``.  Only the 16-long signatures travel to
-       this stage, so band-collision noise dies before any shingle-set
-       transport.
-    2. **Signature-certain shortcut** -- pairs whose FULL signature agrees
-       (estimate 1.0) are emitted directly with jaccard 1.0; in a dedup
-       corpus these exact-copy pairs are the bulk, so the wide shingle-set
-       shuffle only carries the uncertain minority.
+       equal signature positions) must reach ``threshold - est_margin``.
+       Only the 16-long signatures travel to this stage, so band-collision
+       noise dies before any shingle-set transport.  The margin keeps the
+       prefilter recall-preserving: a true pair at J >= threshold is dropped
+       only when its 16-position estimate undershoots by more than
+       ``est_margin`` (sd ~= 0.125, so a 0.2 margin is ~1.6 sd --
+       per-pair miss probability <~2% at J = threshold + 0.1, falling fast
+       with J; pinned as a number by the recall property test in
+       ``tests/test_minhash_recall.py``).
+    2. **Exact-duplicate shortcut** -- pairs whose FULL signature agrees AND
+       whose md5 text fingerprints are equal are emitted directly with
+       jaccard 1.0.  This is provably exact (identical text => identical
+       shingle set => J = 1.0), not an approximation; in a dedup corpus
+       these exact-copy pairs are the bulk, so the wide shingle-set shuffle
+       only carries the uncertain minority.  Signature-certain pairs whose
+       md5 differs DO pay the exact verify (r2 emitted them as 1.0
+       unverified; fixed per round-2 advice).
 
-    Pairs in between pay the exact Jaccard on shingle-hash sets, filtered to
-    >= threshold.  Returns (doc_a, doc_b, jaccard).
+    Every other candidate pays the exact Jaccard on shingle-hash sets,
+    filtered to >= threshold.  Returns (doc_a, doc_b, jaccard).
 
-    SEMANTICS NOTE -- this staging is an approximation, not a pure
-    optimization: (a) a pair whose exact Jaccard clears the threshold can be
-    dropped when its signature estimate falls below it (for J ~= threshold
-    the 16-position estimate has sd ~= 0.125, so borderline pairs lose
-    recall -- the same tradeoff as Spark MinHashLSH's
-    ``approxSimilarityJoin``, which joins on the estimate alone); (b) a
-    signature-certain pair reports jaccard 1.0 even if the texts differ.
-    Both rules are part of the operator's contract and are reproduced
-    verbatim in the DuckDB oracle (r2; r1 verified exactly on all band
-    candidates)."""
+    SEMANTICS NOTE -- the only remaining approximation is the prefilter's
+    bounded recall loss near the threshold (documented above and in
+    COVERAGE.md); every emitted jaccard value is exact.  Both stages are
+    reproduced verbatim in the DuckDB oracle."""
+    est_cut = max(0.0, threshold - est_margin)
     # hash each distinct text once; the +100000 corpus copies share their
     # original's signature (at scale: hash distinct content, join back)
     # small parquet inputs arrive as 1-2 partitions: spread the (CPU-bound)
@@ -161,9 +167,30 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     # extra cores buy on this input size; at cluster scale the input arrives
     # pre-partitioned and this repartition is a no-op upgrade knob
     par = min(8, documents.sparkSession.sparkContext.defaultParallelism)
-    base = minhash_signatures(
-        doc_shingles(documents.select("doc_id", "text").repartition(par))
-    ).persist()
+    udf = _shingle_minhash_udf()
+    base = (
+        documents.select("doc_id", "text")
+        .repartition(par)
+        .select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("md5_fp"),
+            udf(F.col("text")).alias("s"),
+        )
+        .select(
+            "doc_id", "md5_fp", F.col("s.sh").alias("sh"), F.col("s.mh").alias("mh")
+        )
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            "md5_fp",
+            "sh",
+            *[
+                F.element_at(F.col("mh"), k + 1).alias(f"mh{k}")
+                for k in range(len(MINHASH_A))
+            ],
+        )
+        .persist()
+    )
     # materialize BEFORE fan-out: the band path and both verify paths
     # otherwise race the cold cache in one action and recompute the UDF 3x
     base.count()
@@ -195,13 +222,22 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # stage 1: estimate prefilter on the 16-long signatures only
+    # stage 1: widened estimate prefilter on the 16-long signatures only
     mh_tbl = sig.select(
         "doc_id",
+        "md5_fp",
         F.array(*[F.col(f"mh{k}") for k in range(len(MINHASH_A))]).alias("mh"),
     )
-    ma = mh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
-    mb = mh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    ma = mh_tbl.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("md5_fp").alias("md5_a"),
+        F.col("mh").alias("mh_a"),
+    )
+    mb = mh_tbl.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("md5_fp").alias("md5_b"),
+        F.col("mh").alias("mh_b"),
+    )
     n_eq = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     )
@@ -209,14 +245,15 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         cand.join(ma, "doc_a")
         .join(mb, "doc_b")
         .withColumn("est", n_eq / F.lit(float(len(MINHASH_A))))
-        .filter(F.col("est") >= threshold)
-        .select("doc_a", "doc_b", "est")
+        .filter(F.col("est") >= est_cut)
+        .select("doc_a", "doc_b", "est", "md5_a", "md5_b")
     )
-    # stage 2: signature-certain pairs skip the shingle-set shuffle
-    sure = scored.filter(F.col("est") == 1.0).select(
+    # stage 2: provably-exact duplicates skip the shingle-set shuffle
+    certain = (F.col("est") == 1.0) & (F.col("md5_a") == F.col("md5_b"))
+    sure = scored.filter(certain).select(
         "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
     )
-    maybe = scored.filter(F.col("est") < 1.0)
+    maybe = scored.filter(~certain).select("doc_a", "doc_b")
     sh = sig.select("doc_id", "sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b_ = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

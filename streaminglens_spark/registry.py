@@ -19,8 +19,9 @@ from .functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
-from .functions.similarity import ann_lsh_topk, cosine_topk
+from .functions.similarity import ann_lsh_topk, cosine_topk, ivf_topk
 from .functions.text import (
     LANG_LEXICON,
     STOPWORDS,
@@ -327,6 +328,19 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    # rotated INTO the 50-slot driver surface in round 3 (replacing
+    # q_ngram_jaccard, whose r1+r2 driver rows remain the evidence of
+    # record -- see COVERAGE.md)
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_ivf_topk(spark, sf_dir):
+    # rotated INTO the 50-slot driver surface in round 3 (replacing
+    # q_sliding_agg -- see COVERAGE.md)
+    return ivf_topk(_emb(spark, sf_dir))
+
+
 def q_dedup_corpus(spark, sf_dir):
     """End-to-end dedup materialization: drop every near-duplicate 'loser'
     (the larger doc_id of any pair with Jaccard >= 0.9) and return the
@@ -441,7 +455,10 @@ WITH corpus AS (
 """
 
 _SHINGLES = _CORPUS + """
-, shingled AS (
+, md5s AS (
+    SELECT doc_id, md5(text) AS md5_fp FROM corpus WHERE length(text) >= 5
+),
+shingled AS (
     SELECT doc_id,
            list_distinct(list_transform(
                range(1, greatest(length(text) - 3, 1)),
@@ -623,17 +640,6 @@ ORACLE: dict[str, str | None] = {
                COUNT(*) AS n_events,
                CAST(SUM(cents) AS BIGINT) AS sum_cents
         FROM e GROUP BY 1, 2""",
-    "q_sliding_agg": """
-        WITH e AS (
-            SELECT epoch_ms(ts) AS ms, CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events
-        )
-        SELECT w AS window_start_ms, w + 3600000 AS window_end_ms,
-               COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
-        FROM (
-            SELECT ((ms // 1800000) - k.k) * 1800000 AS w, cents
-            FROM e CROSS JOIN (SELECT UNNEST(range(0, 2)) AS k) k
-        ) GROUP BY 1, 2""",
     "q_session_agg": """
         WITH e AS (
             SELECT user_id, epoch_ms(ts) AS ms,
@@ -670,18 +676,21 @@ ORACLE: dict[str, str | None] = {
             WHERE l.doc_id < r.doc_id
         ),
         scored AS (
-            SELECT doc_a, doc_b, est FROM (
+            SELECT doc_a, doc_b, est, md5_a, md5_b FROM (
                 SELECT c.doc_a, c.doc_b,
                        CAST(len(list_filter(range(1, 17),
                             i -> ma.mhv[CAST(i AS INT)] = mb.mhv[CAST(i AS INT)]))
-                            AS DOUBLE) / 16 AS est
+                            AS DOUBLE) / 16 AS est,
+                       fa.md5_fp AS md5_a, fb.md5_fp AS md5_b
                 FROM cand c
                 JOIN sigv ma ON ma.doc_id = c.doc_a
                 JOIN sigv mb ON mb.doc_id = c.doc_b
-            ) WHERE est >= 0.5
+                JOIN md5s fa ON fa.doc_id = c.doc_a
+                JOIN md5s fb ON fb.doc_id = c.doc_b
+            ) WHERE est >= 0.3
         )
         SELECT doc_a, doc_b, CAST(1.0 AS DOUBLE) AS jaccard
-        FROM scored WHERE est = 1.0
+        FROM scored WHERE est = 1.0 AND md5_a = md5_b
         UNION ALL
         SELECT s.doc_a, s.doc_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -689,26 +698,9 @@ ORACLE: dict[str, str | None] = {
         FROM scored s
         JOIN shingled a ON a.doc_id = s.doc_a
         JOIN shingled b ON b.doc_id = s.doc_b
-        WHERE s.est < 1.0
-          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
-    "q_ngram_jaccard": """
-        WITH sub AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                       i -> string_split(text, ' ')[CAST(i AS INT)] || ' '
-                            || string_split(text, ' ')[CAST(i AS INT) + 1] || ' '
-                            || string_split(text, ' ')[CAST(i AS INT) + 2]
-                   )) AS g
-            FROM documents WHERE doc_id < 40 AND len(string_split(text, ' ')) >= 3
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
-        FROM sub a JOIN sub b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.g, b.g))) >= 0.01""",
+        WHERE NOT (s.est = 1.0 AND s.md5_a = s.md5_b)
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5""",
     "q_simhash": """
         WITH toks AS (
             SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
@@ -733,6 +725,50 @@ ORACLE: dict[str, str | None] = {
                CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
                              ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id""",
+    "q_simhash_pairs": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(tok) + 1),
+                               i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, i.i,
+                   SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << CAST(i.i AS INT))) % 2 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 32)) AS i) i
+            GROUP BY 1, 2
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, simhash, b.b AS band,
+                   (simhash // (CAST(1 AS BIGINT) << CAST(8 * b.b AS INT))) % 256 AS val
+            FROM sigs CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) b
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   xor(l.simhash, r.simhash) AS x
+            FROM bands l JOIN bands r ON l.band = r.band AND l.val = r.val
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming
+        FROM cand WHERE bit_count(x) <= 3""",
     "q_text_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_txt,
@@ -789,24 +825,28 @@ ORACLE: dict[str, str | None] = {
             WHERE l.doc_id < r.doc_id
         ),
         scored AS (
-            SELECT doc_a, doc_b, est FROM (
+            SELECT doc_a, doc_b, est, md5_a, md5_b FROM (
                 SELECT c.doc_a, c.doc_b,
                        CAST(len(list_filter(range(1, 17),
                             i -> ma.mhv[CAST(i AS INT)] = mb.mhv[CAST(i AS INT)]))
-                            AS DOUBLE) / 16 AS est
+                            AS DOUBLE) / 16 AS est,
+                       fa.md5_fp AS md5_a, fb.md5_fp AS md5_b
                 FROM cand c
                 JOIN sigv ma ON ma.doc_id = c.doc_a
                 JOIN sigv mb ON mb.doc_id = c.doc_b
-            ) WHERE est >= 0.9
+                JOIN md5s fa ON fa.doc_id = c.doc_a
+                JOIN md5s fb ON fb.doc_id = c.doc_b
+            ) WHERE est >= 0.7
         ),
         losers AS (
-            SELECT DISTINCT doc_b AS doc_id FROM scored WHERE est = 1.0
+            SELECT DISTINCT doc_b AS doc_id FROM scored
+            WHERE est = 1.0 AND md5_a = md5_b
             UNION
             SELECT DISTINCT s.doc_b AS doc_id
             FROM scored s
             JOIN shingled a ON a.doc_id = s.doc_a
             JOIN shingled b ON b.doc_id = s.doc_b
-            WHERE s.est < 1.0
+            WHERE NOT (s.est = 1.0 AND s.md5_a = s.md5_b)
               AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
         )
@@ -977,6 +1017,102 @@ ORACLE: dict[str, str | None] = {
                                          ORDER BY cos_exact DESC, neighbor_id) AS rn
             FROM scored
         ) WHERE rn <= 5""",
+    "q_ivf_topk": """
+        WITH emb AS (
+            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        normed AS (
+            SELECT vec_id, label, v,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                                    (a, b) -> a + b)) AS nrm
+            FROM emb
+        ),
+        dims AS (
+            SELECT label, CAST(t.i - 1 AS INT) AS dim,
+                   CAST(round(v[CAST(t.i AS INT)] * 1000000) AS BIGINT) AS q
+            FROM emb CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t
+        ),
+        cent AS (
+            SELECT label AS cell, dim,
+                   CAST(SUM(q) AS BIGINT) / 1000000.0 / COUNT(*) AS c
+            FROM dims GROUP BY 1, 2
+        ),
+        cnormed AS (
+            SELECT cell, cv,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
+                                    (a, b) -> a + b)) AS cnrm
+            FROM (SELECT cell, list(c ORDER BY dim) AS cv FROM cent GROUP BY cell)
+        ),
+        cscored AS (
+            SELECT vec_id, v, nrm, cell, cscore,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, cell) AS crn
+            FROM (
+                SELECT n.vec_id, n.v, n.nrm, c.cell,
+                       list_reduce(list_prepend(0.0,
+                           list_transform(range(1, 65),
+                               i -> n.v[CAST(i AS INT)] * c.cv[CAST(i AS INT)])),
+                           (a, b) -> a + b) / (n.nrm * c.cnrm) AS cscore
+                FROM normed n CROSS JOIN cnormed c
+            )
+        ),
+        assign AS (SELECT cell, vec_id, v, nrm FROM cscored WHERE crn = 1),
+        probes AS (
+            SELECT cell, vec_id AS query_vec_id, v AS qv, nrm AS qn
+            FROM cscored WHERE vec_id < 5 AND crn <= 2
+        ),
+        cand AS (
+            SELECT p.query_vec_id, a.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> p.qv[CAST(i AS INT)] * a.v[CAST(i AS INT)])),
+                       (x, y) -> x + y) / (p.qn * a.nrm) AS cos_exact
+            FROM probes p JOIN assign a USING (cell)
+            WHERE a.vec_id != p.query_vec_id
+        )
+        SELECT query_vec_id, neighbor_id, round(cos_exact, 6) AS cosine
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cos_exact DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn <= 5""",
+}
+
+# Rotated OUT of the 50-slot driver surface in round 3 (verdict ask #1) to
+# make room for q_simhash_pairs + q_ivf_topk; both remain first-class
+# operators, locally oracle-checked every test run (test_oracle_queries
+# iterates ORACLE + LOCAL_ORACLE).  Their r1+r2 driver CORRECTNESS rows are
+# the driver-level evidence of record (COVERAGE.md).
+LOCAL_ORACLE: dict[str, str] = {
+    "q_ngram_jaccard": """
+        WITH sub AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[CAST(i AS INT)] || ' '
+                            || string_split(text, ' ')[CAST(i AS INT) + 1] || ' '
+                            || string_split(text, ' ')[CAST(i AS INT) + 2]
+                   )) AS g
+            FROM documents WHERE doc_id < 40 AND len(string_split(text, ' ')) >= 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+        FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.01""",
+    "q_sliding_agg": """
+        WITH e AS (
+            SELECT epoch_ms(ts) AS ms, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT w AS window_start_ms, w + 3600000 AS window_end_ms,
+               COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM (
+            SELECT ((ms // 1800000) - k.k) * 1800000 AS w, cents
+            FROM e CROSS JOIN (SELECT UNNEST(range(0, 2)) AS k) k
+        ) GROUP BY 1, 2""",
 }
 
 

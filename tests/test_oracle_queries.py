@@ -9,14 +9,17 @@ from streaminglens_spark import registry
 from streaminglens_spark.oracle.compare import compare
 from tests.conftest import SF_DIR
 
-NAMES = sorted(registry.ORACLE)
+# driver surface + round-3 rotated-out queries (still first-class, locally
+# checked every run)
+ALL_ORACLE = {**registry.ORACLE, **registry.LOCAL_ORACLE}
+NAMES = sorted(ALL_ORACLE)
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_vs_oracle(spark, duck, name):
-    fn = registry.queries()[name]
+    fn = getattr(registry, name)
     df = fn(spark, SF_DIR)
-    sql = registry.ORACLE[name]
+    sql = ALL_ORACLE[name]
     if sql is None:
         assert df.count() >= 0  # rows-only check
         return

@@ -1,5 +1,7 @@
-"""SimHash near-dup pairing local oracle (driver surface full at 50): the
-byte-band blocking + hamming verify, hash-checked against DuckDB."""
+"""SimHash near-dup pairing local oracle: the byte-band blocking + hamming
+verify, hash-checked against DuckDB.  In the driver's 50-query surface as of
+round 3 (``q_simhash_pairs``); the SQL lives in the registry and this test
+re-runs it at a second scale factor."""
 
 from __future__ import annotations
 
@@ -7,52 +9,9 @@ import pytest
 
 from streaminglens_spark.functions.dedup import simhash_pairs
 from streaminglens_spark.oracle.compare import compare, duckdb_connect
+from streaminglens_spark.registry import ORACLE
 
-SIMHASH_PAIRS_SQL = """
-WITH corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 100000, text FROM documents
-),
-toks AS (
-    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus
-),
-hashed AS (
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(tok) + 1),
-                       i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % 2147483647) AS h
-    FROM toks
-),
-bits AS (
-    SELECT doc_id, i.i,
-           SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << CAST(i.i AS INT))) % 2 = 1
-                    THEN 1 ELSE -1 END) AS s
-    FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 32)) AS i) i
-    GROUP BY 1, 2
-),
-sigs AS (
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-                         ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-),
-bands AS (
-    SELECT doc_id, simhash, b.b AS band,
-           (simhash // (CAST(1 AS BIGINT) << CAST(8 * b.b AS INT))) % 256 AS val
-    FROM sigs CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) b
-),
-cand AS (
-    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-           xor(l.simhash, r.simhash) AS x
-    FROM bands l JOIN bands r ON l.band = r.band AND l.val = r.val
-    WHERE l.doc_id < r.doc_id
-)
-SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming
-FROM cand WHERE bit_count(x) <= 3
-"""
+SIMHASH_PAIRS_SQL = ORACLE["q_simhash_pairs"]
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
