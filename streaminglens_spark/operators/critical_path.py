@@ -55,26 +55,40 @@ def critical_path_per_job(
 
 
 def _critical_path_pandas(stages: DataFrame, tasks: DataFrame) -> DataFrame:
+    """Single-shuffle plan: stage rows and task rows are unioned keyed by
+    ``job_id`` and collected in ONE ``groupBy`` (the only exchange); the
+    Arrow-batched walk computes per-stage max task duration in Python while
+    it builds the DAG.  The r2 plan paid three exchanges
+    (tasks->stage_id agg, stages join, job_id collect) for the same result;
+    max-of-ints in Python is exact, so semantics are unchanged."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def walk(dags: pd.Series) -> pd.Series:
         out = []
         for dag in dags:
-            nodes = {
-                int(n["stage_id"]): (
-                    int(n["w"]),
-                    [] if n["parent_ids"] is None else [int(p) for p in n["parent_ids"]],
-                )
-                for n in dag
-            }
+            nodes: dict[int, list[int]] = {}
+            weights: dict[int, int] = {}
+            for r in dag:
+                if r["d"] is None:  # stage row
+                    nodes[int(r["stage_id"])] = (
+                        [] if r["parent_ids"] is None else [int(p) for p in r["parent_ids"]]
+                    )
+                else:  # task row: running max = stage weight
+                    sid = int(r["stage_id"])
+                    d = int(r["d"])
+                    if d > weights.get(sid, -1):
+                        weights[sid] = d
             memo: dict[int, int] = {}
 
             def crit(sid: int) -> int:
                 # sparklens JobTimeSpan.criticalTime: missing stage -> (0, [])
                 if sid in memo:
                     return memo[sid]
-                w, parents = nodes.get(sid, (0, []))
+                if sid in nodes:
+                    w, parents = weights.get(sid, 0), nodes[sid]
+                else:
+                    w, parents = 0, []
                 v = w + (max((crit(p) for p in parents), default=0) if parents else 0)
                 memo[sid] = v
                 return v
@@ -82,9 +96,24 @@ def _critical_path_pandas(stages: DataFrame, tasks: DataFrame) -> DataFrame:
             out.append(crit(max(nodes)))  # recursion starts at the max stage id
         return pd.Series(out)
 
-    nodes = stage_weights(stages, tasks)
-    dags = nodes.groupBy("job_id").agg(
-        F.collect_list(F.struct("stage_id", "w", "parent_ids")).alias("dag")
+    stg = stages.select(
+        "job_id", "stage_id", "parent_ids", F.lit(None).cast("long").alias("d")
+    )
+    if "job_id" in tasks.columns:
+        keyed = tasks.select("job_id", "stage_id", "duration_ms")
+    else:
+        # tasks without a job key: attribute via the stage->job index (S2)
+        keyed = tasks.select("stage_id", "duration_ms").join(
+            stages.select("stage_id", "job_id"), "stage_id"
+        )
+    tsk = keyed.select(
+        "job_id",
+        "stage_id",
+        F.lit(None).cast("array<bigint>").alias("parent_ids"),
+        F.col("duration_ms").alias("d"),
+    )
+    dags = stg.unionByName(tsk).groupBy("job_id").agg(
+        F.collect_list(F.struct("stage_id", "parent_ids", "d")).alias("dag")
     )
     return dags.select("job_id", walk(F.col("dag")).alias("critical_ms"))
 

@@ -42,26 +42,38 @@ def discounted_state(results: DataFrame, last_reported_batch: int = -1) -> DataF
     so the floating-point summation order matches the reference's foldLeft
     (and the DuckDB oracle's list_reduce) exactly; the result is rounded to
     6 decimals as the comparison contract.
+
+    Plan (r3): a single sorted-struct fold -- (batch_id, state_id) pairs are
+    collected per query and one ``aggregate`` with a struct accumulator
+    computes numerator, denominator and position together.  This replaces
+    r2's two window passes (row_number + count) and per-row weight column;
+    the addition order and every float operation are identical
+    (oldest->newest, weight ``pow(d, n - i)`` for 0-based i == the old
+    ``pow(d, n - rn + 1)``), so the oracle SQL is unchanged.
     """
     buf = results_topk(results)
-    w = Window.partitionBy("query_id").orderBy("batch_id")
-    eligible = (
-        buf.filter((F.col("batch_id") > last_reported_batch) & (F.col("state_id") != 0))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("query_id")))
-        .withColumn("weight", F.pow(F.lit(DISCOUNT), F.col("n") - F.col("rn") + 1))
+    eligible = buf.filter(
+        (F.col("batch_id") > last_reported_batch) & (F.col("state_id") != 0)
     )
     per_query = eligible.groupBy("query_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("rn", (F.col("state_id") * F.col("weight")).alias("num"), F.col("weight").alias("den")))
-        ).alias("terms")
+        F.array_sort(F.collect_list(F.struct("batch_id", "state_id"))).alias("terms")
     )
-    fold = lambda field: F.aggregate(  # noqa: E731
-        F.col("terms"), F.lit(0.0), lambda acc, x: acc + x[field]
+    n = F.size("terms")
+    acc0 = F.struct(
+        F.lit(0.0).alias("num"), F.lit(0.0).alias("den"), F.lit(0).alias("i")
+    )
+    folded = F.aggregate(
+        F.col("terms"),
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["num"] + x["state_id"] * F.pow(F.lit(DISCOUNT), n - acc["i"])).alias("num"),
+            (acc["den"] + F.pow(F.lit(DISCOUNT), n - acc["i"])).alias("den"),
+            (acc["i"] + F.lit(1)).alias("i"),
+        ),
     )
     agg = per_query.select(
         "query_id",
-        F.round(fold("num") / fold("den"), 6).alias("aggregated_state"),
+        F.round(folded["num"] / folded["den"], 6).alias("aggregated_state"),
     )
     # queries whose buffer had no eligible entries aggregate to 0.0
     # (reference returns 0.0 on an empty stateList, :182-184)

