@@ -125,6 +125,10 @@ class StreamingLens:
             config=self.config,
             reporters=list(self._reporters),
             scheduler_capture=sched,
+            # pass the override map BY REFERENCE so update/reset_expected_
+            # micro_batch_sla take effect on the next live tick, matching the
+            # reference's tracker-backed per-query SLA resolution
+            sla_overrides=self._sla_overrides,
         )
         self._live_captures = (cap, sched)
         return self._live

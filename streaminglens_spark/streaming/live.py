@@ -166,11 +166,17 @@ class LiveAnalyzer:
         reporters: list | None = None,
         clock: Callable[[], float] = time.time,
         scheduler_capture=None,
+        sla_overrides: dict[str, int] | None = None,
     ) -> None:
         self.spark = spark
         self.capture = capture
         self.config = config or StreamingLensConfig()
         self.scheduler_capture = scheduler_capture
+        # live view of the per-query SLA override map (keyed name ?? id,
+        # StreamingAppTracker.scala:41,76-91): the API passes its own dict by
+        # reference so updateExpectedMicroBatchSLA takes effect on the next
+        # tick, like the reference's tracker-backed getSLA
+        self.sla_overrides = sla_overrides if sla_overrides is not None else {}
         if telemetry_provider is None and scheduler_capture is not None:
             from .scheduler import scheduler_telemetry_provider
 
@@ -187,9 +193,6 @@ class LiveAnalyzer:
         self._last_analyzed_time_ms = 0  # A3 (0 => first tick analyzes)
         self._last_purged_batch: dict[str, int] = {}  # A18
         self._reporting: dict[str, _ReportingState] = {}  # U1, per query
-        # A16 anchor: the reference helper sets lastEventTimeMillis at
-        # construction (StreamingLensReportingHelper.scala:42)
-        self._init_time_ms = int(self.clock() * 1000)
 
     # -- plumbing ------------------------------------------------------
     def progress_df(self) -> DataFrame:
@@ -254,6 +257,16 @@ class LiveAnalyzer:
                 executors=telemetry.executors,
                 sla_config=telemetry.sla_config,
             )
+
+        if self.sla_overrides:
+            # runtime per-query overrides win over the provider's sla_config
+            # (same anti-join + append as batch-mode StreamingLens.derive)
+            extra = self.spark.createDataFrame(
+                list(self.sla_overrides.items()), "query_key string, sla_ms bigint"
+            )
+            telemetry.sla_config = telemetry.sla_config.join(
+                extra.select("query_key"), "query_key", "left_anti"
+            ).unionByName(extra)
 
         out = results_table(
             telemetry, default_sla_ms=self.config.expected_micro_batch_sla_millis
@@ -380,7 +393,11 @@ class LiveAnalyzer:
                     "query_id": qid,
                     "batch_id": r[3],
                     "analysis_ms": 0,
-                    "sla_ms": self.config.expected_micro_batch_sla_millis,
+                    # the reference's ERROR result resolves the SLA through
+                    # the tracker, so overrides apply here too (key name??id)
+                    "sla_ms": self.sla_overrides.get(
+                        r[1] or qid, self.config.expected_micro_batch_sla_millis
+                    ),
                     "batch_running_ms": brt,
                     "critical_ms": 0,
                     "state_id": -1,
@@ -418,7 +435,12 @@ class LiveAnalyzer:
                 )
             except Exception as e:
                 logger.warning("Error in registering StreamingLens Events Reporter. %s", e)
-        st = _ReportingState(reps, self._init_time_ms)
+        # A16 anchor: the reference constructs the per-query helper (and its
+        # lastEventTimeMillis) when the query registers, so anchor at the
+        # first time THIS query is seen -- a query starting long after
+        # attach_live still waits a full reporting interval from its own
+        # start (StreamingLensReportingHelper.scala:42)
+        st = _ReportingState(reps, now_ms)
         self._reporting[qid] = st
         info = json.dumps(
             {"queryId": qid, "eventTimeMillis": now_ms}, separators=(",", ":")

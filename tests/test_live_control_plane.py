@@ -79,7 +79,11 @@ def test_reporter_by_class_name_full_lifecycle(spark):
         ),
         clock=clock,
     )
-    clock.advance(3600)
+    # first tick: the query is first seen -> reporting state + started event;
+    # the A16 anchor starts HERE (r3 fix), so no insights yet
+    assert a.tick()
+    cap.rows.append(_fake_progress("q1", 1, 1_700_000_060_000))
+    clock.advance(3600)  # one full reporting interval after first-seen
     assert a.tick()
     a.stop()
 
@@ -118,8 +122,10 @@ def test_json_file_reporter_writes_event_lines(spark, tmp_path):
         ),
         clock=clock,
     )
+    assert a.tick()  # first-seen: started event, A16 anchor starts
+    cap.rows.append(_fake_progress("q1", 1, 1_700_000_060_000))
     clock.advance(3600)
-    assert a.tick()
+    assert a.tick()  # one interval later: insights
     a.stop()
     with open(path) as f:
         events = [json.loads(line) for line in f]
@@ -270,3 +276,59 @@ def test_incremental_tick_analyzes_only_new_batches(spark):
     r149 = next(r for r in first if r["batch_id"] == 149)
     assert second[0]["state"] == r149["state"]
     assert second[0]["batch_running_ms"] == r149["batch_running_ms"]
+
+
+def test_live_sla_override_applied(spark):
+    """Round-2 advice: per-query SLA overrides must reach live
+    classification, not just batch-mode derive().  With a 1 s override the
+    2 s batch flips from OVERPROVISIONED (120 s default) to UNHEALTHY, and
+    the reported sla_ms is the override's."""
+    cap = ProgressCapture()
+    cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]  # brt = 2000 ms
+    clock = _Clock()
+    overrides = {"q1": 1000}
+    a = LiveAnalyzer(spark, cap, config=_cfg(), clock=clock, sla_overrides=overrides)
+    clock.advance(3600)
+    res = a.tick()
+    assert res and res[0]["sla_ms"] == 1000
+    assert res[0]["state"] == "UNHEALTHY"
+
+    # the map is a LIVE view: reset behaves like the API's
+    # reset_expected_micro_batch_sla on the next tick
+    overrides.clear()
+    cap.rows.append(_fake_progress("q1", 1, 1_700_000_060_000))
+    clock.advance(3600)
+    res2 = a.tick()
+    assert res2 and res2[0]["sla_ms"] == 120000
+    assert res2[0]["state"] == "OVERPROVISIONED"
+
+
+def test_live_sla_override_on_error_path(spark):
+    """The U3 ERROR(-1) result resolves the SLA through the override map
+    too (the reference builds it via the tracker's getSLA)."""
+    cap = ProgressCapture()
+    cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]
+    clock = _Clock()
+    a = LiveAnalyzer(
+        spark, cap, config=_cfg(), clock=clock, sla_overrides={"q1": 777}
+    )
+    a._analyze_once = lambda: (_ for _ in ()).throw(RuntimeError("boom"))
+    clock.advance(3600)
+    assert a.tick() == []
+    assert a.last_error_results[0]["sla_ms"] == 777
+
+
+def test_api_attach_live_shares_override_map(spark):
+    """U4 + advice fix: update_expected_micro_batch_sla after attach_live
+    is visible to the analyzer (shared reference, no copy)."""
+    from streaminglens_spark.api import StreamingLens
+
+    sl = StreamingLens(spark)
+    analyzer = sl.attach_live()
+    try:
+        sl.update_expected_micro_batch_sla("orders", 5000)
+        assert analyzer.sla_overrides == {"orders": 5000}
+        sl.reset_expected_micro_batch_sla("orders")
+        assert analyzer.sla_overrides == {}
+    finally:
+        sl.stop()

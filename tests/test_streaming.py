@@ -174,16 +174,27 @@ def test_reporter_plugin_receives_events(spark):
     cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]
     clock = _Clock()
     a = LiveAnalyzer(spark, cap, config=_cfg(), reporters=[Reporter()], clock=clock)
-    clock.advance(3600)
-    a.tick()
-    assert events and "OVERPROVISIONED" in events[0]
+    # first tick: query first seen -> A16 anchor starts here (r3 fix), so
+    # the first insights event waits a full interval from query start
+    assert a.tick()
+    assert events == []
 
-    # A16: a second tick inside the hour analyzes but does NOT re-report
+    # inside the hour since first-seen: analyzes but does NOT report
     cap.rows.append(_fake_progress("q1", 1, 1_700_000_060_000))
     clock.advance(360)  # past the 5-min A3 gate, inside the 60-min A16 gate
     assert a.tick()
-    assert len(events) == 1
+    assert events == []
     cap.rows.append(_fake_progress("q1", 2, 1_700_000_120_000))
     clock.advance(3600)  # past the A16 gate
+    assert a.tick()
+    assert len(events) == 1 and "OVERPROVISIONED" in events[0]
+
+    # A16 again: inside the next hour -> no re-report; past it -> report
+    cap.rows.append(_fake_progress("q1", 3, 1_700_000_180_000))
+    clock.advance(360)
+    assert a.tick()
+    assert len(events) == 1
+    cap.rows.append(_fake_progress("q1", 4, 1_700_000_240_000))
+    clock.advance(3600)
     assert a.tick()
     assert len(events) == 2
