@@ -22,9 +22,12 @@ Requires ``spark.ui.enabled=true`` (the API is served by the UI).
 
 from __future__ import annotations
 
+import logging
 from datetime import datetime, timezone
 
 from .scheduler import JOBS_SCHEMA, parse_batch_description  # noqa: F401
+
+logger = logging.getLogger("streaminglens_spark")
 
 
 def _iso_api_ms(ts: str | None) -> int | None:
@@ -64,9 +67,19 @@ def rows_from_api(
             (qid, bid, jid, None, _iso_api_ms(j.get("submissionTime")), end,
              j.get("description"))
         )
-    stages, tasks = [], []
+    # reconcile stage attempts: /stages returns one StageData per attempt;
+    # the LATEST completed attempt's span (and its task list, keyed per
+    # attempt by the poller) is the stage's record -- earlier failed
+    # attempts would otherwise yield duplicate stage rows
+    by_sid: dict[int, dict] = {}
     for s in stages_raw:
         sid = int(s["stageId"])
+        prev = by_sid.get(sid)
+        if prev is None or int(s.get("attemptId", 0)) > int(prev.get("attemptId", 0)):
+            by_sid[sid] = s
+    stages, tasks = [], []
+    for sid in sorted(by_sid):
+        s = by_sid[sid]
         jid = stage_job.get(sid)
         start = _iso_api_ms(s.get("submissionTime") or s.get("firstTaskLaunchedTime"))
         end = _iso_api_ms(s.get("completionTime"))
@@ -100,16 +113,31 @@ def rows_from_api(
 
 
 class StatusApiPoller:
-    """Poll the monitoring REST API for the telemetry tables.  Task lists
-    are fetched once per newly-completed stage, and the cache keeps only the
-    newest ``max_cached_stages`` stages (control-plane state must stay
-    bounded for app-lifetime polling, like the listener bridge's A18
-    purge)."""
+    """Poll the monitoring REST API for the telemetry tables.
+
+    Task lists are fetched exactly once per (stage, attempt): the full list
+    is PAGED with ``offset``/``length`` until a short page (r2 fetched a
+    single ``length=10000`` page and silently dropped the tail), and
+    fetched keys are tracked separately from the payload cache, so evicting
+    a payload under ``max_cached_stages`` never triggers a re-fetch loop on
+    later polls (the r2 eviction re-fetched every retained-but-evicted
+    stage forever).  Evictions are logged; an evicted stage's tasks drop out
+    of subsequent telemetry snapshots -- the same bounded-state tradeoff as
+    the listener bridge's A18 purge.  Stage retries (attempt > 0) are
+    fetched per attempt and reconciled latest-attempt-wins by
+    ``rows_from_api``."""
 
     def __init__(
-        self, spark, base_url: str | None = None, max_cached_stages: int = 500
+        self,
+        spark,
+        base_url: str | None = None,
+        max_cached_stages: int = 500,
+        task_page_size: int = 5000,
+        max_task_pages: int = 200,
     ):
         self.max_cached_stages = max_cached_stages
+        self.task_page_size = task_page_size
+        self.max_task_pages = max_task_pages
         sc = spark.sparkContext
         self.base = base_url or sc.uiWebUrl
         if not self.base:
@@ -119,7 +147,8 @@ class StatusApiPoller:
                 "bridge (streaming/scheduler.py)"
             )
         self.app_id = sc.applicationId
-        self._task_cache: dict[int, list[dict]] = {}
+        self._task_cache: dict[tuple[int, int], list[dict]] = {}  # (sid, attempt)
+        self._fetched: set[tuple[int, int]] = set()  # survives payload eviction
 
     def _get(self, path: str):
         import json
@@ -129,23 +158,54 @@ class StatusApiPoller:
         with urllib.request.urlopen(url, timeout=10) as r:
             return json.loads(r.read().decode("utf-8"))
 
+    def _fetch_tasks(self, sid: int, attempt: int) -> list[dict]:
+        """Page the taskList endpoint until a short page; no silent caps --
+        if the ``max_task_pages`` safety valve ever trips, the truncation is
+        logged with the captured count."""
+        out: list[dict] = []
+        for _ in range(self.max_task_pages):
+            page = self._get(
+                f"/stages/{sid}/{attempt}/taskList"
+                f"?offset={len(out)}&length={self.task_page_size}"
+            )
+            out.extend(page)
+            if len(page) < self.task_page_size:
+                return out
+        logger.warning(
+            "statusapi: taskList for stage %d.%d truncated at %d tasks "
+            "(max_task_pages=%d); the tail is DROPPED from telemetry",
+            sid, attempt, len(out), self.max_task_pages,
+        )
+        return out
+
     def poll(self) -> tuple[list, list, list, list]:
         jobs_raw = self._get("/jobs")
         stages_raw = self._get("/stages?status=complete")
         execs_raw = self._get("/allexecutors")
         for s in stages_raw:
-            sid = int(s["stageId"])
-            if sid not in self._task_cache:
-                try:
-                    self._task_cache[sid] = self._get(
-                        f"/stages/{sid}/{int(s.get('attemptId', 0))}/taskList?length=10000"
-                    )
-                except Exception:
-                    self._task_cache[sid] = []
+            key = (int(s["stageId"]), int(s.get("attemptId", 0)))
+            if key in self._fetched:
+                continue
+            self._fetched.add(key)
+            try:
+                self._task_cache[key] = self._fetch_tasks(*key)
+            except Exception:
+                self._task_cache[key] = []
         if len(self._task_cache) > self.max_cached_stages:
-            for sid in sorted(self._task_cache)[: -self.max_cached_stages]:
-                del self._task_cache[sid]
-        return rows_from_api(jobs_raw, stages_raw, execs_raw, self._task_cache)
+            drop = sorted(self._task_cache)[: -self.max_cached_stages]
+            logger.info(
+                "statusapi: evicting %d cached stage task lists "
+                "(max_cached_stages=%d); their tasks leave the snapshot",
+                len(drop), self.max_cached_stages,
+            )
+            for key in drop:
+                del self._task_cache[key]
+        # latest attempt wins per stage id (matches rows_from_api's stage
+        # reconciliation); ascending key order makes later attempts overwrite
+        tasks_by_stage: dict[int, list[dict]] = {}
+        for sid, attempt in sorted(self._task_cache):
+            tasks_by_stage[sid] = self._task_cache[(sid, attempt)]
+        return rows_from_api(jobs_raw, stages_raw, execs_raw, tasks_by_stage)
 
 
 def status_api_telemetry_provider(spark, poller: StatusApiPoller):

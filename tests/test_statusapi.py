@@ -106,3 +106,151 @@ def test_status_api_end_to_end_subprocess():
         capture_output=True, text=True, timeout=300,
     )
     assert "STATUSAPI_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-3000:]
+
+
+class _FakePoller:
+    """StatusApiPoller with a scripted REST endpoint (no Spark, no HTTP)."""
+
+    def __new__(cls, responses, **kw):
+        from streaminglens_spark.streaming.statusapi import StatusApiPoller
+
+        p = object.__new__(StatusApiPoller)
+        p.max_cached_stages = kw.get("max_cached_stages", 500)
+        p.task_page_size = kw.get("task_page_size", 2)
+        p.max_task_pages = kw.get("max_task_pages", 200)
+        p.base = "fake"
+        p.app_id = "app"
+        p._task_cache = {}
+        p._fetched = set()
+        p.calls = []
+
+        def _get(path):
+            p.calls.append(path)
+            return responses(path)
+
+        p._get = _get
+        return p
+
+
+def _task(i):
+    return {"taskId": i, "launchTime": "2026-01-01T00:00:00.300GMT",
+            "duration": 100 + i, "executorId": "driver", "status": "SUCCESS"}
+
+
+def _stage_entry(sid, attempt=0):
+    return {"stageId": sid, "attemptId": attempt, "numTasks": 5,
+            "submissionTime": "2026-01-01T00:00:00.200GMT",
+            "completionTime": "2026-01-01T00:00:01.200GMT"}
+
+
+def _jobs_raw():
+    return [{"jobId": 3, "description": DESC, "stageIds": [10],
+             "submissionTime": "2026-01-01T00:00:00.100GMT",
+             "completionTime": "2026-01-01T00:00:02.600GMT"}]
+
+
+def test_poller_pages_task_list_until_short_page():
+    """VERDICT r2 #3: a 5-task stage behind a 2-per-page endpoint is fully
+    captured (3 pages), not silently cut at page one."""
+    all_tasks = [_task(i) for i in range(5)]
+
+    def responses(path):
+        if path == "/jobs":
+            return _jobs_raw()
+        if path.startswith("/stages?"):
+            return [_stage_entry(10)]
+        if path == "/allexecutors":
+            return []
+        if path.startswith("/stages/10/0/taskList"):
+            q = dict(kv.split("=") for kv in path.split("?")[1].split("&"))
+            off, ln = int(q["offset"]), int(q["length"])
+            return all_tasks[off:off + ln]
+        raise AssertionError(path)
+
+    p = _FakePoller(responses, task_page_size=2)
+    jobs, stages, tasks, _ = p.poll()
+    assert len(tasks) == 5, tasks
+    assert sorted(t[0] for t in tasks) == [0, 1, 2, 3, 4]
+    pages = [c for c in p.calls if "taskList" in c]
+    assert len(pages) == 3  # 2 + 2 + 1 (short page terminates)
+
+    # second poll: already fetched -> zero taskList calls
+    p.calls.clear()
+    p.poll()
+    assert not any("taskList" in c for c in p.calls)
+
+
+def test_poller_logs_forced_truncation(caplog):
+    """No silent caps: when the max_task_pages safety valve trips, the drop
+    is logged with the captured count."""
+    import logging
+
+    def responses(path):
+        if path == "/jobs":
+            return _jobs_raw()
+        if path.startswith("/stages?"):
+            return [_stage_entry(10)]
+        if path == "/allexecutors":
+            return []
+        if "taskList" in path:
+            q = dict(kv.split("=") for kv in path.split("?")[1].split("&"))
+            off = int(q["offset"])
+            return [_task(off), _task(off + 1)]  # never a short page
+        raise AssertionError(path)
+
+    p = _FakePoller(responses, task_page_size=2, max_task_pages=3)
+    with caplog.at_level(logging.WARNING, logger="streaminglens_spark"):
+        _, _, tasks, _ = p.poll()
+    assert len(tasks) == 6  # 3 pages x 2 captured, tail dropped
+    assert any("truncated at 6 tasks" in m for m in caplog.messages)
+
+
+def test_poller_reconciles_stage_retries():
+    """A stage retry (attempt 1) is fetched separately and wins over
+    attempt 0 in both the stage span and the task rows."""
+
+    def responses(path):
+        if path == "/jobs":
+            return _jobs_raw()
+        if path.startswith("/stages?"):
+            return [_stage_entry(10, 0), _stage_entry(10, 1)]
+        if path == "/allexecutors":
+            return []
+        if path.startswith("/stages/10/0/taskList"):
+            return [_task(0)]
+        if path.startswith("/stages/10/1/taskList"):
+            return [_task(100), _task(101)]  # the retry's tasks
+        raise AssertionError(path)
+
+    p = _FakePoller(responses, task_page_size=10)
+    _, stages, tasks, _ = p.poll()
+    assert len(stages) == 1  # one row per stage id, not per attempt
+    assert sorted(t[0] for t in tasks) == [100, 101]  # latest attempt wins
+    assert ("/stages/10/0/taskList?offset=0&length=10" in p.calls
+            and "/stages/10/1/taskList?offset=0&length=10" in p.calls)
+
+
+def test_poller_eviction_does_not_refetch(caplog):
+    """ADVICE r2: evicted stages must NOT be re-fetched on every later poll
+    (fetched markers survive payload eviction); the eviction is logged."""
+    import logging
+
+    def responses(path):
+        if path == "/jobs":
+            return _jobs_raw()
+        if path.startswith("/stages?"):
+            return [_stage_entry(sid) for sid in (10, 11, 12)]
+        if path == "/allexecutors":
+            return []
+        if "taskList" in path:
+            return [_task(int(path.split("/")[2]))]
+        raise AssertionError(path)
+
+    p = _FakePoller(responses, task_page_size=10, max_cached_stages=2)
+    with caplog.at_level(logging.INFO, logger="streaminglens_spark"):
+        p.poll()
+    assert len(p._task_cache) == 2  # oldest payload evicted
+    assert any("evicting 1 cached stage task lists" in m for m in caplog.messages)
+    p.calls.clear()
+    p.poll()  # stage 10 still listed complete, payload evicted
+    assert not any("taskList" in c for c in p.calls), p.calls
