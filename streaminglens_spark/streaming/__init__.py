@@ -1,8 +1,14 @@
 """Live-mode surface: listeners, analyzer, reporters, telemetry providers,
 stateful streaming operators."""
 
+from .dedup import loser_ids_of_batch, near_dedup_stream
 from .live import LiveAnalyzer, ProgressCapture, attach, detach, foreach_batch_monitor
-from .reporters import JsonFileReporter, StreamingLensEventsReporterInterface, load_reporter
+from .reporters import (
+    JsonFileReporter,
+    LoggingGaugeSink,
+    StreamingLensEventsReporterInterface,
+    load_reporter,
+)
 from .scheduler import (
     SchedulerCapture,
     attach_scheduler,
@@ -15,6 +21,7 @@ from .statusapi import StatusApiPoller, status_api_telemetry_provider
 __all__ = [
     "JsonFileReporter",
     "LiveAnalyzer",
+    "LoggingGaugeSink",
     "ProgressCapture",
     "SchedulerCapture",
     "StatusApiPoller",
@@ -26,6 +33,8 @@ __all__ = [
     "discounted_health_stream",
     "foreach_batch_monitor",
     "load_reporter",
+    "loser_ids_of_batch",
+    "near_dedup_stream",
     "scheduler_telemetry_provider",
     "status_api_telemetry_provider",
 ]

@@ -167,6 +167,7 @@ class LiveAnalyzer:
         clock: Callable[[], float] = time.time,
         scheduler_capture=None,
         sla_overrides: dict[str, int] | None = None,
+        gauge_sinks: list | None = None,
     ) -> None:
         self.spark = spark
         self.capture = capture
@@ -177,6 +178,10 @@ class LiveAnalyzer:
         # reference so updateExpectedMicroBatchSLA takes effect on the next
         # tick, like the reference's tracker-backed getSLA
         self.sla_overrides = sla_overrides if sla_overrides is not None else {}
+        # A20 publication: sinks receiving every gauge after each successful
+        # tick -- the engine's pluggable stand-in for the reference's
+        # Dropwizard source registration (StreamingLensMetricsReporter.scala)
+        self.gauge_sinks: list = list(gauge_sinks or [])
         if telemetry_provider is None and scheduler_capture is not None:
             from .scheduler import scheduler_telemetry_provider
 
@@ -367,6 +372,7 @@ class LiveAnalyzer:
                 self._last_purged_batch[qid] = latest["batch_id"]
 
         self._report_if_necessary(now_ms, {r["query_id"] for r in new_results})
+        self._publish_gauges()
         return new_results
 
     # -- U3: analysis failure -> ERROR result + retry accounting -------
@@ -540,12 +546,40 @@ class LiveAnalyzer:
         last: dict[str, dict] = {}
         for r in sorted(self.results, key=lambda x: (x["query_id"], x["batch_id"])):
             last[r["query_id"]] = r
-        return {
+        out = {
             "spark.streaming." + (names.get(qid) or qid): {
                 gauge: int(r[col]) for gauge, col in GAUGES
             }
             for qid, r in last.items()
         }
+        if self.scheduler_capture is not None:
+            # bridge health: how many plain (non-streaming) jobs the capture
+            # filtered out -- a live user can see the filter working instead
+            # of wondering where their jobs went (VERDICT r2 ask #8)
+            out["spark.streaming.schedulerBridge"] = {
+                "droppedJobs": int(getattr(self.scheduler_capture, "dropped_jobs", 0))
+            }
+        return out
+
+    def register_gauge_sink(self, sink) -> None:
+        """Register a gauge sink: either a callable ``(source_name, gauges:
+        dict[str, int])`` or an object with a ``publish(source_name,
+        gauges)`` method (StatsD/Prometheus adapters are one-liners)."""
+        self.gauge_sinks.append(sink)
+
+    def _publish_gauges(self) -> None:
+        """Push the latest gauges to every registered sink, fail-open per
+        sink like the reporter path."""
+        if not self.gauge_sinks:
+            return
+        snapshot = self.gauges()
+        for sink in self.gauge_sinks:
+            pub = getattr(sink, "publish", None) or sink
+            for source_name, vals in snapshot.items():
+                try:
+                    pub(source_name, dict(vals))
+                except Exception:
+                    pass  # a broken metrics sink must never fail the tick
 
     def stop(self) -> None:
         """Self-shutdown (U2) / user stop: emit terminated events once and

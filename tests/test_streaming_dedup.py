@@ -1,0 +1,122 @@
+"""Streaming near-dup dedup (VERDICT r2 ask #2): real file-stream test of
+the MinHash band-keyed stateful operator -- cross-batch suppression
+bit-consistent with the batch ``minhash_lsh_pairs`` verdict on the same
+corpus, and watermark-TTL-bounded state."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.functions.dedup import minhash_lsh_pairs
+from streaminglens_spark.streaming.dedup import loser_ids_of_batch, near_dedup_stream
+
+MIN_MS = 60_000
+
+
+def _texts() -> dict[int, str]:
+    rng = random.Random(11)
+    word = lambda: "".join(  # noqa: E731
+        rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6)
+    )
+    docs = {i: " ".join(word() for _ in range(40)) for i in range(5)}
+    docs[10] = docs[0]  # exact copies arriving in a LATER micro-batch
+    docs[11] = docs[1]
+    docs[12] = " ".join(word() for _ in range(40))  # genuinely new
+    docs[13] = " ".join(word() for _ in range(40))  # post-gap filler
+    docs[20] = docs[0]  # copy arriving AFTER state TTL
+    return docs
+
+
+def test_streaming_near_dedup_matches_batch_and_bounds_state(spark, tmp_path):
+    docs = _texts()
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000
+
+    def write_file(name: str, ids: list[int], ms: int) -> None:
+        path = os.path.join(src, name)
+        with open(path + ".tmp", "w") as f:
+            for i in ids:
+                f.write(json.dumps({"doc_id": i, "text": docs[i], "ms": ms}) + "\n")
+        os.rename(path + ".tmp", path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ms long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ets", F.timestamp_millis(F.col("ms")))
+        .select("doc_id", "text", "ets")
+    )
+    verdicts = near_dedup_stream(
+        stream, threshold=0.9, watermark="10 minutes", ttl_minutes=30
+    )
+
+    write_file("f1.json", [0, 1, 2, 3, 4], t0)
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName("near_dedup")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        base_rows = spark.sql("SELECT * FROM near_dedup").collect()
+        assert loser_ids_of_batch(base_rows) == set()  # all-new batch
+
+        # batch 2: two exact copies of batch-1 docs + one new doc -->
+        # CROSS-BATCH suppression via the band-keyed state
+        write_file("f2.json", [10, 11, 12], t0 + 2 * MIN_MS)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM near_dedup").collect()
+        suppressed = loser_ids_of_batch(rows)
+        assert suppressed == {10, 11}
+        state_after_ingest = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state_after_ingest > 0
+
+        # bit-consistency with the batch operator on the SAME corpus: the
+        # batch loser set (doc_b of any >= 0.9 pair among these ids, id
+        # order == arrival order) equals the stream's suppressed set, and
+        # the exact copies take the certain jaccard-1.0 path in both
+        ingested = [0, 1, 2, 3, 4, 10, 11, 12]
+        batch_df = spark.createDataFrame(
+            [(i, docs[i]) for i in ingested], "doc_id long, text string"
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(batch_df, threshold=0.9).collect()
+            if r["doc_a"] < 100000 and r["doc_b"] < 100000
+        }
+        assert {b for _, b in pairs} == suppressed
+        assert pairs == {(0, 10): 1.0, (1, 11): 1.0}
+        certain = {
+            r["doc_id"] for r in rows if r["dup_of"] is not None and r["certain"]
+        }
+        assert certain == {10, 11}
+        assert all(r["est"] == 1.0 for r in rows if r["dup_of"] is not None)
+
+        # batch 3: jump event time 5 hours -> watermark passes every
+        # bucket's last_ms + 30 min TTL; timed-out state is purged
+        write_file("f3.json", [13], t0 + 300 * MIN_MS)
+        q.processAllAvailable()
+        # batch 4 (watermark has advanced past the old buckets' timeout by
+        # now): a copy of doc 0 arrives AFTER the TTL -- its bucket state
+        # was purged, so it is NOT suppressed (the documented bounded-state
+        # tradeoff), and total state stays bounded by recent docs only
+        write_file("f4.json", [20], t0 + 301 * MIN_MS)
+        q.processAllAvailable()
+        rows4 = [
+            r for r in spark.sql("SELECT * FROM near_dedup").collect()
+            if r["doc_id"] == 20
+        ]
+        assert rows4 and all(r["dup_of"] is None for r in rows4)
+        state_after_purge = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        # only docs 13 + 20 remain in state (<= 8 band buckets), far below
+        # the 8-doc pre-purge footprint
+        assert state_after_purge < state_after_ingest
+        assert state_after_purge <= 8
+    finally:
+        q.stop()
