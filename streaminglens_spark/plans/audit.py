@@ -38,3 +38,19 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
     plan = formatted_plan(df)
     return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan (broadcast
+    exchanges excluded) -- the unit of cost the r3 critical-path rewrite
+    minimizes.  Counts the formatted plan's detail headers (``(7) Exchange``)
+    so each operator is counted once, not per tree line."""
+    import re
+
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange\b", line.strip())
+        and "Broadcast" not in line
+    )

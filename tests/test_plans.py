@@ -107,3 +107,24 @@ def test_minhash_candidate_join_is_equi(spark):
     df = registry.q_minhash_lsh(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, "minhash candidates became a product"
+
+
+def test_critical_path_single_shuffle(spark):
+    """r3 plan pin: the A8 pandas impl collects each job's DAG in exactly
+    ONE exchange over its inputs (stage rows + task rows unioned and
+    grouped by job_id); a reintroduced weights-join would add exchanges
+    and fail here.  Inputs are standalone tables so the pin measures the
+    operator, not the telemetry derivation feeding it."""
+    from streaminglens_spark.operators.critical_path import critical_path_per_job
+    from streaminglens_spark.plans.audit import exchange_count
+
+    stages = spark.createDataFrame(
+        [(0, 1, [], 1), (1, 1, [0], 1)],
+        "stage_id bigint, job_id bigint, parent_ids array<bigint>, num_tasks bigint",
+    )
+    tasks = spark.createDataFrame(
+        [(0, 0, 1, 100), (1, 1, 1, 150)],
+        "task_id bigint, stage_id bigint, job_id bigint, duration_ms bigint",
+    )
+    df = critical_path_per_job(stages, tasks)
+    assert exchange_count(df) == 1, formatted_plan(df)
