@@ -25,7 +25,9 @@ from .similarity import (
     embed_dedup_pairs,
     ivf_centroids,
     ivf_topk,
+    kmeans_fit,
     lsh_bucket,
+    recall_at_k,
 )
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
 
@@ -42,6 +44,7 @@ __all__ = [
     "frame_sample",
     "ivf_centroids",
     "ivf_topk",
+    "kmeans_fit",
     "lang_id",
     "lsh_bucket",
     "media_meta",
@@ -49,6 +52,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pricing_summary",
     "quality_score",
+    "recall_at_k",
     "region_volume",
     "resize_meta",
     "simhash",
