@@ -39,7 +39,9 @@ HEADLINE = [
     "q_discounted_state", # reporting aggregation (A13)
     "q_dedup_exact",      # exact dedup
     "q_minhash_lsh",      # MinHash+LSH near-dup
+    "q_simhash_pairs",    # SimHash byte-band near-dup (r3 driver rotation)
     "q_cosine_topk",      # similarity search
+    "q_ivf_topk",         # IVF ANN (r3 driver rotation)
     "q_text_stats",       # text analysis
     "q_session_agg",      # event-time session windows
     "q_tumbling_agg",     # event-time tumbling windows

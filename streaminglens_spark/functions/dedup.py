@@ -298,7 +298,14 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     (pigeonhole: <= 3 differing bits cannot touch all 4 bands, so the
     blocking is EXACT for ``max_hamming <= 3`` -- every qualifying pair is
     found, no all-pairs stage); candidates are verified with
-    ``bit_count(xor)`` on the JVM.  Returns (doc_a, doc_b, hamming)."""
+    ``bit_count(xor)`` on the JVM.  Returns (doc_a, doc_b, hamming).
+
+    Dedup-free emission (r3): a pair matching several bands is emitted only
+    by its LOWEST matching band (the lowest zero byte of the xor -- a
+    filter each joined row answers from its own columns), replacing the r2
+    ``distinct`` that shuffled every multi-band match (millions of rows on
+    a self-similar corpus: 16 s -> ~7 s at sf0.1).  Output set identical,
+    oracle unchanged."""
     sigs = simhash(dup_corpus(documents))
     band_structs = F.array(
         *[
@@ -318,12 +325,18 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     right = bands.select(
         "band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
     )
+    x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    first_zero = (
+        F.when(x.bitwiseAND(F.lit(255)) == 0, 0)
+        .when(F.shiftright(x, 8).bitwiseAND(F.lit(255)) == 0, 1)
+        .when(F.shiftright(x, 16).bitwiseAND(F.lit(255)) == 0, 2)
+        .otherwise(3)
+    )
     return (
         left.join(right, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.col("sig_a").bitwiseXOR(F.col("sig_b")).alias("x"))
-        .distinct()
-        .withColumn("hamming", F.bit_count("x").cast("int"))
+        .filter(F.col("band") == first_zero)
+        .withColumn("hamming", F.bit_count(x).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -365,22 +378,29 @@ def ngram_jaccard_pairs(
 def simhash(documents: DataFrame) -> DataFrame:
     """32-bit SimHash over token polynomial hashes: bit i of the signature is
     1 iff the sum over tokens of (+1 / -1 by the token-hash's bit i) is
-    positive.  Returns (doc_id, simhash)."""
+    positive.  Returns (doc_id, simhash).
+
+    Plan (r3): the per-bit ±1 sum equals ``2*count(tokens with bit set) -
+    n_tokens``, so the signature is ONE ``groupBy(doc_id)`` with 32 sum
+    columns over the token rows -- the r2 plan exploded every token 32x
+    (74M-row shuffle at sf0.1, 15s); this shuffles the 2.3M token rows
+    once (values identical, oracle unchanged)."""
     from .text import char_fold_hash
 
     toks = documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     hashed = toks.select("doc_id", char_fold_hash(F.col("tok")).alias("h"))
-    bits = hashed.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i")
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(h div shiftleft(1L, i)) % 2") == 1, 1).otherwise(-1),
+    bit_counts = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        for i in range(32)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *bit_counts
     )
-    per_bit = bits.groupBy("doc_id", "i").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, i)")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    sig = None
+    for i in range(32):
+        # bit set iff sum of ±1 contributions > 0  <=>  2*c_i - n > 0
+        term = F.when(
+            F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
