@@ -43,6 +43,8 @@ HEADLINE = [
     "q_cosine_topk",      # similarity search
     "q_ivf_topk",         # IVF ANN (r3 driver rotation)
     "q_text_stats",       # text analysis
+    "q_asof_join",        # as-of join (single-shuffle union-merge, r3)
+    "q_range_join",       # bucketed interval join (r3)
     "q_session_agg",      # event-time session windows
     "q_tumbling_agg",     # event-time tumbling windows
     "q_pricing_summary",  # star-schema aggregation
@@ -110,7 +112,9 @@ def main() -> None:
                 reporting_tail[name](buf).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
         else:
-            fn = registry.queries()[name]
+            # getattr, not queries(): headline includes LOCAL_ORACLE-surface
+            # operators (the 50 driver slots cap queries(), not the bench)
+            fn = getattr(registry, name)
             for _ in range(2):
                 # queries that persist internally (minhash base signatures)
                 # must not serve run 2 from run 1's cache: CacheManager

@@ -19,10 +19,11 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb_connect(sf_dir)
     failures = 0
-    for name in sorted(registry.ORACLE):
+    all_oracle = {**registry.ORACLE, **registry.LOCAL_ORACLE}
+    for name in sorted(all_oracle):
         t0 = time.time()
-        df = registry.queries()[name](spark, sf_dir)
-        sql = registry.ORACLE[name]
+        df = getattr(registry, name)(spark, sf_dir)
+        sql = all_oracle[name]
         if sql is None:
             n = df.count()
             print(f"{name:24s} rows-only  rows={n}  {time.time()-t0:.1f}s")

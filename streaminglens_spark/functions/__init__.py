@@ -18,7 +18,9 @@ from .multimodal import (
     media_meta,
     resize_meta,
 )
+from .joins import asof_join, events_asof_orders, events_in_batches, interval_join
 from .relational import pricing_summary, region_volume, top_customers
+from .sketch import hll_distinct, kmv_distinct
 from .similarity import (
     ann_lsh_topk,
     cosine_topk,
@@ -33,6 +35,7 @@ from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_cou
 
 __all__ = [
     "ann_lsh_topk",
+    "asof_join",
     "attach_blob",
     "blob_meta",
     "cosine_topk",
@@ -41,7 +44,12 @@ __all__ = [
     "doc_fingerprint",
     "dup_corpus",
     "embed_dedup_pairs",
+    "events_asof_orders",
+    "events_in_batches",
     "frame_sample",
+    "hll_distinct",
+    "interval_join",
+    "kmv_distinct",
     "ivf_centroids",
     "ivf_topk",
     "kmeans_fit",

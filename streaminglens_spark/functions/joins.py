@@ -1,0 +1,173 @@
+"""Temporal join operators: as-of join and bucketed range (interval) join.
+
+SURVEY.md §2d records that the reference has no sort-merge/theta/as-of
+joins (`helper/JobOverlapHelper.scala` and `common/MicroBatchContext.scala`
+only ever do hash-map lookups and a `[min,max]` range predicate); these are
+the two temporal-join shapes a large-scale training-data / telemetry
+pipeline actually needs, built Spark-first:
+
+- ``asof_join``: for each left row, the payload of the latest right row at
+  or before it (per key).  Implemented as the classic UNION-MERGE: tag both
+  sides, union, one window per key ordered by (ts, side, tie) carrying
+  ``last(payload, ignorenulls=True)``, keep left rows.  ONE shuffle on the
+  key, zero join explosion -- the naive join-then-rank plan materializes
+  |left| x |matching right| intermediate rows (the DuckDB oracle does
+  exactly that, which is what makes it an independent check).
+- ``interval_join``: point-in-interval join via time bucketing: each
+  interval is exploded to the fixed-width buckets it spans, each point maps
+  to exactly ONE bucket, so the candidate join is an equi-join on bucket
+  followed by the exact containment filter.  No candidate pair is produced
+  twice (a point has one bucket), so no dedup pass is needed.  At 100 TB
+  the bucket width is the knob: pick it near the median interval width so
+  an interval spans O(1) buckets and a bucket holds O(points/bucket) rows;
+  a pathological hot bucket is AQE's skew-join case.
+
+Both keep every output column integer/exact (epoch millis, cents) so the
+DuckDB comparison is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import _ev
+
+BUCKET_MS = 3_600_000  # 1 hour: >= the typical batch-bounds interval width
+
+
+def _ms(df: DataFrame, col: str) -> F.Column:
+    """Epoch-millis column for a fixture timestamp (same 3-way dtype logic
+    as operators/windows._ev: nanos-as-long parquet, NTZ, or proper ts)."""
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000000")
+    if dtype.startswith("timestamp_ntz"):
+        return F.unix_millis(F.col(col).cast("timestamp"))
+    return F.unix_millis(col)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    payload: list[str],
+    tie: str,
+) -> DataFrame:
+    """Generic as-of join (union-merge).  ``left`` must carry ``key`` and
+    ``ms``; ``right`` must carry ``key``, ``ms``, ``tie`` and the
+    ``payload`` columns.  For each left row: the payload of the right row
+    with the greatest ``(ms, tie)`` such that ``right.ms <= left.ms`` for
+    the same key (ties at equal ms broken toward the larger ``tie``, which
+    must be unique per (key, ms) for a deterministic result).  Left rows
+    with no prior right row keep NULL payloads (left-outer semantics).
+
+    Plan: one Exchange on ``key``, one sort per partition -- the merge is
+    ``last(_pay, ignorenulls=True)`` over rows (right sorts before left at
+    equal ms so same-instant right rows are visible).  Never builds the
+    |left| x |right| candidate product.
+    """
+    r = right.select(
+        F.col(key),
+        F.col("ms"),
+        F.lit(0).alias("_side"),
+        F.col(tie).alias("_tie"),
+        F.struct(*[F.col(c) for c in payload]).alias("_pay"),
+    )
+    lft = left.withColumn("_side", F.lit(1)).withColumn(
+        "_tie", F.lit(None).cast(r.schema["_tie"].dataType)
+    ).withColumn("_pay", F.lit(None).cast(r.schema["_pay"].dataType))
+    merged = lft.select(r.columns + [c for c in left.columns if c not in {key, "ms"}]).unionByName(
+        r, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("ms"), F.col("_side"), F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("_asof", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_tie", "_pay")
+    )
+
+
+def events_asof_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Fixture binding: each event joined to the user's most recent order at
+    or before the event time (key ``user_id = o_custkey``) -- the canonical
+    "state of the account when the event happened" enrichment.  Returns
+    (event_id, user_id, ts_ms, asof_orderkey, asof_price_cents); events
+    with no prior order keep NULLs."""
+    e = _ev(events).select("event_id", "user_id", "ms")
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        _ms(orders, "o_orderdate").alias("ms"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("asof_price_cents"),
+    )
+    joined = asof_join(
+        e, o, key="user_id", payload=["asof_orderkey", "asof_price_cents"], tie="asof_orderkey"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ms").alias("ts_ms"),
+        F.col("_asof.asof_orderkey").alias("asof_orderkey"),
+        F.col("_asof.asof_price_cents").alias("asof_price_cents"),
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    bucket_ms: int = BUCKET_MS,
+) -> DataFrame:
+    """Generic bucketed point-in-interval join.  ``points`` carries ``ms``
+    (+ payload columns); ``intervals`` carries half-open ``[start_ms,
+    end_ms)`` (+ id columns).  Returns the matched pairs (all columns of
+    both inputs).
+
+    Candidate generation: interval -> ``sequence(start_ms div W,
+    (end_ms-1) div W)`` exploded to one row per spanned bucket; point ->
+    its single bucket; equi-join on bucket; exact ``start <= ms < end``
+    filter.  Empty intervals (end <= start) span no bucket and drop out.
+    """
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.when(
+                F.col("end_ms") > F.col("start_ms"),
+                F.sequence(
+                    F.expr(f"start_ms div {bucket_ms}"),
+                    F.expr(f"(end_ms - 1) div {bucket_ms}"),
+                ),
+            ).otherwise(F.array())
+        ),
+    )
+    pt = points.withColumn("_bucket", F.expr(f"ms div {bucket_ms}"))
+    return (
+        pt.join(iv, "_bucket")
+        .filter((F.col("ms") >= F.col("start_ms")) & (F.col("ms") < F.col("end_ms")))
+        .drop("_bucket")
+    )
+
+
+def events_in_batches(events: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Fixture binding: attribute raw ``events`` rows to the micro-batch
+    bounds the A1 analysis estimated (reference
+    ``analyzer/StreamingQueryAnalyzer.scala:118-129`` computes the bounds;
+    it never joins raw data back -- this is the natural extension that
+    answers "what was actually ingested during that batch window").
+    Returns per-batch (query_id, batch_id, n_events, sum_cents) over events
+    with ``start_ms <= ts < end_ms``; invalid bounds (0,0) match nothing.
+    """
+    e = _ev(events).select("ms", "cents")
+    iv = bounds.select("query_id", "batch_id", "start_ms", "end_ms")
+    return (
+        interval_join(e, iv)
+        .groupBy("query_id", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Distinct-count sketches: KMV (k-minimum-values) and HyperLogLog.
+
+The reference has no sketches (its cardinalities are driver-local map
+sizes); a 100 TB training-data pipeline needs approximate distinct counts
+that MERGE -- per-partition partial sketches combined by an associative op
+-- so the count never requires a global distinct shuffle.  Both sketches
+here are built from deterministic integer arithmetic only:
+
+- hash ``h(x) = (A*x + B) mod P`` (P = 2^31-1) -- identical in Spark and
+  DuckDB, no engine-native hash involved;
+- HLL registers are ``groupBy(bucket).agg(max(rho))`` -- max is the
+  canonical mergeable aggregate, partial/final planned by Catalyst, state
+  O(m) per group no matter the input size;
+- every floating-point output is ONE division of exactly-computed BIGINTs
+  by an inlined double constant, so the result is bit-identical across
+  engines, partitionings and reduction orders (the repo's
+  oracle-exactness rule), rounded to 6 digits.
+
+KMV note on scale: the k smallest distinct hashes are found here with a
+per-key window over the distinct hashes (fine when per-key distinct counts
+fit a partition).  At 100 TB swap the ranked window for the mergeable
+form -- per-partition "k smallest" arrays combined by merge+truncate (an
+``aggregate``/``applyInPandas`` fold); the estimate formula is unchanged.
+HLL has no such caveat -- it is already in mergeable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_P = 2_147_483_647  # 2^31 - 1
+HASH_A = 2_654_435_761  # Knuth multiplicative constant
+HASH_B = 104_729
+
+KMV_K = 32
+
+HLL_P_BITS = 6                 # m = 64 buckets
+HLL_M = 1 << HLL_P_BITS
+HLL_W_BITS = 31 - HLL_P_BITS   # remaining hash width: 25 bits
+HLL_ALPHA = 0.709              # standard alpha_64
+# estimate = alpha * m^2 / sum(2^-M_j); carrying the sum as exact integer
+# S = sum(2^(W+1-rho)) makes the estimate  ALPHA_NUM / S  with one division
+HLL_SCALE = 1 << (HLL_W_BITS + 1)
+HLL_ALPHA_NUM = HLL_ALPHA * HLL_M * HLL_M * HLL_SCALE
+
+
+def _hash(col: F.Column) -> F.Column:
+    return (F.lit(HASH_A) * col + F.lit(HASH_B)) % F.lit(HASH_P)
+
+
+def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV distinct-user estimate per event_type: the k-th smallest of the
+    distinct hash values h estimates the cardinality as
+    ``(k-1) * P / h_k`` (the k-th order statistic of n uniform draws on
+    [0, P) sits near ``k*P/n``).  Groups with fewer than k distinct values
+    report the exact count (the sketch IS exact below k).
+    Returns (event_type, n_exact, kmv_estimate)."""
+    h = events.select(
+        "event_type", _hash(F.col("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = h.withColumn("_rn", F.row_number().over(w))
+    kth = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.max(F.when(F.col("_rn") == k, F.col("h"))).alias("hk"),
+    )
+    num = float((k - 1) * HASH_P)
+    return kth.select(
+        "event_type",
+        "n_exact",
+        F.round(
+            F.when(F.col("n_exact") >= k, F.lit(num) / F.col("hk")).otherwise(
+                F.col("n_exact").cast("double")
+            ),
+            6,
+        ).alias("kmv_estimate"),
+    )
+
+
+def _rho(w: F.Column) -> F.Column:
+    """Position of the highest set bit from the top of the W-bit window
+    (leading zeros + 1); W+1 for w == 0.  A comparison chain, not
+    ``log2`` -- floats near power-of-2 boundaries round unreliably."""
+    expr = F.lit(HLL_W_BITS + 1)
+    for i in range(HLL_W_BITS, 0, -1):
+        # bits numbered from the top: w >= 2^(W-i) => rho <= i
+        expr = F.when(w >= F.lit(1 << (HLL_W_BITS - i)), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def hll_distinct(events: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, m=64 buckets:
+    bucket = low 6 hash bits, rho = leading-zero rank of the remaining 25
+    bits; registers are ``max(rho)`` per bucket (mergeable, O(m) state);
+    raw estimate = alpha_m * m^2 / sum_j 2^-M_j with empty buckets
+    contributing 2^0.  Emits the RAW estimate (production HLL adds
+    small/large-range corrections; the linear-counting branch needs ``ln``,
+    whose last-ulp behavior is not guaranteed identical across engines --
+    deliberately excluded to keep the oracle bit-exact; ``zero_buckets``
+    is emitted so callers can apply it).
+    Returns (event_type, n_exact, hll_estimate, zero_buckets)."""
+    hashed = events.select(
+        "event_type",
+        "user_id",
+        _hash(F.col("user_id")).alias("h"),
+    ).withColumn("bucket", F.col("h") % F.lit(HLL_M)).withColumn(
+        "rho", _rho(F.expr(f"h div {HLL_M}"))
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    # S = sum over present buckets of 2^(SCALE_BITS - m_j)  (+ empties at 2^SCALE_BITS)
+    summed = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W_BITS + 1} - m_j)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    s_total = F.col("s_present") + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(HLL_SCALE)
+    return (
+        summed.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(F.lit(HLL_ALPHA_NUM) / s_total.cast("double"), 6).alias("hll_estimate"),
+            (F.lit(HLL_M) - F.col("n_buckets")).cast("long").alias("zero_buckets"),
+        )
+    )

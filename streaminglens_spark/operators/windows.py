@@ -77,6 +77,32 @@ def sliding_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def time_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical time rollup (the "hypertable continuous aggregate"
+    shape): one pass producing hour-level, day-level and grand-total rows
+    via ``ROLLUP(day, hour)`` -- Catalyst expands the grouping sets and
+    plans partial (map-side) + final aggregation, so the three granularities
+    cost one shuffle, not three.  Day/hour are pure integer epoch
+    arithmetic (``ms div 86400000`` / ``(ms % 86400000) div 3600000``), no
+    engine date formatting involved.  ``gid`` is ``grouping_id()``:
+    0 = (day, hour) leaf, 1 = day subtotal, 3 = grand total.
+    Returns (day_idx, hr, gid, n_events, sum_cents)."""
+    e = _ev(events).select(
+        F.expr("ms div 86400000").alias("day_idx"),
+        F.expr("(ms % 86400000) div 3600000").alias("hr"),
+        "cents",
+    )
+    return (
+        e.rollup("day_idx", "hr")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select("day_idx", "hr", "gid", "n_events", "sum_cents")
+    )
+
+
 def session_agg(events: DataFrame) -> DataFrame:
     """Per-user session windows with a 10-minute inactivity gap
     (``F.session_window``): session end = last event + gap; a new session

@@ -436,6 +436,43 @@ def q_embed_dedup(spark, sf_dir):
     return embed_dedup_pairs(_emb(spark, sf_dir))
 
 
+# ------------------------------------- temporal joins / sketches / rollup (r3)
+# LOCAL_ORACLE surface (the 50 driver slots are full); rotation candidates
+# for round 4.
+
+def q_asof_join(spark, sf_dir):
+    from .functions.joins import events_asof_orders
+
+    return events_asof_orders(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_range_join(spark, sf_dir):
+    from .functions.joins import events_in_batches
+
+    t = _telemetry(spark, sf_dir)
+    return events_in_batches(load_table(spark, sf_dir, "events"), batch_bounds(t.progress))
+
+
+def q_kmv_distinct(spark, sf_dir):
+    from .functions.sketch import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "events"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    from .functions.sketch import hll_distinct
+
+    return hll_distinct(load_table(spark, sf_dir, "events"))
+
+
+def q_time_rollup(spark, sf_dir):
+    from .operators.windows import time_rollup
+
+    return time_rollup(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1114,6 +1151,130 @@ LOCAL_ORACLE: dict[str, str] = {
             FROM e CROSS JOIN (SELECT UNNEST(range(0, 2)) AS k) k
         ) GROUP BY 1, 2""",
 }
+
+# Round-3 additions (temporal joins, sketches, rollup) -- first-class
+# operators on the LOCAL_ORACLE surface because the 50 driver slots are
+# full; r4 rotation candidates.  The oracle formulations are deliberately
+# DIFFERENT algorithms from the Spark plans (join-then-rank vs union-merge
+# for the as-of join; theta join vs bucketed equi-join for the range join)
+# so they are independent checks, not mirrors.  Float constants are
+# inlined from the same Python values the Spark side uses (repr round-trips
+# doubles exactly).
+
+
+def _sketch_oracle() -> dict[str, str]:
+    from .functions.sketch import (
+        HASH_A,
+        HASH_B,
+        HASH_P,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_SCALE,
+        HLL_W_BITS,
+        KMV_K,
+    )
+
+    kmv_num = repr(float((KMV_K - 1) * HASH_P))
+    rho_branches = "\n               ".join(
+        f"WHEN w >= {1 << (HLL_W_BITS - i)} THEN {i}" for i in range(1, HLL_W_BITS + 1)
+    )
+    return {
+        "q_kmv_distinct": f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   ({HASH_A} * user_id + {HASH_B}) % {HASH_P} AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ),
+        agg AS (
+            SELECT event_type, COUNT(*) AS n_exact,
+                   MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+            FROM ranked GROUP BY 1
+        )
+        SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+               round(CASE WHEN n_exact >= {KMV_K} THEN {kmv_num} / hk
+                          ELSE CAST(n_exact AS DOUBLE) END, 6) AS kmv_estimate
+        FROM agg""",
+        "q_hll_distinct": f"""
+        WITH b AS (
+            SELECT event_type,
+                   (({HASH_A} * user_id + {HASH_B}) % {HASH_P}) % {HLL_M} AS bucket,
+                   (({HASH_A} * user_id + {HASH_B}) % {HASH_P}) // {HLL_M} AS w
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, bucket,
+                   MAX(CASE
+               {rho_branches}
+               ELSE {HLL_W_BITS + 1} END) AS m_j
+            FROM b GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W_BITS + 1} - m_j)) AS BIGINT)
+                       AS s_present,
+                   COUNT(*) AS n_buckets
+            FROM r GROUP BY 1
+        ),
+        x AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY 1
+        )
+        SELECT s.event_type, CAST(x.n_exact AS BIGINT) AS n_exact,
+               round({HLL_ALPHA_NUM!r}
+                     / CAST(s_present + ({HLL_M} - n_buckets) * {HLL_SCALE} AS DOUBLE),
+                     6) AS hll_estimate,
+               CAST({HLL_M} - n_buckets AS BIGINT) AS zero_buckets
+        FROM s JOIN x USING (event_type)""",
+    }
+
+
+LOCAL_ORACLE.update(_sketch_oracle())
+LOCAL_ORACLE.update(
+    {
+        "q_asof_join": """
+        WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+        o AS (
+            SELECT o_custkey, epoch_ms(o_orderdate) AS oms, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT event_id, user_id, ts_ms,
+               o_orderkey AS asof_orderkey, cents AS asof_price_cents
+        FROM (
+            SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.cents,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.oms DESC NULLS LAST,
+                                o.o_orderkey DESC NULLS LAST) AS rn
+            FROM e LEFT JOIN o
+                ON o.o_custkey = e.user_id AND o.oms <= e.ts_ms
+        ) WHERE rn = 1""",
+        "q_range_join": oracle_analysis("""
+        SELECT b.query_id, b.batch_id, COUNT(*) AS n_events,
+               CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+        FROM bounds2 b
+        JOIN (SELECT epoch_ms(ts) AS ms,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events) e
+            ON e.ms >= b.start_ms AND e.ms < b.end_ms
+        GROUP BY 1, 2"""),
+        "q_time_rollup": """
+        WITH e AS (
+            SELECT epoch_ms(ts) // 86400000 AS day_idx,
+                   (epoch_ms(ts) % 86400000) // 3600000 AS hr,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT day_idx, hr, CAST(GROUPING(day_idx, hr) AS BIGINT) AS gid,
+               COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY ROLLUP(day_idx, hr)""",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,140 @@
+"""Temporal joins (as-of, bucketed range), sketches (KMV, HLL) and the time
+rollup: hand-computed goldens, determinism/quality properties, and the plan
+shapes that make them scale (single-shuffle merge, equi-join candidates,
+one-pass grouping sets).  Oracle hash-matches run in test_oracle_queries
+(LOCAL_ORACLE surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark import registry
+from streaminglens_spark.functions.joins import asof_join, interval_join
+from streaminglens_spark.plans.audit import exchange_count, formatted_plan
+from tests.conftest import SF_DIR
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 50), (3, 10, 20), (4, 99, 100)],
+        "event_id long, user_id long, ms long",
+    )
+    right = spark.createDataFrame(
+        # user 10: orders at ms 20, 50 (two: keys 7 and 8), 120 (after)
+        [(10, 20, 7, 700), (10, 50, 8, 800), (10, 50, 6, 600), (10, 120, 9, 900)],
+        "user_id long, ms long, ok long, cents long",
+    )
+    return left, right
+
+
+def test_asof_join_golden(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, key="user_id", payload=["ok", "cents"], tie="ok")
+    rows = {
+        r["event_id"]: (r["_asof"]["ok"] if r["_asof"] else None)
+        for r in out.collect()
+    }
+    # event 1 (ms=100): latest order at ms<=100 is ms=50; tie (ok 6 vs 8) -> 8
+    # event 2 (ms=50): same-instant order counts ("at or before") -> 8
+    # event 3 (ms=20): equal-ms order visible -> 7
+    # event 4 (user 99): no orders -> NULL payload (left-outer)
+    assert rows == {1: 8, 2: 8, 3: 7, 4: None}
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The union-merge plan must contain no join operator at all and
+    exactly one exchange (the partition-by-key sort window)."""
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, key="user_id", payload=["ok", "cents"], tie="ok")
+    plan = formatted_plan(out)
+    assert "Join" not in plan, plan
+    assert exchange_count(out) == 1, plan
+
+
+def test_interval_join_golden(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 19), (4, 20), (5, 35)], "pid long, ms long"
+    )
+    intervals = spark.createDataFrame(
+        # [10, 20) spans buckets 1; [5, 36) spans buckets 0-3; [30, 30) empty
+        [(100, 10, 20), (200, 5, 36), (300, 30, 30)],
+        "iv long, start_ms long, end_ms long",
+    )
+    out = interval_join(points, intervals, bucket_ms=10)
+    pairs = sorted((r["pid"], r["iv"]) for r in out.collect())
+    # half-open: ms=20 not in [10,20); empty interval matches nothing;
+    # multi-bucket interval 200 matches each point exactly once
+    assert pairs == [(1, 200), (2, 100), (2, 200), (3, 100), (3, 200), (4, 200), (5, 200)]
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketing must turn the containment predicate into an equi-join --
+    never a nested-loop/cartesian candidate stage."""
+    df = registry.q_range_join(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("a", i) for i in range(5)],
+        "event_type string, user_id long",
+    )
+    from streaminglens_spark.functions.sketch import kmv_distinct
+
+    [row] = kmv_distinct(df).collect()
+    assert row["n_exact"] == 5
+    assert row["kmv_estimate"] == 5.0  # below k the sketch IS the exact count
+
+
+def test_sketch_estimates_track_exact_counts(spark):
+    """Deterministic quality floor on the fixture: both sketches land
+    within 50% relative error of the true per-type user cardinality.
+    For HLL the standard small-range (linear counting) correction is
+    applied CALLER-side from the emitted ``zero_buckets`` -- exactly the
+    contract the operator documents (``ln`` is excluded from the engine
+    output to keep the oracle bit-exact)."""
+    import math
+
+    for row in registry.q_kmv_distinct(spark, SF_DIR).collect():
+        exact = row["n_exact"]
+        assert exact > 0
+        assert abs(row["kmv_estimate"] - exact) / exact < 0.5, row
+    for row in registry.q_hll_distinct(spark, SF_DIR).collect():
+        exact, est, zeros = row["n_exact"], row["hll_estimate"], row["zero_buckets"]
+        if est < 2.5 * 64 and zeros > 0:  # small-range: linear counting
+            est = 64 * math.log(64 / zeros)
+        assert exact > 0
+        assert abs(est - exact) / exact < 0.5, (row, est)
+
+
+def test_hll_registers_bounded(spark):
+    df = registry.q_hll_distinct(spark, SF_DIR)
+    for row in df.collect():
+        assert 0 <= row["zero_buckets"] <= 64
+
+
+def test_time_rollup_hierarchy_consistent(spark):
+    rows = registry.q_time_rollup(spark, SF_DIR).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    [total] = by_gid[3]
+    assert total["day_idx"] is None and total["hr"] is None
+    leaf_n = sum(r["n_events"] for r in by_gid[0])
+    day_n = sum(r["n_events"] for r in by_gid[1])
+    assert leaf_n == day_n == total["n_events"]
+    leaf_cents = sum(r["sum_cents"] for r in by_gid[0])
+    assert leaf_cents == total["sum_cents"]
+    assert len(by_gid[1]) == len({r["day_idx"] for r in by_gid[0]})
+
+
+def test_time_rollup_single_pass(spark):
+    """ROLLUP must plan as one Expand + aggregate -- three granularities,
+    one shuffle."""
+    df = registry.q_time_rollup(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan
+    assert exchange_count(df) == 1, plan
