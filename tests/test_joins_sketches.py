@@ -76,6 +76,56 @@ def test_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_asof_join_matches_brute_force_model(spark):
+    """Randomized model check: the single-shuffle union-merge must agree
+    with the obvious per-row brute force (greatest (ms, tie) at or before)
+    on adversarial data -- duplicate timestamps, same-instant left/right
+    rows, keys on one side only."""
+    import random
+
+    rng = random.Random(1234)
+    left = [(i, rng.randint(0, 8), rng.randint(0, 40)) for i in range(120)]
+    right = [
+        (rng.randint(0, 10), rng.randint(0, 40), i, i * 10) for i in range(80)
+    ]
+    expected = {}
+    for eid, key, ms in left:
+        cands = [(rms, ok) for rkey, rms, ok, _ in right if rkey == key and rms <= ms]
+        expected[eid] = max(cands)[1] if cands else None
+    ldf = spark.createDataFrame(left, "event_id long, user_id long, ms long")
+    rdf = spark.createDataFrame(right, "user_id long, ms long, ok long, cents long")
+    out = asof_join(ldf, rdf, key="user_id", payload=["ok", "cents"], tie="ok")
+    got = {
+        r["event_id"]: (r["_asof"]["ok"] if r["_asof"] else None) for r in out.collect()
+    }
+    assert got == expected
+
+
+def test_interval_join_matches_brute_force_model(spark):
+    """Randomized model check: bucketing must produce exactly the
+    containment pairs -- intervals of width 0 to several buckets, points
+    on every boundary."""
+    import random
+
+    rng = random.Random(99)
+    points = [(i, rng.randint(0, 100)) for i in range(150)]
+    intervals = []
+    for i in range(60):
+        s = rng.randint(0, 100)
+        intervals.append((i, s, s + rng.choice([0, 1, 7, 10, 13, 25])))
+    expected = sorted(
+        (pid, iv)
+        for pid, ms in points
+        for iv, s, e in intervals
+        if s <= ms < e
+    )
+    pdf = spark.createDataFrame(points, "pid long, ms long")
+    idf = spark.createDataFrame(intervals, "iv long, start_ms long, end_ms long")
+    out = interval_join(pdf, idf, bucket_ms=10)
+    got = sorted((r["pid"], r["iv"]) for r in out.collect())
+    assert got == expected
+
+
 def test_kmv_exact_below_k(spark):
     df = spark.createDataFrame(
         [("a", i) for i in range(5)] + [("a", i) for i in range(5)],
