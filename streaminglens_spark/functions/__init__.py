@@ -20,7 +20,7 @@ from .multimodal import (
 )
 from .joins import asof_join, events_asof_orders, events_in_batches, interval_join
 from .relational import pricing_summary, region_volume, top_customers
-from .sketch import hll_distinct, hll_distinct_windowed, kmv_distinct
+from .sketch import hist_quantiles, hll_distinct, hll_distinct_windowed, kmv_distinct
 from .similarity import (
     ann_lsh_topk,
     cosine_topk,
@@ -47,6 +47,7 @@ __all__ = [
     "events_asof_orders",
     "events_in_batches",
     "frame_sample",
+    "hist_quantiles",
     "hll_distinct",
     "hll_distinct_windowed",
     "interval_join",

@@ -130,6 +130,47 @@ def hll_distinct(events: DataFrame) -> DataFrame:
     )
 
 
+HIST_BIN_CENTS = 500  # 5.00-wide value bins
+
+
+def hist_quantiles(events: DataFrame, bin_cents: int = HIST_BIN_CENTS) -> DataFrame:
+    """Histogram quantile sketch over ``events.value`` per event_type:
+    p50/p95/p99 reported as the UPPER BOUND (in cents) of the bin holding
+    the p-th value.  The sketch state is the per-bin count vector --
+    additive, mergeable, O(range/bin_width) per key -- and every step is
+    integer arithmetic (``cum*100 >= p*n`` instead of a float ceil), so
+    the result is independent of partitioning and reduction order.  This
+    is the deterministic alternative to rank-error sketches (t-digest/KLL
+    fold floats in data order, which would break the oracle hash); the
+    tradeoff is bounded VALUE error (one bin) instead of bounded RANK
+    error.  Returns (event_type, n, p50_ub_cents, p95_ub_cents,
+    p99_ub_cents)."""
+    e = events.select(
+        "event_type",
+        F.expr(f"cast(round(value * 100) as bigint) div {bin_cents}").alias("bin"),
+    )
+    bins = e.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = bins.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    pick = lambda p: F.min(  # noqa: E731 -- first bin with cum >= p% of n
+        F.when(F.col("cum") * 100 >= F.lit(p) * F.col("n"), F.col("bin"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            ((pick(p) + 1) * bin_cents).cast("long").alias(f"p{p}_ub_cents")
+            for p in (50, 95, 99)
+        ],
+    )
+
+
 def hll_distinct_windowed(events: DataFrame, window_dur: str = "1 hour") -> DataFrame:
     """Event-time-windowed HLL distinct-user estimate -- the STREAMING form
     of ``hll_distinct``, identical on batch and streaming inputs.

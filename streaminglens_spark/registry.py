@@ -473,6 +473,12 @@ def q_time_rollup(spark, sf_dir):
     return time_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_hist_quantiles(spark, sf_dir):
+    from .functions.sketch import hist_quantiles
+
+    return hist_quantiles(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1273,6 +1279,29 @@ LOCAL_ORACLE.update(
         SELECT day_idx, hr, CAST(GROUPING(day_idx, hr) AS BIGINT) AS gid,
                COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
         FROM e GROUP BY ROLLUP(day_idx, hr)""",
+        # histogram-quantile semantics ARE the contract (bin upper bound),
+        # so the SQL states the same definition over the same integer bins
+        "q_hist_quantiles": """
+        WITH b AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM b
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST((MIN(CASE WHEN cum * 100 >= 50 * n THEN bin END) + 1) * 500
+                    AS BIGINT) AS p50_ub_cents,
+               CAST((MIN(CASE WHEN cum * 100 >= 95 * n THEN bin END) + 1) * 500
+                    AS BIGINT) AS p95_ub_cents,
+               CAST((MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END) + 1) * 500
+                    AS BIGINT) AS p99_ub_cents
+        FROM cum GROUP BY 1""",
     }
 )
 

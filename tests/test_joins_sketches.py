@@ -159,6 +159,46 @@ def test_sketch_estimates_track_exact_counts(spark):
         assert abs(est - exact) / exact < 0.5, (row, est)
 
 
+def test_hist_quantiles_brackets_true_quantiles(spark):
+    """The reported bin upper bound must sit at or within one bin above
+    the true discrete quantile -- checked against Python's sorted-rank
+    brute force on the fixture."""
+    from streaminglens_spark.sources.loaders import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    got = {r["event_type"]: r for r in registry.q_hist_quantiles(spark, SF_DIR).collect()}
+    for etype, cents in by_type.items():
+        cents.sort()
+        row = got[etype]
+        assert row["n"] == len(cents)
+        for p in (50, 95, 99):
+            true_q = cents[-(-p * len(cents) // 100) - 1]  # ceil(p%*n)-th value
+            ub = row[f"p{p}_ub_cents"]
+            assert true_q <= ub <= true_q + 500, (etype, p, true_q, ub)
+
+
+def test_hist_quantiles_merge_invariant(spark):
+    """Additive bin counts: computing the sketch over an arbitrary 2-way
+    split and over the whole input must agree exactly (the mergeability
+    that lets partial sketches combine across executors)."""
+    from streaminglens_spark.functions.sketch import hist_quantiles
+    from streaminglens_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    whole = {tuple(r) for r in hist_quantiles(ev).collect()}
+    split = ev.withColumn("half", F.col("event_id") % 2)
+    recombined = {
+        tuple(r)
+        for r in hist_quantiles(
+            split.filter("half = 0").unionByName(split.filter("half = 1")).drop("half")
+        ).collect()
+    }
+    assert whole == recombined
+
+
 def test_hll_registers_bounded(spark):
     df = registry.q_hll_distinct(spark, SF_DIR)
     for row in df.collect():
