@@ -36,11 +36,17 @@ MINHASH_B = [
 N_BANDS = 4
 BAND_ROWS = 4
 SHINGLE_K = 5
+# id offset of the constructed-duplicate corpus copy; every consumer of the
+# dup_corpus convention (including minhash_lsh_pairs' join-by-original-id
+# optimization) derives from this one symbol, and minhash_lsh_pairs asserts
+# max(doc_id) < DUP_SHIFT so a larger corpus fails loudly instead of
+# silently verifying against the wrong document's shingles
+DUP_SHIFT = 100000
 
 
 def dup_corpus(documents: DataFrame) -> DataFrame:
     base = documents.select("doc_id", "text")
-    shifted = documents.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    shifted = documents.select((F.col("doc_id") + DUP_SHIFT).alias("doc_id"), "text")
     return base.unionByName(shifted)
 
 
@@ -189,12 +195,25 @@ def minhash_lsh_pairs(
                 for k in range(len(MINHASH_A))
             ],
         )
-        .persist()
     )
+    # tracked persist: the returned DataFrame reads this cached node, so the
+    # operator can't unpersist it itself -- callers release via
+    # streaminglens_spark.cache.release_caches() after their action
+    from ..cache import track
+
+    base = track(base)
     # materialize BEFORE fan-out: the band path and both verify paths
-    # otherwise race the cold cache in one action and recompute the UDF 3x
-    base.count()
-    sig = base.unionByName(base.withColumn("doc_id", F.col("doc_id") + 100000))
+    # otherwise race the cold cache in one action and recompute the UDF 3x.
+    # The same (single) pass validates the DUP_SHIFT id-space precondition
+    # the verify stage's join-by-original-id relies on.
+    max_id = base.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= DUP_SHIFT:
+        raise ValueError(
+            f"minhash_lsh_pairs: input doc_id {max_id} >= DUP_SHIFT "
+            f"({DUP_SHIFT}); the dup-corpus id convention would alias "
+            "distinct documents -- raise DUP_SHIFT or re-key the corpus"
+        )
+    sig = base.unionByName(base.withColumn("doc_id", F.col("doc_id") + DUP_SHIFT))
     # all bands in ONE pass over sig (explode), not one union branch per band
     band_structs = F.array(
         *[
@@ -262,8 +281,8 @@ def minhash_lsh_pairs(
     a = sh.select(F.col("doc_id").alias("_oa"), F.col("sh").alias("sh_a"))
     b_ = sh.select(F.col("doc_id").alias("_ob"), F.col("sh").alias("sh_b"))
     verified = (
-        maybe.withColumn("_oa", F.col("doc_a") % 100000)
-        .withColumn("_ob", F.col("doc_b") % 100000)
+        maybe.withColumn("_oa", F.col("doc_a") % DUP_SHIFT)
+        .withColumn("_ob", F.col("doc_b") % DUP_SHIFT)
         .join(a, "_oa")
         .join(b_, "_ob")
         .withColumn("jaccard", _jaccard_udf()(F.col("sh_a"), F.col("sh_b")))

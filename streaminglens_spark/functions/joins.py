@@ -132,6 +132,13 @@ def interval_join(
     its single bucket; equi-join on bucket; exact ``start <= ms < end``
     filter.  Empty intervals (end <= start) span no bucket and drop out.
     """
+    # TRUNCATING bucketing (Spark `div` == DuckDB integer `//`, both
+    # truncate toward zero -- measured).  ms -> trunc(ms/W) is monotone
+    # non-decreasing, so an interval's bucket range [b(start), b(end-1)]
+    # always covers every contained point's bucket -- candidate generation
+    # stays COMPLETE for negative (pre-1970) ms too; bucket 0 is merely
+    # double-width around the epoch (a width, not a correctness, effect).
+    # Pinned with pre-epoch inputs in tests/test_advice_r4.py.
     iv = intervals.withColumn(
         "_bucket",
         F.explode(

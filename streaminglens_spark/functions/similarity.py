@@ -247,8 +247,12 @@ def ivf_topk(
             (F.col("_crn") == 1)
             | ((F.col("vec_id") < n_queries) & (F.col("_crn") <= nprobe))
         )
-        .persist()
     )
+    # tracked persist (see streaminglens_spark.cache): callers release with
+    # release_caches() after their action; the bench's clearCache also works
+    from ..cache import track
+
+    ranked = track(ranked)
     ranked.count()
     assign = ranked.filter(F.col("_crn") == 1).select("cell", "vec_id", "v", "nrm")
     probes = (

@@ -147,6 +147,13 @@ def hist_quantiles(events: DataFrame, bin_cents: int = HIST_BIN_CENTS) -> DataFr
     p99_ub_cents)."""
     e = events.select(
         "event_type",
+        # TRUNCATING division, deliberately: Spark `div` and DuckDB's
+        # integer `//` BOTH truncate toward zero (measured; r3 advice
+        # assumed DuckDB floors, which is true only for non-integer
+        # operands), so negative cents stay bit-exact cross-engine.  Bin 0
+        # is double-width around zero, but the upper-bound guarantee
+        # `value < (bin+1)*bin_cents` holds for every sign -- pinned with
+        # negative inputs in tests/test_advice_r4.py.
         F.expr(f"cast(round(value * 100) as bigint) div {bin_cents}").alias("bin"),
     )
     bins = e.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))

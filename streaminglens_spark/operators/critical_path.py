@@ -70,11 +70,14 @@ def _critical_path_pandas(stages: DataFrame, tasks: DataFrame) -> DataFrame:
             nodes: dict[int, list[int]] = {}
             weights: dict[int, int] = {}
             for r in dag:
-                if r["d"] is None:  # stage row
+                # rt is an explicit row-type tag (0=stage, 1=task): a task
+                # row with a NULL duration (schema-legal; only the REST path
+                # filters them) must not be mistaken for a stage row.
+                if r["rt"] == 0:  # stage row
                     nodes[int(r["stage_id"])] = (
                         [] if r["parent_ids"] is None else [int(p) for p in r["parent_ids"]]
                     )
-                else:  # task row: running max = stage weight
+                elif r["d"] is not None:  # task row: running max = stage weight
                     sid = int(r["stage_id"])
                     d = int(r["d"])
                     if d > weights.get(sid, -1):
@@ -93,11 +96,18 @@ def _critical_path_pandas(stages: DataFrame, tasks: DataFrame) -> DataFrame:
                 memo[sid] = v
                 return v
 
-            out.append(crit(max(nodes)))  # recursion starts at the max stage id
+            # A job with task rows but no stage rows (possible when tasks
+            # carry their own job_id) has an empty DAG: critical time 0
+            # rather than max() raising on an empty dict.
+            out.append(crit(max(nodes)) if nodes else 0)
         return pd.Series(out)
 
     stg = stages.select(
-        "job_id", "stage_id", "parent_ids", F.lit(None).cast("long").alias("d")
+        F.lit(0).alias("rt"),
+        "job_id",
+        "stage_id",
+        "parent_ids",
+        F.lit(None).cast("long").alias("d"),
     )
     if "job_id" in tasks.columns:
         keyed = tasks.select("job_id", "stage_id", "duration_ms")
@@ -107,19 +117,24 @@ def _critical_path_pandas(stages: DataFrame, tasks: DataFrame) -> DataFrame:
             stages.select("stage_id", "job_id"), "stage_id"
         )
     tsk = keyed.select(
+        F.lit(1).alias("rt"),
         "job_id",
         "stage_id",
         F.lit(None).cast("array<bigint>").alias("parent_ids"),
         F.col("duration_ms").alias("d"),
     )
     dags = stg.unionByName(tsk).groupBy("job_id").agg(
-        F.collect_list(F.struct("stage_id", "parent_ids", "d")).alias("dag")
+        F.collect_list(F.struct("rt", "stage_id", "parent_ids", "d")).alias("dag")
     )
     return dags.select("job_id", walk(F.col("dag")).alias("critical_ms"))
 
 
 def _critical_path_joins(stages: DataFrame, tasks: DataFrame, max_depth: int) -> DataFrame:
-    nodes = stage_weights(stages, tasks).persist()
+    from ..cache import track
+
+    # tracked persist (released by the caller via cache.release_caches());
+    # the returned plan still reads it, so it cannot be unpersisted here
+    nodes = track(stage_weights(stages, tasks))
     rn = Window.partitionBy("job_id").orderBy(F.col("stage_id").desc())
     frontier = (
         nodes.withColumn("_rn", F.row_number().over(rn))

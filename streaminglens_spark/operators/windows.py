@@ -23,6 +23,8 @@ def _ev(events: DataFrame) -> DataFrame:
     """events with epoch-millis ts and exact integer value_cents."""
     dtype = dict(events.dtypes)["ts"]
     if dtype == "bigint":
+        # truncating nanos->ms, matching DuckDB epoch_ms (which also
+        # truncates toward zero on sub-ms pre-1970 instants -- measured)
         ms = F.expr("ts div 1000000")
     elif dtype.startswith("timestamp_ntz"):
         # non-UTC-adjusted micros parquet; session TZ is UTC (see telemetry)
@@ -88,6 +90,10 @@ def time_rollup(events: DataFrame) -> DataFrame:
     0 = (day, hour) leaf, 1 = day subtotal, 3 = grand total.
     Returns (day_idx, hr, gid, n_events, sum_cents)."""
     e = _ev(events).select(
+        # TRUNCATING division, matching DuckDB's integer `//` (which also
+        # truncates -- measured, contra the r3 advice premise) and `%`
+        # (sign of dividend, both engines): pre-1970 ms stay bit-exact
+        # cross-engine (tests/test_advice_r4.py pins negative inputs)
         F.expr("ms div 86400000").alias("day_idx"),
         F.expr("(ms % 86400000) div 3600000").alias("hr"),
         "cents",

@@ -182,6 +182,7 @@ class LiveAnalyzer:
         # tick -- the engine's pluggable stand-in for the reference's
         # Dropwizard source registration (StreamingLensMetricsReporter.scala)
         self.gauge_sinks: list = list(gauge_sinks or [])
+        self._warned_sinks: set[int] = set()  # sinks already warned about
         if telemetry_provider is None and scheduler_capture is not None:
             from .scheduler import scheduler_telemetry_provider
 
@@ -578,8 +579,18 @@ class LiveAnalyzer:
             for source_name, vals in snapshot.items():
                 try:
                     pub(source_name, dict(vals))
-                except Exception:
-                    pass  # a broken metrics sink must never fail the tick
+                except Exception as e:
+                    # a broken metrics sink must never fail the tick, but a
+                    # permanently broken one must not be invisible either:
+                    # warn once per sink (r3 advice), then stay quiet
+                    if id(sink) not in self._warned_sinks:
+                        self._warned_sinks.add(id(sink))
+                        logger.warning(
+                            "gauge sink %r failed (suppressing further "
+                            "warnings for this sink): %s",
+                            sink,
+                            e,
+                        )
 
     def stop(self) -> None:
         """Self-shutdown (U2) / user stop: emit terminated events once and

@@ -102,7 +102,9 @@ class Telemetry:
 def _ts_ms(events: DataFrame) -> F.Column:
     """events.ts -> epoch millis.  With spark.sql.legacy.parquet.nanosAsLong
     the TIMESTAMP(NANOS) column arrives as BIGINT nanos; DuckDB's
-    ``epoch_ms(ts)`` on the same file truncates identically."""
+    ``epoch_ms(ts)`` on the same file truncates identically (measured: both
+    engines truncate toward zero, even pre-1970 -- the r3 advice premise
+    that DuckDB floors holds only for non-integer operands)."""
     dtype = dict(events.dtypes)["ts"]
     if dtype == "bigint":
         return F.expr("ts div 1000000")
