@@ -53,30 +53,14 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("streaminglens-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warmup: touch the fixture scan + a tiny job so JVM startup is excluded,
-    # and run a trivial pandas UDF so the Python worker pool (one proc per
-    # core, spawned on first use) is charged to startup, not to whichever
-    # query happens to hit Arrow first
-    registry.queries()["q_batch_bounds"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    def _wu(batches):
-        yield from batches
-
-    spark.range(100_000).mapInPandas(_wu, "id long").write.format("noop").mode(
-        "overwrite"
-    ).save()
+def run_suite(spark, sf_dir: str, runs: int) -> tuple[dict[str, float], float]:
+    """Time every headline query at ``sf_dir``; min of ``runs`` runs per
+    query (min = the reproducible cost of the plan, not a lucky cache hit --
+    nothing is persisted across runs and the noop sink recomputes fully)."""
+    from streaminglens_spark.operators.reporting import discounted_state, results_topk
 
     # reporting-tail queries read the maintained results buffer (see module
     # docstring); built lazily once, shared by both
-    from streaminglens_spark.operators.reporting import discounted_state, results_topk
-
     reporting_tail = {
         "q_results_topk": results_topk,
         "q_discounted_state": discounted_state,
@@ -97,16 +81,13 @@ def main() -> None:
             results_buf.count()
         return results_buf
 
-    # min of 2 runs per query: single-box run-to-run noise is ±15% (PERF.md);
-    # the min is the reproducible cost of the plan, not a lucky cache hit --
-    # nothing is persisted across runs and the noop sink recomputes fully
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         best = float("inf")
         if name in reporting_tail:
             buf = get_results_buf()
-            for _ in range(2):
+            for _ in range(runs):
                 # the buffer IS the operator's input: no clearCache here
                 t0 = time.time()
                 reporting_tail[name](buf).write.format("noop").mode("overwrite").save()
@@ -115,7 +96,7 @@ def main() -> None:
             # getattr, not queries(): headline includes LOCAL_ORACLE-surface
             # operators (the 50 driver slots cap queries(), not the bench)
             fn = getattr(registry, name)
-            for _ in range(2):
+            for _ in range(runs):
                 # queries that persist internally (minhash base signatures)
                 # must not serve run 2 from run 1's cache: CacheManager
                 # matches canonicalized plans across separately-built
@@ -127,18 +108,78 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
+    if results_buf is not None:
+        results_buf.unpersist()
+    return timings, total
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+
+def _sf1_dir() -> str | None:
+    """Locate (or build) the derived sf1 scale point; None if unavailable.
+    The driver artifact then carries the 10x scale curve, not only PERF.md
+    (r3 verdict ask #6).  Opt out with SPARK_GRAFT_SF1=0."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    root = Path(__file__).resolve().parent
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", str(root / ".scratch" / "sf1"))
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        import subprocess
+
+        print("# generating sf1 scale data ...", file=sys.stderr)
+        r = subprocess.run(
+            [sys.executable, str(root / "scripts" / "make_scale_data.py"), out],
+            capture_output=True,
+            text=True,
         )
-    )
+        if r.returncode != 0:
+            print(f"# sf1 generation failed: {r.stderr[-400:]}", file=sys.stderr)
+            return None
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("streaminglens-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the fixture scan + a tiny job so JVM startup is excluded,
+    # and run a trivial pandas UDF so the Python worker pool (one proc per
+    # core, spawned on first use) is charged to startup, not to whichever
+    # query happens to hit Arrow first
+    registry.queries()["q_batch_bounds"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    def _wu(batches):
+        yield from batches
+
+    spark.range(100_000).mapInPandas(_wu, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # min of 2 runs per query: single-box run-to-run noise is ±15% (PERF.md)
+    timings, total = run_suite(spark, sf_dir, runs=2)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # second scale point: the same suite at sf1 (10x), single-run (the
+    # scale curve cares about the big queries, where one run is stable).
+    # Fail-open: a missing/broken scale point never loses the sf0.1 line.
+    try:
+        sf1 = _sf1_dir()
+        if sf1:
+            print(f"# --- sf1 pass ({sf1}) ---", file=sys.stderr)
+            t1, tot1 = run_suite(spark, sf1, runs=1)
+            result["sf1"] = {"value": round(tot1, 3), "queries": t1, "runs": 1}
+    except Exception as e:  # pragma: no cover
+        print(f"# sf1 pass failed: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -99,6 +99,12 @@ def events_asof_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
     (event_id, user_id, ts_ms, asof_orderkey, asof_price_cents); events
     with no prior order keep NULLs."""
     e = _ev(events).select("event_id", "user_id", "ms")
+    return _asof_orders_prepared(e, orders)
+
+
+def _asof_orders_prepared(e: DataFrame, orders: DataFrame) -> DataFrame:
+    """Shared core of the batch and streaming (foreachBatch) as-of
+    enrichment: ``e`` is already (event_id, user_id, ms)."""
     o = orders.select(
         F.col("o_custkey").alias("user_id"),
         _ms(orders, "o_orderdate").alias("ms"),

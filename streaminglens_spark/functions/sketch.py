@@ -16,12 +16,19 @@ here are built from deterministic integer arithmetic only:
   engines, partitionings and reduction orders (the repo's
   oracle-exactness rule), rounded to 6 digits.
 
-KMV note on scale: the k smallest distinct hashes are found here with a
-per-key window over the distinct hashes (fine when per-key distinct counts
-fit a partition).  At 100 TB swap the ranked window for the mergeable
-form -- per-partition "k smallest" arrays combined by merge+truncate (an
-``aggregate``/``applyInPandas`` fold); the estimate formula is unchanged.
-HLL has no such caveat -- it is already in mergeable form.
+KMV note on scale: the k smallest distinct hashes are found with a
+MERGEABLE two-level aggregation (r3 verdict ask #2): distinct hashes are
+first reduced per (key, hash-bucket) sub-group to a sorted k-smallest
+array plus a count, then the per-key merge sorts and truncates the
+concatenation of at most ``n_buckets`` such arrays.  Both levels are
+associative merge+truncate folds planned as ordinary hash aggregations --
+no per-key ranked window, so no single task ever sorts a hot key's full
+distinct-hash set; the largest sort anywhere is ``n_distinct(key) /
+n_buckets`` elements (level 1) or ``n_buckets * k`` elements (level 2).
+The k-th order statistic is algorithm-independent, so the estimate is
+bit-identical to the ranked-window formulation (the DuckDB oracle keeps
+that independent form).  HLL never had the caveat -- ``max`` per register
+is already mergeable.
 """
 
 from __future__ import annotations
@@ -49,21 +56,43 @@ def _hash(col: F.Column) -> F.Column:
     return (F.lit(HASH_A) * col + F.lit(HASH_B)) % F.lit(HASH_P)
 
 
-def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+KMV_MERGE_BUCKETS = 32
+
+
+def kmv_distinct(
+    events: DataFrame, k: int = KMV_K, n_buckets: int = KMV_MERGE_BUCKETS
+) -> DataFrame:
     """KMV distinct-user estimate per event_type: the k-th smallest of the
     distinct hash values h estimates the cardinality as
     ``(k-1) * P / h_k`` (the k-th order statistic of n uniform draws on
     [0, P) sits near ``k*P/n``).  Groups with fewer than k distinct values
     report the exact count (the sketch IS exact below k).
+
+    Mergeable two-level plan (no per-key ranked window): level 1 reduces
+    each (event_type, h mod n_buckets) sub-group to its sorted k-smallest
+    array + count; level 2 merges a key's <= n_buckets arrays by
+    sort(flatten(...)) truncated to k, and sums the counts.  Merge+truncate
+    is associative, both levels are plain hash aggregations, and the
+    heaviest sort anywhere is n_distinct(key)/n_buckets (level 1) or
+    n_buckets*k (level 2) elements -- a hot key is spread over its hash
+    buckets instead of landing on one sorting task.  ``n_buckets`` is the
+    skew knob; the result is bit-identical for any value of it (the k-th
+    order statistic does not depend on how it was found).
     Returns (event_type, n_exact, kmv_estimate)."""
     h = events.select(
         "event_type", _hash(F.col("user_id")).alias("h")
     ).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    ranked = h.withColumn("_rn", F.row_number().over(w))
-    kth = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact"),
-        F.max(F.when(F.col("_rn") == k, F.col("h"))).alias("hk"),
+    partial = h.groupBy("event_type", (F.col("h") % n_buckets).alias("_b")).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    kth = partial.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_exact"),
+        # F.get (0-based, NULL out-of-bounds) not element_at: under ANSI
+        # mode element_at throws when the key has < k distinct hashes
+        F.get(
+            F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, k), k - 1
+        ).alias("hk"),
     )
     num = float((k - 1) * HASH_P)
     return kth.select(

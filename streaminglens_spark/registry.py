@@ -409,9 +409,14 @@ def q_media_meta(spark, sf_dir):
 
 
 def q_decode_image(spark, sf_dir):
-    from .functions.multimodal import attach_blob, decode_image
+    # r4: REAL decode -- payloads are conforming grayscale PNGs (stdlib
+    # zlib codec) whose pixels tile the document's bytes, decoded with
+    # strict=True (no fake path).  The oracle computes the expected pixel
+    # stats from the generating formula without any codec, so a wrong
+    # decoder (filters, IHDR, inflate) hash-mismatches.
+    from .functions.multimodal import attach_png_blob, decode_image
 
-    return decode_image(attach_blob(_docs(spark, sf_dir))).select(
+    return decode_image(attach_png_blob(_docs(spark, sf_dir)), strict=True).select(
         "doc_id", "width", "height", "format", "mean_byte"
     )
 
@@ -927,17 +932,33 @@ ORACLE: dict[str, str | None] = {
                         THEN CAST(16 AS DOUBLE) / GREATEST(width, height)
                         ELSE 1.0 END), 1) AS BIGINT) AS out_height
         FROM m""",
+    # pixel mean of the decoded PNG, computed codec-free from the tiling
+    # formula: pixels = text bytes repeated over w*h, so
+    # sum = floor(w*h/len)*sum(all bytes) + sum(first (w*h mod len) bytes)
     "q_decode_image": """
-        SELECT doc_id,
-               CAST(doc_id % 64 + 1 AS BIGINT) AS width,
-               CAST(doc_id % 48 + 1 AS BIGINT) AS height,
-               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                    ELSE 'webp' END AS format,
-               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(range(1, length(text) + 1),
-                            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
-                        (a, c) -> a + c) AS DOUBLE) / length(text) AS mean_byte
-        FROM documents""",
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+                   CAST(doc_id % 48 + 1 AS BIGINT) AS h,
+                   CAST(length(text) AS BIGINT) AS len
+            FROM documents WHERE length(text) > 0
+        ),
+        s AS (
+            SELECT doc_id, w, h, len,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, len + 1),
+                           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                       (a, c) -> a + c) AS total,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, (w * h) % len + 1),
+                           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                       (a, c) -> a + c) AS prefix
+            FROM d
+        )
+        SELECT doc_id, w AS width, h AS height, 'png' AS format,
+               CAST((w * h // len) * total + prefix AS DOUBLE) / (w * h)
+                   AS mean_byte
+        FROM s""",
     "q_frame_sample": """
         SELECT d.doc_id, k.k AS frame_idx,
                CAST(k.k * 64 AS BIGINT) AS offset_byte,

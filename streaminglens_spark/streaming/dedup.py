@@ -171,3 +171,76 @@ def loser_ids_of_batch(verdict_rows) -> set[int]:
     near-duplicate loser iff ANY band matched.  Stateless per micro-batch --
     every band row of a doc is emitted in the trigger that carried the doc."""
     return {int(r["doc_id"]) for r in verdict_rows if r["dup_of"] is not None}
+
+
+DEDUP_GAUGE_SOURCE = "spark.streaming.nearDedup"
+
+
+def verdict_quality_counts(verdict_batch: DataFrame):
+    """Per-doc verdict-quality rollup of one micro-batch of (doc, band)
+    verdict rows: ``certainDuplicates`` took the provably-exact path
+    (full signature + md5 equality, jaccard exactly 1.0), ``uncertain
+    Duplicates`` are estimate-only (the documented streaming-LSH tradeoff
+    -- no shingle sets left to verify), ``uniqueDocs`` matched nothing.
+    One distributed groupBy over the already-computed batch, then a
+    3-number collect."""
+    per_doc = verdict_batch.groupBy("doc_id").agg(
+        F.max(F.col("dup_of").isNotNull()).alias("_dup"),
+        F.max(F.when(F.col("dup_of").isNotNull(), F.col("certain"))).alias("_cert"),
+    )
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("_dup") & F.col("_cert"), 1).otherwise(0)).alias("cert"),
+        F.sum(F.when(F.col("_dup") & ~F.col("_cert"), 1).otherwise(0)).alias("unc"),
+    ).first()
+    docs = int(row["docs"] or 0)
+    cert = int(row["cert"] or 0)
+    unc = int(row["unc"] or 0)
+    return {
+        "certainDuplicates": cert,
+        "uncertainDuplicates": unc,
+        "uniqueDocs": docs - cert - unc,
+    }
+
+
+def dedup_verdict_monitor(analyzer=None, gauge_sinks=None, downstream=None):
+    """``foreachBatch`` body surfacing per-batch verdict quality (r3 verdict
+    ask #5): how much of the streaming dedup is exact-grade vs
+    estimate-grade, visible at runtime instead of only in the docstring.
+
+    Wire as ``near_dedup_stream(...).writeStream.outputMode("update")
+    .foreachBatch(dedup_verdict_monitor(...)).start()``.  Each trigger
+    publishes ``{certainDuplicates, uncertainDuplicates, uniqueDocs,
+    batchId}`` under source ``spark.streaming.nearDedup``:
+
+    - to ``analyzer`` (a ``LiveAnalyzer``) via ``set_extra_gauges`` -- the
+      counts then ride the analyzer's registered gauge sinks on its next
+      tick alongside the per-query A20 gauges;
+    - to ``gauge_sinks`` directly (same contract as
+      ``LiveAnalyzer.register_gauge_sink``: a callable ``(source, gauges)``
+      or an object with ``.publish``), fail-open per sink;
+    - the raw verdict batch to ``downstream(df, batch_id)`` if given, so
+      monitoring does not displace the user's own sink.
+    """
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        # two consumers (quality rollup + user sink): persist so the
+        # stateful micro-batch is not recomputed per action
+        batch_df.persist()
+        try:
+            gauges = verdict_quality_counts(batch_df)
+            gauges["batchId"] = int(batch_id)
+            if analyzer is not None:
+                analyzer.set_extra_gauges(DEDUP_GAUGE_SOURCE, gauges)
+            for sink in gauge_sinks or []:
+                pub = getattr(sink, "publish", None) or sink
+                try:
+                    pub(DEDUP_GAUGE_SOURCE, dict(gauges))
+                except Exception:
+                    pass  # fail-open, like the analyzer's sink path
+            if downstream is not None:
+                downstream(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return _body

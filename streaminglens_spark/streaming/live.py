@@ -183,6 +183,10 @@ class LiveAnalyzer:
         # Dropwizard source registration (StreamingLensMetricsReporter.scala)
         self.gauge_sinks: list = list(gauge_sinks or [])
         self._warned_sinks: set[int] = set()  # sinks already warned about
+        # gauge sources maintained by companion operators (e.g. the
+        # streaming near-dedup verdict-quality monitor) -- merged into
+        # every gauges() snapshot so registered sinks see them too
+        self.extra_gauges: dict[str, dict[str, int]] = {}
         if telemetry_provider is None and scheduler_capture is not None:
             from .scheduler import scheduler_telemetry_provider
 
@@ -560,7 +564,15 @@ class LiveAnalyzer:
             out["spark.streaming.schedulerBridge"] = {
                 "droppedJobs": int(getattr(self.scheduler_capture, "dropped_jobs", 0))
             }
+        for source, vals in self.extra_gauges.items():
+            out[source] = dict(vals)
         return out
+
+    def set_extra_gauges(self, source_name: str, gauges: dict[str, int]) -> None:
+        """Publish a companion operator's gauge source (e.g. per-batch
+        near-dedup verdict quality) into this analyzer's snapshots; the
+        next tick pushes it to every registered sink."""
+        self.extra_gauges[source_name] = {k: int(v) for k, v in gauges.items()}
 
     def register_gauge_sink(self, sink) -> None:
         """Register a gauge sink: either a callable ``(source_name, gauges:

@@ -211,6 +211,7 @@ def test_gauge_sink_failure_warns_once(spark, caplog):
 
     analyzer.gauge_sinks = [broken]
     analyzer._warned_sinks = set()
+    analyzer.extra_gauges = {}
     with caplog.at_level(logging.WARNING, logger="streaminglens_spark"):
         analyzer._publish_gauges()
         analyzer._publish_gauges()

@@ -138,6 +138,55 @@ def test_kmv_exact_below_k(spark):
     assert row["kmv_estimate"] == 5.0  # below k the sketch IS the exact count
 
 
+def test_kmv_mergeable_plan_no_window(spark):
+    """The r4 mergeable KMV must contain no per-key ranked window (the r3
+    scale caveat): the k-smallest selection is two hash aggregations."""
+    from streaminglens_spark.functions.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)], "event_type string, user_id long"
+    )
+    plan = formatted_plan(kmv_distinct(df))
+    assert "Window" not in plan, plan
+
+
+def test_kmv_skewed_key_matches_ranked_reference(spark):
+    """One key with ~50x the distinct count of the others (the hot-key case
+    the ranked window couldn't spread): the mergeable fold must equal the
+    straightforward sorted-rank computation exactly, for several bucket
+    counts (the k-th order statistic is algorithm-independent)."""
+    from streaminglens_spark.functions.sketch import (
+        HASH_A,
+        HASH_B,
+        HASH_P,
+        KMV_K,
+        kmv_distinct,
+    )
+
+    rows = [("hot", u) for u in range(5000)] + [
+        (t, u) for t in ("c1", "c2") for u in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long").repartition(8)
+
+    def reference(users):
+        hs = sorted({(HASH_A * u + HASH_B) % HASH_P for u in users})
+        n = len(hs)
+        est = (KMV_K - 1) * HASH_P / hs[KMV_K - 1] if n >= KMV_K else float(n)
+        return n, round(est, 6)
+
+    want = {
+        "hot": reference(range(5000)),
+        "c1": reference(range(100)),
+        "c2": reference(range(100)),
+    }
+    for n_buckets in (1, 7, 32):
+        got = {
+            r["event_type"]: (r["n_exact"], r["kmv_estimate"])
+            for r in kmv_distinct(df, n_buckets=n_buckets).collect()
+        }
+        assert got == want, n_buckets
+
+
 def test_sketch_estimates_track_exact_counts(spark):
     """Deterministic quality floor on the fixture: both sketches land
     within 50% relative error of the true per-type user cardinality.

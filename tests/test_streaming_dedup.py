@@ -120,3 +120,77 @@ def test_streaming_near_dedup_matches_batch_and_bounds_state(spark, tmp_path):
         assert state_after_purge <= 8
     finally:
         q.stop()
+
+
+def test_dedup_verdict_gauges_live(spark, tmp_path):
+    """r3 verdict ask #5: per-batch certain/uncertain verdict counts flow
+    through the gauge-sink path.  The corpus mixes an EXACT copy (certain:
+    signature + md5 equal), a PERIODIC-text near-dup (identical 5-gram
+    shingle SET, hence est == 1.0, but different md5 -> uncertain,
+    deterministically), and unique docs."""
+    from streaminglens_spark.streaming.dedup import (
+        DEDUP_GAUGE_SOURCE,
+        dedup_verdict_monitor,
+        near_dedup_stream,
+    )
+    from streaminglens_spark.streaming.live import LiveAnalyzer
+
+    period = "abcdefg "  # periodic base: P*k shares its shingle set with P*j
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the lazy dog again and again",  # exact copy
+        2: period * 10,
+        3: period * 12,  # same shingle set as doc 2, different md5
+        4: "a genuinely different document with its own words entirely",
+    }
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    path = os.path.join(src, "f1.json")
+    with open(path + ".tmp", "w") as f:
+        for i, text in docs.items():
+            f.write(json.dumps({"doc_id": i, "text": text, "ms": 1_700_000_000_000}) + "\n")
+    os.rename(path + ".tmp", path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ms long")
+        .json(src)
+        .withColumn("ets", F.timestamp_millis(F.col("ms")))
+        .select("doc_id", "text", "ets")
+    )
+    verdicts = near_dedup_stream(stream, threshold=0.9)
+
+    published: list[tuple[str, dict]] = []
+    analyzer = LiveAnalyzer.__new__(LiveAnalyzer)
+    analyzer.extra_gauges = {}
+
+    q = (
+        verdicts.writeStream.outputMode("update")
+        .foreachBatch(
+            dedup_verdict_monitor(
+                analyzer=analyzer,
+                gauge_sinks=[lambda s, g: published.append((s, g))],
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batches = [g for s, g in published if s == DEDUP_GAUGE_SOURCE]
+    assert batches
+    totals = {
+        k: sum(b[k] for b in batches)
+        for k in ("certainDuplicates", "uncertainDuplicates", "uniqueDocs")
+    }
+    # doc 1 is a certain (md5-equal) dup of doc 0; doc 3 is an
+    # estimate-grade dup of doc 2 (same shingle set, md5 differs);
+    # docs 0, 2, 4 are firsts
+    assert totals == {
+        "certainDuplicates": 1, "uncertainDuplicates": 1, "uniqueDocs": 3
+    }
+    # the analyzer snapshot path carries the same numbers for its sinks
+    snap = analyzer.extra_gauges[DEDUP_GAUGE_SOURCE]
+    assert snap["certainDuplicates"] + snap["uncertainDuplicates"] >= 0
+    assert "batchId" in snap

@@ -1,0 +1,86 @@
+"""Streaming as-of enrichment (r4 verdict ask #4): a real file-stream of
+events enriched against the orders dimension in ``foreachBatch`` must be
+bit-identical to the batch ``events_asof_orders`` on the same rows, with
+zero streaming state."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.sources.loaders import load_table
+from streaminglens_spark.streaming.enrich import start_asof_enrich
+from tests.conftest import SF_DIR
+
+
+def test_stream_asof_matches_batch_and_is_stateless(spark, tmp_path):
+    from streaminglens_spark.functions.joins import events_asof_orders
+
+    orders = load_table(spark, SF_DIR, "orders")
+    events = load_table(spark, SF_DIR, "events")
+
+    # batch truth over a deterministic slice, keyed for comparison
+    sample = events.orderBy("event_id").limit(60).collect()
+    ids = [r["event_id"] for r in sample]
+    batch_truth = {
+        r["event_id"]: (
+            r["user_id"], r["ts_ms"], r["asof_orderkey"], r["asof_price_cents"]
+        )
+        for r in events_asof_orders(
+            events.filter(F.col("event_id").isin(ids)), orders
+        ).collect()
+    }
+    assert len(batch_truth) == 60
+    # the enrichment must actually enrich: some events have a prior order
+    assert any(v[2] is not None for v in batch_truth.values())
+
+    # the same rows as a 3-file stream (epoch-ms from the fixture's nanos)
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    rows = [
+        {
+            "event_id": r["event_id"],
+            "user_id": r["user_id"],
+            "ms": r["ts"] // 1_000_000,
+        }
+        for r in sample
+    ]
+    for i in range(3):
+        path = os.path.join(src, f"f{i}.json")
+        with open(path + ".tmp", "w") as f:
+            for rec in rows[i * 20 : (i + 1) * 20]:
+                f.write(json.dumps(rec) + "\n")
+        os.rename(path + ".tmp", path)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ms long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .select(
+            "event_id", "user_id", F.timestamp_millis(F.col("ms")).alias("ets")
+        )
+    )
+
+    got: dict[int, tuple] = {}
+    batches: list[int] = []
+
+    def sink(df, batch_id):
+        batches.append(batch_id)
+        for r in df.collect():
+            got[r["event_id"]] = (
+                r["user_id"], r["ts_ms"], r["asof_orderkey"], r["asof_price_cents"]
+            )
+
+    q = start_asof_enrich(stream, orders, sink)
+    try:
+        q.processAllAvailable()
+        # micro-batched output == batch operator output, bit for bit
+        assert got == batch_truth
+        assert len(batches) >= 3  # really ran per-file triggers
+        # the streaming query itself holds NO state: the as-of answer needs
+        # only the current micro-batch + the dimension snapshot
+        assert q.lastProgress["stateOperators"] == []
+    finally:
+        q.stop()
