@@ -34,6 +34,14 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def adopt(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted DataFrame for ``release_caches()``
+    (for operators that persist inside an iterative loop and hand the
+    final iterate to the caller)."""
+    _PERSISTED.append(df)
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every tracked intermediate; returns how many were
     released.  Safe to call at any time (idempotent, never raises)."""

@@ -423,3 +423,85 @@ def simhash(documents: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs (round-4 extension):
+    the cluster-formation step that turns pairwise verdicts into "keep one
+    per group" decisions -- pairs alone over-delete when A~B and B~C but
+    the pipeline drops both B and C without noticing they share a cluster.
+
+    Algorithm: iterative min-label propagation over DataFrames -- the
+    k-means-shaped driver loop (bounded iterations of pure DataFrame ops,
+    no data ever driver-side).  Each round every node takes the minimum
+    label among itself and its neighbors; the loop stops when the global
+    label sum (an O(1) action; labels only ever decrease, so the sum is
+    strictly monotone until the fixed point) stops changing, after at most
+    graph-diameter rounds.  Near-dup clusters are shallow (duplicates of a
+    common original), so the diameter is small; for adversarially long
+    chains at 100 TB the standard large-star/small-star contraction halves
+    the round count -- same join shape, documented tradeoff.
+
+    Per round: one shuffle join (edges x labels on dst) + one groupBy(src)
+    min + one left join back -- all hash-partitioned by node id, no global
+    sort, no collect.  Returns (doc_id, cluster_id, cluster_size) for every
+    doc appearing in a pair; cluster_id is the smallest doc_id reachable
+    (so the cluster's canonical keeper is ``doc_id == cluster_id``).
+    """
+    from ..cache import track
+
+    edges = pairs.select("doc_a", "doc_b").distinct()
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = track(sym)  # reread every round: worth one materialization
+    # localCheckpoint each iterate: the loop body references `labels` twice
+    # (neighbor lookup + left join back), so without lineage truncation the
+    # logical plan DOUBLES per round -- exponential tree growth that OOMs
+    # the planner long before the data does.  Checkpointing pins each
+    # round's result and restarts the lineage (the iterative-DataFrame
+    # idiom; k-means avoids it only because its per-round state is the
+    # tiny collected centroid list).
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+            .select(F.col("src").alias("node"), "nmin")
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        "cluster_size",
+    )

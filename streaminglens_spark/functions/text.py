@@ -133,3 +133,50 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").join(best, "doc_id", "left").select(
         "doc_id", F.coalesce("pred", F.lit("und")).alias("pred_lang")
     )
+
+
+def tf_idf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (round-4 extension): the inverted
+    corpus statistic every retrieval / quality pipeline needs.
+
+    Spark shape: explode to (doc, term) postings, ONE groupBy for term
+    frequencies, one for document frequencies (tiny: O(vocab), broadcast
+    back), then a per-doc top-k window.  At 100 TB the df table stays
+    O(vocab) and broadcastable; the posting explode is the linear scan.
+
+    Scoring: the LOG-FREE variant ``tf * N / df`` -- one division of
+    exactly-computed integers, so the score is bit-identical across
+    engines/partitionings (the repo's oracle-exactness rule; ``ln`` has no
+    cross-engine ulp guarantee).  Relative order per document differs from
+    the log form only in how strongly rare terms dominate; callers wanting
+    classic idf apply ``log`` to the emitted ``n_docs/df`` ratio
+    themselves.  Ties break lexicographically for determinism.
+    Returns (doc_id, term, tf, df, score) with k rows per document."""
+    postings = documents.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = documents.select(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

@@ -484,6 +484,40 @@ def q_hist_quantiles(spark, sf_dir):
     return hist_quantiles(load_table(spark, sf_dir, "events"))
 
 
+# ------------------------------------------- r4 extensions (LOCAL_ORACLE)
+# sampling / TF-IDF / dedup clustering; driver surface is full at 50, so
+# these join the locally-checked surface as r5 rotation candidates.
+
+def q_hash_sample(spark, sf_dir):
+    from .functions.sampling import hash_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return hash_sample(ev, "event_id", 0.1)
+
+
+def q_stratified_sample(spark, sf_dir):
+    from .functions.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return stratified_sample(ev, "event_type", "event_id", 5)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    from .functions.text import tf_idf_topk
+
+    return tf_idf_topk(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    from .functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    return dedup_clusters(minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1325,6 +1359,93 @@ LOCAL_ORACLE.update(
         FROM cum GROUP BY 1""",
     }
 )
+
+
+# ------------------------------------------- r4 extension oracles
+# The dedup-clusters oracle REUSES the q_minhash_lsh SQL verbatim as its
+# edge set (single source of truth) and computes connected components with
+# a RECURSIVE CTE -- a genuinely different algorithm from the Spark side's
+# iterative min-label propagation, so the check is independent.
+
+
+def _r4_extension_oracles() -> dict[str, str]:
+    from .functions.sampling import _threshold
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    pairs_sql = ORACLE["q_minhash_lsh"]
+    marker = "SELECT doc_a, doc_b, CAST(1.0 AS DOUBLE) AS jaccard"
+    head, tail = pairs_sql.split(marker, 1)
+    cluster_sql = (
+        head.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+        + ", edges AS (\n"
+        + marker
+        + tail
+        + """
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT doc_a AS node FROM edges
+                UNION ALL SELECT doc_b FROM edges
+            )
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ),
+        cc(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.src, MIN(c.label)
+            FROM cc c JOIN sym s ON s.dst = c.node
+            GROUP BY s.src
+        ),
+        final AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node)
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM final"""
+    )
+    hash_expr = f"({HASH_A} * event_id + {HASH_B}) % {HASH_P}"
+    return {
+        "q_hash_sample": f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE {hash_expr} < {_threshold(0.1)}""",
+        "q_stratified_sample": f"""
+        SELECT event_id, user_id, event_type FROM (
+            SELECT event_id, user_id, event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY {hash_expr}, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 5""",
+        "q_tfidf_topk": """
+        WITH postings AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM postings WHERE term != '' GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               round(CAST(tf * n_docs AS DOUBLE) / df, 6) AS score
+        FROM (
+            SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY round(CAST(t.tf * n.n_docs AS DOUBLE) / d.df,
+                                      6) DESC,
+                                t.term) AS rn
+            FROM tf t JOIN dfq d USING (term) CROSS JOIN nd n
+        ) WHERE rn <= 5""",
+        "q_dedup_clusters": cluster_sql,
+    }
+
+
+LOCAL_ORACLE.update(_r4_extension_oracles())
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

@@ -1,0 +1,151 @@
+"""Round-4 extensions: deterministic sampling, TF-IDF top-k, dedup
+cluster formation (connected components).  Oracle hash-matches run in
+test_oracle_queries (LOCAL_ORACLE surface); these are goldens, invariants
+and plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.functions.dedup import dedup_clusters
+from streaminglens_spark.functions.sampling import hash_sample, stratified_sample
+from streaminglens_spark.functions.text import tf_idf_topk
+from streaminglens_spark.plans.audit import exchange_count, formatted_plan
+from tests.conftest import SF_DIR
+
+
+def test_hash_sample_deterministic_and_map_only(spark):
+    df = spark.createDataFrame([(i, i * 2) for i in range(2000)], "k long, v long")
+    a = sorted(r["k"] for r in hash_sample(df, "k", 0.2).collect())
+    b = sorted(
+        r["k"]
+        for r in hash_sample(df.repartition(7), "k", 0.2).collect()
+    )
+    assert a == b  # partitioning-independent: the sample is a key function
+    assert 0.1 < len(a) / 2000 < 0.3  # Bernoulli-ish at the asked fraction
+    # subset property: a smaller fraction is a strict subset (hash nesting)
+    c = {r["k"] for r in hash_sample(df, "k", 0.1).collect()}
+    assert c <= set(a)
+    # map-only: no exchange in the plan
+    assert exchange_count(hash_sample(df, "k", 0.2)) == 0
+
+
+def test_hash_sample_rejects_bad_fraction(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+
+
+def test_stratified_sample_fixed_size_per_stratum(spark):
+    rows = [(s, i) for s in ("a", "b") for i in range(100)] + [("tiny", 0)]
+    df = spark.createDataFrame(rows, "stratum string, k long")
+    out = stratified_sample(df, "stratum", "k", 5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stratum"], []).append(r["k"])
+    assert len(by["a"]) == 5 and len(by["b"]) == 5
+    assert by["tiny"] == [0]  # smaller stratum: the whole stratum
+    # determinism across partitionings
+    out2 = stratified_sample(df.repartition(13), "stratum", "k", 5).collect()
+    assert sorted((r["stratum"], r["k"]) for r in out) == sorted(
+        (r["stratum"], r["k"]) for r in out2
+    )
+
+
+def test_tfidf_topk_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tf_idf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["df"], r["score"]))
+    # doc 0: apple tf=2 df=1 -> 2*3/1=6; banana tf=1 df=2 -> 1.5
+    assert by_doc[0] == [("apple", 2, 1, 6.0), ("banana", 1, 2, 1.5)]
+    # doc 2: date tf=3 df=1 -> 9; cherry tf=1 df=2 -> 1.5
+    assert by_doc[2] == [("date", 3, 1, 9.0), ("cherry", 1, 2, 1.5)]
+    # doc 1: banana and cherry both 1*3/2 -> tie broken lexicographically
+    assert [t for t, *_ in by_doc[1]] == ["banana", "cherry"]
+
+
+def test_dedup_clusters_transitive_golden(spark):
+    # chain 1-2-3 (transitive cluster), island 7-8, pair 5-6
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 0.9), (5, 6, 1.0), (7, 8, 0.95)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dedup_clusters(pairs).collect()}
+    assert rows == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        5: (5, 2), 6: (5, 2), 7: (7, 2), 8: (7, 2),
+    }
+    # pairwise-only dedup would have kept nothing of {2, 3}; clustering
+    # keeps exactly one doc per component: the canonical keeper
+    keepers = {d for d, (c, _) in rows.items() if d == c}
+    assert keepers == {1, 5, 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 12-node path needs ~diameter rounds; max_iters must cover it
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(12)], "doc_a long, doc_b long, jaccard double"
+    )
+    rows = dedup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert all(r["cluster_size"] == 13 for r in rows)
+
+
+def test_dedup_clusters_on_fixture_corpus(spark):
+    """Clusters over the real minhash pairs must equal an independent
+    Python union-find of the same pair set (the corpus has genuine
+    cross-document near-dups beyond each doc's constructed +100000 copy,
+    so clusters of size > 2 are expected and must be transitively
+    correct)."""
+    from streaminglens_spark.functions.dedup import DUP_SHIFT, minhash_lsh_pairs
+    from streaminglens_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    pair_rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict[int, int] = {n: find(n) for n in parent}
+    sizes: dict[int, int] = {}
+    for root in want.values():
+        sizes[root] = sizes.get(root, 0) + 1
+
+    out = dedup_clusters(pairs).collect()
+    assert out
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
+    assert got == {n: (want[n], sizes[want[n]]) for n in want}
+    # every doc's constructed +100000 copy shares its cluster
+    for n in want:
+        if n < DUP_SHIFT:
+            assert want[n] == want[n + DUP_SHIFT]
+
+
+def test_dedup_clusters_plan_no_global_sort(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0)], "doc_a long, doc_b long, jaccard double"
+    )
+    plan = formatted_plan(dedup_clusters(pairs))
+    assert "Window" not in plan, plan
