@@ -348,3 +348,67 @@ def ann_lsh_topk(
             F.round("cos_exact", 6).alias("cosine"),
         )
     )
+
+
+Q8_SCALE = 256  # power of two: x * 256 is EXACT in double arithmetic
+Q8_CLAMP = 127
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (round-4
+    extension): ``q_i = clamp(round(x_i * 256), -127, 127)`` -- the 4x
+    memory / shuffle-bandwidth compression a 100 TB vector corpus wants
+    before anything else (PQ/OPQ refine it; int8 is the workhorse).
+
+    Determinism: the scale is a power of two, so ``x * 256`` is exact in
+    double arithmetic and ``round`` sees the true value -- the quantized
+    code is a pure function of the input bits, identical across engines
+    and partitionings (the repo's integer-quantization oracle rule).
+    Returns (vec_id, label, qv ARRAY<INT>)."""
+    qv = F.transform(
+        _as_double("embedding"),
+        lambda x: F.greatest(
+            F.lit(-Q8_CLAMP),
+            F.least(F.lit(Q8_CLAMP), F.round(x * Q8_SCALE).cast("int")),
+        ),
+    )
+    return embeddings.select("vec_id", "label", qv.alias("qv"))
+
+
+def quantized_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Brute-force top-k over the INT8-quantized corpus: scores are exact
+    integer dot products (64 dims x 127^2 max per term -- fits a long with
+    55 bits to spare), so ranking is bit-deterministic with zero float
+    folds anywhere.  Same broadcast-query map-only scan shape as
+    ``cosine_topk``; at 100 TB the quantized corpus moves 4x less data
+    through the scan and the integer MAC pipeline is SIMD-friendly.
+    Quality: int8 quantization preserves neighbor order almost everywhere
+    (recall vs the exact float top-k is pinned >= 0.8 in
+    tests/test_extensions_r4b.py); ties in the quantized score are real
+    ties of the code, broken by vec_id.
+    Returns (query_vec_id, neighbor_id, dot_q8)."""
+    emb = quantize_embeddings(embeddings).select("vec_id", "qv")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("qv").alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn("dot_q8", dot)
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("dot_q8").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_vec_id", F.col("vec_id").alias("neighbor_id"), "dot_q8")
+    )

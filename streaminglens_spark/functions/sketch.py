@@ -207,6 +207,77 @@ def hist_quantiles(events: DataFrame, bin_cents: int = HIST_BIN_CENTS) -> DataFr
     )
 
 
+CMS_D = 4      # hash rows
+CMS_W = 1024   # counters per row
+# independent affine families (xxhash/Knuth-style odd constants); row i
+# uses (A_i * key + B_i) mod P mod W
+CMS_A = (2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263)
+CMS_B = (104_729, 94_007, 15_485_863, 49_979_687)
+
+
+def _cms_cell(key: F.Column, i: int, w: int) -> F.Column:
+    return ((F.lit(CMS_A[i]) * key + F.lit(CMS_B[i])) % F.lit(HASH_P)) % F.lit(w)
+
+
+def count_min_topk(
+    events: DataFrame, k: int = 20, w: int = CMS_W
+) -> DataFrame:
+    """Count-min heavy hitters over ``events.user_id`` (round-4 extension):
+    the frequency-estimation sketch every skew-aware pipeline wants -- "who
+    are the hot keys" answered from O(d*w) integer state instead of a
+    per-key exact count shuffle.
+
+    Sketch: d x w counter matrix; cell (i, h_i(key)) accumulates every
+    occurrence; estimate(key) = min_i cell[i][h_i(key)].  Counters are
+    ADDITIVE -- partial-aggregated map-side, mergeable across partitions /
+    days / streams -- and every step is integer arithmetic on deterministic
+    affine hashes, so the estimate is independent of partitioning and
+    reduction order (the repo's oracle-exactness rule) and never
+    UNDER-estimates (collisions only add; pinned by a small-w property
+    test).
+
+    Plan shape: the build explodes each row to its d cells, but map-side
+    partial aggregation collapses every partition to <= d*w cells before
+    the shuffle, so shuffled volume is O(partitions * d * w), not O(n).
+    The estimate joins each distinct key's d cells against the BROADCAST
+    sketch (<= d*w rows), and the final top-k is ``orderBy().limit(k)`` --
+    planned as TakeOrdered (per-partition top-k, driver merge of k*p rows),
+    never a global sort.  ``n_exact`` is carried alongside for the
+    overestimate-audit column, exactly as ``kmv_distinct`` carries its
+    exact count.  Returns (user_id, n_exact, cm_estimate), top ``k`` keys
+    by estimate (ties toward the smaller user_id)."""
+    rows = events.select(F.col("user_id").alias("key"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"), _cms_cell(F.col("key"), i, w).alias("c")
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    sketch = (
+        rows.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    keys = rows.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    probes = keys.select("key", "n_exact", F.explode(cells).alias("rc")).select(
+        "key", "n_exact", F.col("rc.r").alias("r"), F.col("rc.c").alias("c")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )
+    return (
+        est.orderBy(F.col("cm_estimate").desc(), F.col("key"))
+        .limit(k)
+        .select(
+            F.col("key").cast("long").alias("user_id"), "n_exact", "cm_estimate"
+        )
+    )
+
+
 def hll_distinct_windowed(events: DataFrame, window_dur: str = "1 hour") -> DataFrame:
     """Event-time-windowed HLL distinct-user estimate -- the STREAMING form
     of ``hll_distinct``, identical on batch and streaming inputs.
