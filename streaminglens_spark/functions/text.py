@@ -135,6 +135,215 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def _max_run(sorted_arr: F.Column) -> F.Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array -- i.e. the count of the most frequent element -- via one
+    sequential ``F.aggregate`` fold (state: previous element, current run,
+    best run).  Zero shuffle, whole-stage codegen; the per-doc array is
+    bounded by document size, so this is a map-only cost at any corpus
+    scale.  The fold is order-defined, hence bit-reproducible."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Within-document repetition metrics (round-4 extension): the
+    Gopher-style repetition filters a pretraining pipeline thresholds on --
+    machine-generated / boilerplate text shows up as a high duplicate-token
+    fraction or one dominant n-gram.
+
+    Per document: ``dup_token_frac`` (1 - distinct/total tokens),
+    ``top_token_frac`` (count of the most frequent token / n) and
+    ``top_bigram_frac`` (count of the most frequent adjacent bigram /
+    (n-1); NULL for single-token docs).
+
+    Spark shape: sort the token array once, then take the longest
+    equal-run via a sequential fold (``_max_run``) -- the mode of an array
+    WITHOUT explode+groupBy, so the whole operator is a zero-shuffle
+    map-only projection (the 100 TB shape: repetition scoring must not
+    shuffle the corpus).  Bigrams come from ``zip_with`` over the two
+    offset slices.  The DuckDB oracle deliberately uses the opposite
+    algorithm (explode + GROUP BY + max(count)) so the check is
+    independent.  All fractions are exact rationals rounded at the end."""
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(_max_run(F.array_sort(toks)) / n.cast("double"), 6).alias(
+            "top_token_frac"
+        ),
+        F.when(
+            n > 1,
+            F.round(_max_run(F.array_sort(bigrams)) / (n - 1).cast("double"), 6),
+        ).alias("top_bigram_frac"),
+    )
+
+
+# --- PII redaction (round-4 extension) --------------------------------------
+# The fixture corpus is synthetic word-salad with no real PII, so the
+# operator is exercised over a DERIVED corpus that injects deterministic
+# PII tokens (email / phone / IPv4) as a pure function of doc_id -- the
+# same derived-corpus pattern as dedup's dup_corpus -- reproduced verbatim
+# in the DuckDB oracle so redaction is value-checked end-to-end.
+
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministically inject PII-shaped tokens into the fixture corpus:
+    doc_id % 3 == 0 gains an email, % 5 == 0 a 555-prefix phone number,
+    % 7 == 0 an IPv4 host.  Pure integer/string arithmetic on doc_id --
+    bit-identical in any engine."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 5 == 0, F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" host 10."), (d % 256).cast("string"),
+            F.lit("."), (F.expr("(doc_id div 256) % 256")).cast("string"),
+            F.lit("."), (d % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return documents.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Detect and redact PII-shaped spans (email, 555-phone, IPv4) --
+    map-only ``regexp_count`` + chained ``regexp_replace`` (JVM regex, no
+    Python), the scrubbing pass a training-data pipeline runs over every
+    document.  Replacement order is email -> ip -> phone (fixed, and safe:
+    the replacement tags contain no characters the later patterns match).
+    The patterns are RE2-safe (no backrefs/lookahead) so Spark's Java regex
+    and DuckDB's RE2 agree; redacted text is emitted as md5 + length so the
+    full scrubbed string is value-checked without shipping it.
+    Returns (doc_id, n_emails, n_phones, n_ips, clean_len, clean_md5)."""
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+# --- boilerplate line removal (round-4 extension) ---------------------------
+
+BOILERPLATE_MIN_DOC_FRAC = 0.05  # a line in >= 5% of docs is boilerplate
+
+
+def boilerplate_corpus(documents: DataFrame) -> DataFrame:
+    """Derived multi-line corpus: the fixture text becomes the middle line,
+    framed by deterministically-injected boilerplate lines (copyright
+    footer on even doc_ids, newsletter plug on %3, policy links on %4) --
+    the repeated-chrome shape of scraped web text, as a pure function of
+    doc_id (reproduced verbatim in the oracle)."""
+    d = F.col("doc_id")
+    parts = F.array(
+        F.when(d % 2 == 0, F.lit("copyright acme corp all rights reserved")),
+        F.when(d % 3 == 0, F.lit("subscribe to our newsletter for updates")),
+        F.col("text"),
+        F.when(d % 4 == 0, F.lit("privacy policy terms of service")),
+    )
+    return documents.select(
+        "doc_id",
+        F.array_join(F.filter(parts, lambda x: x.isNotNull()), "\n").alias("text"),
+    )
+
+
+def strip_boilerplate(
+    documents: DataFrame, min_doc_frac: float = BOILERPLATE_MIN_DOC_FRAC
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb pass):
+    a LINE that appears in >= ``min_doc_frac`` of all documents is chrome,
+    not content -- drop it from every document.
+
+    Spark shape: posexplode to (doc, pos, line); ONE groupBy on the line
+    string counts distinct docs per line (count(distinct doc_id) plans as
+    a two-phase partial_count_distinct -- no per-line row explosion
+    reaches the reduce side); frequent lines form an O(#distinct frequent
+    lines) set that is BROADCAST back as a left-anti join (at web scale
+    the frequent-line table is tiny by definition -- each entry needs
+    >= 5% of the corpus behind it, so there are at most 20/min_doc_frac
+    such lines); surviving lines reassemble in position order via
+    sort_array(collect_list(struct(pos, line))).  Docs whose every line is
+    boilerplate survive with empty text (left join from the doc spine).
+    Returns (doc_id, n_lines, n_kept, clean_len, clean_md5)."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    n_docs = documents.select(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_in"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n_in") >= F.col("n_docs") * F.lit(min_doc_frac))
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(freq), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.struct("pos", "line"))).line, "\n"
+        ).alias("clean"),
+    )
+    spine = documents.select(
+        "doc_id", F.size(F.split("text", "\n")).cast("long").alias("n_lines")
+    )
+    return (
+        spine.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.length(F.coalesce("clean", F.lit(""))).cast("long").alias("clean_len"),
+            F.md5(F.coalesce("clean", F.lit("")).cast("binary")).alias("clean_md5"),
+        )
+    )
+
+
 def tf_idf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
     """Per-document top-k terms by TF-IDF (round-4 extension): the inverted
     corpus statistic every retrieval / quality pipeline needs.

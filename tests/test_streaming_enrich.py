@@ -22,7 +22,18 @@ def test_stream_asof_matches_batch_and_is_stateless(spark, tmp_path):
     events = load_table(spark, SF_DIR, "events")
 
     # batch truth over a deterministic slice, keyed for comparison
-    sample = events.orderBy("event_id").limit(60).collect()
+    # (epoch-ms collected JVM-side: a collected TIMESTAMP is a datetime,
+    # not an integer)
+    sample = (
+        events.orderBy("event_id")
+        .limit(60)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        )
+        .collect()
+    )
     ids = [r["event_id"] for r in sample]
     batch_truth = {
         r["event_id"]: (
@@ -36,15 +47,11 @@ def test_stream_asof_matches_batch_and_is_stateless(spark, tmp_path):
     # the enrichment must actually enrich: some events have a prior order
     assert any(v[2] is not None for v in batch_truth.values())
 
-    # the same rows as a 3-file stream (epoch-ms from the fixture's nanos)
+    # the same rows as a 3-file stream
     src = str(tmp_path / "events")
     os.makedirs(src)
     rows = [
-        {
-            "event_id": r["event_id"],
-            "user_id": r["user_id"],
-            "ms": r["ts"] // 1_000_000,
-        }
+        {"event_id": r["event_id"], "user_id": r["user_id"], "ms": r["ms"]}
         for r in sample
     ]
     for i in range(3):
