@@ -13,6 +13,8 @@ corpus once and joins query buckets, cutting the scan to matching buckets.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -352,6 +354,73 @@ def ann_lsh_topk(
 
 Q8_SCALE = 256  # power of two: x * 256 is EXACT in double arithmetic
 Q8_CLAMP = 127
+
+
+# --- random projection (round-4 extension) ----------------------------------
+
+RP_OUT_DIM = 8
+RP_IN_DIM = 64
+
+
+def _rp_sign(j: int, k: int) -> float:
+    """Deterministic pseudo-random projection sign in {-1.0, +1.0} for
+    input dim ``j``, output dim ``k``.  md5 gives well-mixed bits (an LCG's
+    low-bit periodicity measurably hurt distance preservation here); the
+    signs are PYTHON-side constants baked into both engines' plans, so
+    hash quality is a statistics choice, not a portability constraint."""
+    h = int(hashlib.md5(f"{j},{k}".encode()).hexdigest(), 16)
+    return 1.0 if h & 1 == 0 else -1.0
+
+
+def rp_signs(out_dim: int = RP_OUT_DIM, in_dim: int = RP_IN_DIM) -> list[list[float]]:
+    """The +-1 projection matrix as Python literals -- embedded verbatim in
+    both the Spark plan and the DuckDB oracle, so no cross-engine hash
+    arithmetic is involved."""
+    return [[_rp_sign(j, k) for j in range(in_dim)] for k in range(out_dim)]
+
+
+def random_project(embeddings: DataFrame, out_dim: int = RP_OUT_DIM) -> DataFrame:
+    """Signed random projection (Achlioptas/JL) of the embedding column to
+    ``out_dim`` dims (round-4 extension): the cheap dimensionality
+    reduction a 100 TB vector corpus runs before clustering / ANN -- an
+    8x narrower vector cuts every downstream shuffle and scan 8x, and
+    sign-random projections preserve inner products in expectation.
+
+    Each output component is a sequential ``F.aggregate`` fold over
+    ``zip_with(embedding, signs_k)`` -- multiplication by +-1.0 is exact,
+    float->double promotion is exact, and the left-fold sum order matches
+    the oracle's ``list_reduce``, so the result is bit-identical across
+    engines (the repo's float-exactness rule).  Also emits ``srp_sig``,
+    the packed sign bits of the projected vector -- the out_dim-bit SRP-LSH
+    signature (hamming distance on it approximates angular distance).
+
+    Spark shape: a ZERO-shuffle map-only projection -- the plan must never
+    move the corpus to narrow it.
+    Returns (vec_id, label, p0..p{out_dim-1}, srp_sig)."""
+    signs = rp_signs(out_dim)
+    emb = _as_double("embedding")
+    comps = []
+    for k in range(out_dim):
+        sk = F.array(*[F.lit(s) for s in signs[k]])
+        comps.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(emb, sk, lambda x, s: x * s),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+        )
+    sig = F.lit(0)
+    for k in range(out_dim):
+        sig = sig + F.when(comps[k] > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return embeddings.select(
+        "vec_id",
+        "label",
+        *[c.alias(f"p{k}") for k, c in enumerate(comps)],
+        sig.cast("long").alias("srp_sig"),
+    )
 
 
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:

@@ -344,6 +344,131 @@ def strip_boilerplate(
     )
 
 
+# --- benchmark decontamination (round-4 extension) --------------------------
+
+DECONTAM_BENCH_MOD = 17  # doc_id % 17 == 0 forms the held-out benchmark set
+DECONTAM_THRESHOLD = 0.5
+
+
+def _trigram_set(toks: F.Column) -> F.Column:
+    """Distinct token-3-gram set of a token array (empty for < 3 tokens).
+    Built from three offset slices zipped JVM-side -- no explode, no UDF."""
+    n = F.size(toks)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.slice(toks, 2, n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(toks, 3, n - 2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    return F.when(n >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    documents: DataFrame, threshold: float = DECONTAM_THRESHOLD
+) -> DataFrame:
+    """Benchmark decontamination (round-4 extension): the GPT-3/PaLM-style
+    pass that removes training documents overlapping a held-out evaluation
+    set, measured as token-n-gram collision (3-grams here; production uses
+    8-13-grams -- same plan, longer slices).
+
+    The benchmark set is carved deterministically from the fixture
+    (``doc_id % 17 == 0``); every other document is scored by the fraction
+    of its distinct trigrams that also appear in ANY benchmark document.
+
+    Spark shape (the 100 TB contract): the benchmark n-gram set is tiny
+    relative to the corpus by definition (eval sets are fixed-size; the
+    corpus is 100 TB), so it is collected into a BROADCAST hash side --
+    the contamination check is a map-side semi-probe over the training
+    scan plus ONE groupBy(doc_id) for the hit counts.  Nothing all-pairs,
+    nothing corpus-vs-corpus.
+    Returns (doc_id, n_shingles, n_hits, contam_frac, flagged)."""
+    tri = documents.select("doc_id", _trigram_set(_tokens()).alias("sh"))
+    bench = (
+        tri.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    train = tri.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    spine = train.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+    frac = F.round(
+        F.coalesce("n_hits", F.lit(0).cast("long"))
+        / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+        6,
+    )
+    return spine.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        frac.alias("contam_frac"),
+        (frac >= threshold).alias("flagged"),
+    )
+
+
+# --- sequence packing (round-4 extension) -----------------------------------
+
+PACK_SEQ_LEN = 256
+PACK_N_SHARDS = 8
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_N_SHARDS,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (round-4 extension): the step that
+    turns a document corpus into fixed-length training sequences -- every
+    pretraining loader concatenates documents in a deterministic order and
+    slices the token stream into ``seq_len`` windows.
+
+    Each document is assigned: its shard (``doc_id % n_shards``), its token
+    offset in the shard's concatenated stream, and the first/last sequence
+    ids it lands in (a document spanning a boundary is split across both --
+    the standard causal-LM packing semantics).
+
+    Spark shape: ONE shuffle -- the running-offset window is partitioned by
+    shard (``sum(n_tokens) over (partition by shard order by doc_id)``), so
+    at 100 TB each shard's cumsum is an independent partition-local scan;
+    there is no global ordering anywhere.  All arithmetic is integer
+    (offsets are nonnegative by construction, so floor == div; the repo's
+    div-bucketing precondition).
+    Returns (doc_id, shard, n_tokens, token_offset, first_seq, last_seq,
+    n_seqs)."""
+    from pyspark.sql import Window
+
+    base = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("token_offset")
+    first_seq = F.floor(F.col("token_offset") / seq_len)
+    last_seq = F.floor((F.col("token_offset") + F.col("n_tokens") - 1) / seq_len)
+    return (
+        base.select("doc_id", "shard", "n_tokens", off)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "token_offset",
+            first_seq.cast("long").alias("first_seq"),
+            last_seq.cast("long").alias("last_seq"),
+            (last_seq - first_seq + 1).cast("long").alias("n_seqs"),
+        )
+    )
+
+
 def tf_idf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
     """Per-document top-k terms by TF-IDF (round-4 extension): the inverted
     corpus statistic every retrieval / quality pipeline needs.

@@ -563,6 +563,35 @@ def q_boilerplate(spark, sf_dir):
     return strip_boilerplate(boilerplate_corpus(_docs(spark, sf_dir)))
 
 
+# ------------------------------------------- r4d extensions (LOCAL_ORACLE)
+# pretraining-loader plumbing: benchmark decontamination (broadcast n-gram
+# probe), concat-and-chunk sequence packing (per-shard running offsets),
+# and signed random projection (map-only JL dim reduction + SRP signature).
+
+def q_decontaminate(spark, sf_dir):
+    from .functions.text import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    from .functions.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def q_random_project(spark, sf_dir):
+    from .functions.similarity import random_project
+
+    return random_project(_emb(spark, sf_dir))
+
+
+def q_assign_row_ids(spark, sf_dir):
+    from .functions.ids import assign_row_ids
+
+    return assign_row_ids(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1694,6 +1723,113 @@ def _r4c_extension_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_r4c_extension_oracles())
+
+
+# ------------------------------------------- r4d extension oracles
+# decontamination / sequence packing / random projection.  The trigram
+# shingling and the per-shard running-offset window are reproduced in
+# independent DuckDB SQL; the projection signs are Python literals embedded
+# verbatim in BOTH engines (no cross-engine hash arithmetic), with the
+# float fold in the same left-to-right order on both sides.
+
+def _r4d_extension_oracles() -> dict[str, str]:
+    from .functions.similarity import RP_IN_DIM, RP_OUT_DIM, rp_signs
+    from .functions.text import (
+        DECONTAM_BENCH_MOD,
+        DECONTAM_THRESHOLD,
+        PACK_N_SHARDS,
+        PACK_SEQ_LEN,
+    )
+
+    signs = rp_signs()
+    # CAST: bare 1.0 literals parse as DECIMAL in DuckDB; the fold must be
+    # pure double arithmetic to match Spark bit-for-bit
+    sign_lists = ", ".join(
+        "CAST(["
+        + ", ".join(f"{s:.1f}" for s in signs[k])
+        + f"] AS DOUBLE[]) AS sk{k}"
+        for k in range(RP_OUT_DIM)
+    )
+    proj = ", ".join(
+        f"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, {RP_IN_DIM + 1}),
+                   i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * sk{k}[CAST(i AS INT)])),
+               (a, x) -> a + x), 6) AS p{k}"""
+        for k in range(RP_OUT_DIM)
+    )
+    sig_bits = " + ".join(
+        f"CASE WHEN p{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(RP_OUT_DIM)
+    )
+    return {
+        "q_decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN list_distinct(
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[CAST(i AS INT)] || ' '
+                                || t[CAST(i AS INT) + 1] || ' '
+                                || t[CAST(i AS INT) + 2]))
+                   ELSE CAST([] AS VARCHAR[]) END AS sh
+            FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(sh) AS g FROM tri
+            WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+        ),
+        train AS (
+            SELECT doc_id, sh FROM tri WHERE doc_id % {DECONTAM_BENCH_MOD} != 0
+        ),
+        hits AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM (SELECT doc_id, unnest(sh) AS g FROM train) e
+            JOIN bench USING (g)
+            GROUP BY 1
+        )
+        SELECT t.doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+               coalesce(n_hits, 0) AS n_hits,
+               round(coalesce(n_hits, 0) / greatest(len(sh), 1), 6) AS contam_frac,
+               round(coalesce(n_hits, 0) / greatest(len(sh), 1), 6)
+                   >= {DECONTAM_THRESHOLD} AS flagged
+        FROM train t LEFT JOIN hits USING (doc_id)""",
+        "q_pack_sequences": f"""
+        WITH base AS (
+            SELECT doc_id, CAST(doc_id % {PACK_N_SHARDS} AS INT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        off AS (
+            SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                      - n_tokens AS token_offset
+            FROM base
+        )
+        SELECT doc_id, shard, n_tokens, token_offset,
+               CAST(token_offset // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+               CAST((token_offset + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT)
+                   AS last_seq,
+               CAST((token_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+                    - token_offset // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+        FROM off""",
+        "q_random_project": f"""
+        WITH s AS (SELECT {sign_lists}),
+        projected AS (
+            SELECT vec_id, label, {proj}
+            FROM embeddings CROSS JOIN s
+        )
+        SELECT *, CAST({sig_bits} AS BIGINT) AS srp_sig FROM projected""",
+        # the two-pass sharded id assignment must reproduce the global
+        # row_number exactly -- the oracle IS the naive global sort
+        "q_assign_row_ids": """
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+        FROM documents""",
+    }
+
+
+LOCAL_ORACLE.update(_r4d_extension_oracles())
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

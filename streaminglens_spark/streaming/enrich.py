@@ -68,3 +68,52 @@ def start_asof_enrich(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# --- stream-stream interval join (round-4 extension) ------------------------
+
+INTERVAL_JOIN_HORIZON_MS = 3_600_000
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    horizon_ms: int = INTERVAL_JOIN_HORIZON_MS,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join -- the continuous form of
+    ``functions/joins.py::interval_join`` when BOTH sides are live: match
+    every right event to left events of the same user whose timestamp it
+    follows within ``horizon_ms`` (``lts <= rts < lts + horizon``, the
+    attribution-window shape: click -> purchase within the hour).
+
+    Unlike the as-of enrichment (stream-static, zero state), a
+    stream-stream join is genuinely stateful: each side must buffer rows
+    until the other side's watermark passes the join horizon.  This is
+    exactly what Structured Streaming's native stream-stream join manages
+    -- both inputs are watermarked and the join condition carries BOTH
+    time bounds, so the state store provably evicts: a buffered left row
+    is droppable once the right watermark passes ``lts + horizon``,
+    a right row once the left watermark passes ``rts``.  State is
+    O(events inside watermark + horizon), never the full stream -- the
+    100 TB/day contract.  No ``foreachBatch`` escape hatch: the join IS
+    the Spark operator, and Catalyst plans the per-trigger equi-join on
+    ``user_id`` with the time bounds as range predicates.
+
+    ``left`` carries (event_id, user_id, lts TIMESTAMP); ``right``
+    (event_id, user_id, rts TIMESTAMP).  Returns (l_event_id, user_id,
+    l_ms, r_event_id, r_ms) in epoch millis."""
+    l = left.withWatermark("lts", watermark).alias("l")
+    r = right.withWatermark("rts", watermark).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.rts") >= F.col("l.lts"))
+        & (F.col("r.rts") < F.col("l.lts") + F.expr(f"INTERVAL {horizon_ms} MILLISECOND"))
+    )
+    return l.join(r, cond).select(
+        F.col("l.event_id").alias("l_event_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.unix_millis("l.lts").alias("l_ms"),
+        F.col("r.event_id").alias("r_event_id"),
+        F.unix_millis("r.rts").alias("r_ms"),
+    )
