@@ -50,6 +50,60 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     return df.filter(h < F.lit(thr))
 
 
+def mixture_sample(
+    df: DataFrame, stratum: str, key: str, weights: dict[str, float]
+) -> DataFrame:
+    """Domain-mixture sampling (round-4 extension): downsample each
+    stratum so the OUTPUT matches target proportions ``weights`` while
+    keeping as much data as possible -- the Pile/Dolma re-weighting step
+    that turns raw source availability into a training mixture.
+
+    Math: with observed counts ``n_s`` and targets ``p_s``, the largest
+    total satisfying ``p_s * T <= n_s`` for every weighted stratum is
+    ``T = min_s(n_s / p_s)``; each stratum keeps rate ``r_s = p_s * T /
+    n_s`` (the binding stratum keeps everything, abundant strata shed).
+    Strata absent from ``weights`` are dropped (weight zero).
+
+    Spark shape: ONE tiny groupBy for the counts (map-side partial agg),
+    the scalar ``T`` via an aggregate over that tiny table attached with a
+    broadcast cross-join (no driver action), per-stratum integer hash
+    thresholds broadcast back, then the same map-only hash-threshold
+    filter as ``hash_sample`` over the corpus scan.  Expected output
+    mixture is ``weights`` with Bernoulli variance per stratum.
+
+    Determinism: rates involve double division, but both engines run the
+    IDENTICAL IEEE-754 expression tree (n/p, min, p*T/n, floor(P*r)), so
+    the integer thresholds -- and therefore the kept set -- are
+    bit-identical (same rule as the repo's other float folds)."""
+    if not weights or any(p <= 0 for p in weights.values()):
+        raise ValueError("mixture weights must be non-empty and strictly positive")
+    spark = df.sparkSession
+    wtab = spark.createDataFrame(
+        [(s, float(p)) for s, p in weights.items()], f"{stratum} string, _p double"
+    )
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    avail = counts.join(F.broadcast(wtab), stratum)
+    tmin = avail.agg(F.min(F.col("_n") / F.col("_p")).alias("_T"))
+    thresholds = (
+        avail.crossJoin(F.broadcast(tmin))
+        .select(
+            stratum,
+            F.floor(
+                F.lit(HASH_P)
+                * F.least(F.lit(1.0), F.col("_p") * F.col("_T") / F.col("_n"))
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
+    return (
+        df.join(F.broadcast(thresholds), stratum)
+        .filter(h < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def stratified_sample(
     df: DataFrame, stratum: str, key: str, n: int
 ) -> DataFrame:

@@ -322,3 +322,41 @@ def hll_distinct_windowed(events: DataFrame, window_dur: str = "1 hour") -> Data
         F.round(F.lit(HLL_ALPHA_NUM) / s_total.cast("double"), 6).alias("hll_estimate"),
         zeros.cast("long").alias("zero_buckets"),
     )
+
+
+def count_min_windowed(
+    events: DataFrame, window_dur: str = "1 hour", w: int = CMS_W
+) -> DataFrame:
+    """Event-time-windowed count-min sketch cells -- the STREAMING form of
+    ``count_min_topk``'s build stage, identical on batch and streaming
+    inputs (round-4 extension).
+
+    Unlike the HLL registers (max-merged, so the streaming form needs the
+    wide conditional-max agg), count-min counters are ADDITIVE and the
+    sketch IS a cell table -- so the streaming plan is simply ONE
+    ``groupBy(window, r, c).count()``: a plain streaming aggregation whose
+    state is one long per touched cell, hard-bounded at ``windows * d * w``
+    no matter how many events arrive (the sketch's whole purpose at
+    100 TB/day).  Per-window estimates/heavy-hitters are then a batch-side
+    probe of the emitted cells, exactly as ``count_min_topk`` probes its
+    sketch.
+
+    Input: (ets TIMESTAMP, user_id); apply ``withWatermark`` upstream for
+    append-mode emission.  Output: (window_start_ms, r, c, cnt), one row
+    per non-empty cell; cells are bit-identical to running the same
+    function over the rows as one batch (additivity = mergeability,
+    pinned by tests/test_streaming_sketch.py)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"), _cms_cell(F.col("user_id"), i, w).alias("c")
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        events.select(F.window("ets", window_dur).alias("wnd"), F.explode(cells).alias("rc"))
+        .groupBy("wnd", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.unix_millis("wnd.start").alias("window_start_ms"), "r", "c", "cnt")
+    )

@@ -592,6 +592,33 @@ def q_assign_row_ids(spark, sf_dir):
     return assign_row_ids(_docs(spark, sf_dir))
 
 
+# ------------------------------------------- r4f extensions (LOCAL_ORACLE)
+# domain-mixture sampling and the windowed count-min build (batch form of
+# the streaming sketch -- same function, same cells).
+
+# target training mixture over languages; zh is deliberately unweighted
+# (dropped) to exercise the weight-zero path
+MIXTURE_WEIGHTS = {"en": 0.4, "es": 0.2, "de": 0.2, "fr": 0.2}
+
+
+def q_mixture_sample(spark, sf_dir):
+    from .functions.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", MIXTURE_WEIGHTS
+    ).select("doc_id", "lang")
+
+
+def q_cms_windowed(spark, sf_dir):
+    from .functions.sketch import count_min_windowed
+    from .operators.windows import _ev
+
+    e = _ev(load_table(spark, sf_dir, "events"))
+    return count_min_windowed(
+        e.select(F.timestamp_millis(F.col("ms")).alias("ets"), "user_id")
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -1830,6 +1857,56 @@ def _r4d_extension_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_r4d_extension_oracles())
+
+
+# ------------------------------------------- r4f extension oracles
+# mixture sampling: the rate computation is the IDENTICAL IEEE double
+# expression tree on both engines (n/p, min, p*T/n, floor(P*r)), so the
+# integer thresholds and the kept set are bit-equal.  cms_windowed: same
+# affine cells as the r4b count-min oracle, bucketed to epoch-aligned
+# hours (`//` floors == Spark window start for the nonnegative fixture ms).
+
+def _r4f_extension_oracles() -> dict[str, str]:
+    from .functions.sketch import CMS_A, CMS_B, CMS_D, CMS_W, HASH_A, HASH_B, HASH_P
+
+    w_values = ", ".join(
+        f"('{s}', CAST({p} AS DOUBLE))" for s, p in MIXTURE_WEIGHTS.items()
+    )
+    cms_cells = "\n            UNION ALL ".join(
+        f"SELECT (ms // 3600000) * 3600000 AS window_start_ms, {i} AS r,"
+        f" (({CMS_A[i]} * user_id + {CMS_B[i]}) % {HASH_P}) % {CMS_W} AS c"
+        " FROM e"
+        for i in range(CMS_D)
+    )
+    return {
+        "q_mixture_sample": f"""
+        WITH w AS (SELECT * FROM (VALUES {w_values}) AS w(lang, p)),
+        counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ),
+        avail AS (SELECT counts.lang, n, p FROM counts JOIN w USING (lang)),
+        t AS (SELECT MIN(n / p) AS big_t FROM avail),
+        thr AS (
+            SELECT lang,
+                   CAST(floor({HASH_P} * least(CAST(1.0 AS DOUBLE),
+                        p * big_t / n)) AS BIGINT) AS cutoff
+            FROM avail CROSS JOIN t
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr USING (lang)
+        WHERE ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} < cutoff""",
+        "q_cms_windowed": f"""
+        WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+        cells AS (
+            {cms_cells}
+        )
+        SELECT window_start_ms, r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2, 3""",
+    }
+
+
+LOCAL_ORACLE.update(_r4f_extension_oracles())
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /
