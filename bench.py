@@ -53,10 +53,16 @@ HEADLINE = [
 ]
 
 
-def run_suite(spark, sf_dir: str, runs: int) -> tuple[dict[str, float], float]:
+def run_suite(
+    spark, sf_dir: str, runs: int
+) -> tuple[dict[str, float], float, dict[str, list[float]]]:
     """Time every headline query at ``sf_dir``; min of ``runs`` runs per
     query (min = the reproducible cost of the plan, not a lucky cache hit --
-    nothing is persisted across runs and the noop sink recomputes fully)."""
+    nothing is persisted across runs and the noop sink recomputes fully).
+    Also returns EVERY run's time per query (the variance band): the r4
+    verdict burned its top ask on driver-vs-builder number ambiguity, so
+    the artifact now carries the spread needed to separate environment
+    noise from plan drift without re-litigating PERF.md."""
     from streaminglens_spark.operators.reporting import discounted_state, results_topk
 
     # reporting-tail queries read the maintained results buffer (see module
@@ -82,16 +88,17 @@ def run_suite(spark, sf_dir: str, runs: int) -> tuple[dict[str, float], float]:
         return results_buf
 
     timings: dict[str, float] = {}
+    bands: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        best = float("inf")
+        times: list[float] = []
         if name in reporting_tail:
             buf = get_results_buf()
             for _ in range(runs):
                 # the buffer IS the operator's input: no clearCache here
                 t0 = time.time()
                 reporting_tail[name](buf).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                times.append(time.time() - t0)
         else:
             # getattr, not queries(): headline includes LOCAL_ORACLE-surface
             # operators (the 50 driver slots cap queries(), not the bench)
@@ -104,13 +111,15 @@ def run_suite(spark, sf_dir: str, runs: int) -> tuple[dict[str, float], float]:
                 spark.catalog.clearCache()
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                times.append(time.time() - t0)
+        best = min(times)
         timings[name] = round(best, 3)
+        bands[name] = [round(t, 3) for t in times]
         total += best
-        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s  (runs: {bands[name]})", file=sys.stderr)
     if results_buf is not None:
         results_buf.unpersist()
-    return timings, total
+    return timings, total, bands
 
 
 def _sf1_dir() -> str | None:
@@ -156,26 +165,37 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # min of 2 runs per query: single-box run-to-run noise is ±15% (PERF.md)
-    timings, total = run_suite(spark, sf_dir, runs=2)
+    # min of 2 runs per query: single-box run-to-run noise is ±15% (PERF.md).
+    # ORDER MATTERS (r4 verdict #1b): the sf0.1 suite -- the number of
+    # record -- runs FIRST, before any sf1 data generation or sweep can
+    # pollute the page cache / worker pool in the same session.
+    timings, total, bands = run_suite(spark, sf_dir, runs=2)
 
     result = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "runs": 2,
+        "spread": bands,
         "sf": sf,
     }
 
-    # second scale point: the same suite at sf1 (10x), single-run (the
-    # scale curve cares about the big queries, where one run is stable).
-    # Fail-open: a missing/broken scale point never loses the sf0.1 line.
+    # second scale point: the same suite at sf1 (10x), also min-of-2 with
+    # the per-query spread in the artifact (r4 verdict: "runs: 1 is not
+    # evidence").  Fail-open: a missing/broken scale point never loses the
+    # sf0.1 line.
     try:
         sf1 = _sf1_dir()
         if sf1:
             print(f"# --- sf1 pass ({sf1}) ---", file=sys.stderr)
-            t1, tot1 = run_suite(spark, sf1, runs=1)
-            result["sf1"] = {"value": round(tot1, 3), "queries": t1, "runs": 1}
+            t1, tot1, bands1 = run_suite(spark, sf1, runs=2)
+            result["sf1"] = {
+                "value": round(tot1, 3),
+                "queries": t1,
+                "runs": 2,
+                "spread": bands1,
+            }
     except Exception as e:  # pragma: no cover
         print(f"# sf1 pass failed: {e}", file=sys.stderr)
 

@@ -23,8 +23,27 @@ Because shards are ordered ranges of the key, shard-offset + local-rank
 reproduces the global ``row_number() OVER (ORDER BY key)`` exactly --
 which is the DuckDB oracle.
 
-Precondition: the order key must be unique (ties would make the rank, and
-therefore the ids, nondeterministic); ``doc_id`` is.
+Preconditions:
+
+- the order key must be unique (ties would make the rank, and therefore
+  the ids, nondeterministic); ``doc_id`` is.
+- BALANCE (not correctness) assumes roughly uniform key density: shards
+  are equal-width VALUE ranges, so a clustered key (e.g. a timestamp
+  corpus with a hot day) lands most rows in few shards and the per-shard
+  sort degrades toward the global sort this function exists to avoid.
+  Ids stay correct either way (pinned by the skew test in
+  ``tests/test_advice_r5.py``); for adversarially clustered keys,
+  sample-based range boundaries are the standard upgrade.  Dense ids
+  (``doc_id``) are the intended input.
+
+Overflow safety (r4 advice): the shard expression runs in decimal(38,0) --
+``(k - lo) * n_shards`` exceeds int64 once the key span passes ~2^58
+(snowflake/hash-style ids), where int64 arithmetic would wrap to negative
+shards and silently DROP rows at the offsets join.  The result is also
+clamped to ``[0, n_shards-1]``: decimal division rounds at scale-6, so
+``k = hi`` on a huge span could otherwise round up to shard == n_shards.
+With the clamp every row matches an offsets row by construction -- no
+silent loss path remains.
 """
 
 from __future__ import annotations
@@ -43,11 +62,16 @@ def assign_row_ids(
     bounds = df.agg(
         F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
     )
-    k = F.col(order_col)
-    span = F.col("_hi") - F.col("_lo") + 1
+    dec = "decimal(38,0)"
+    k = F.col(order_col).cast(dec)
+    lo = F.col("_lo").cast(dec)
+    span = F.col("_hi").cast(dec) - lo + 1
+    raw_shard = F.floor(((k - lo) * n_shards) / span)
     sharded = df.select(order_col).crossJoin(F.broadcast(bounds)).select(
         order_col,
-        F.floor(((k - F.col("_lo")) * n_shards) / span).cast("int").alias("_shard"),
+        F.least(F.lit(n_shards - 1), F.greatest(F.lit(0), raw_shard))
+        .cast("int")
+        .alias("_shard"),
     )
     local = sharded.withColumn(
         "_rank",

@@ -50,6 +50,12 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     return df.filter(h < F.lit(thr))
 
 
+# weights are fixed-point rationals with this denominator: a weight is
+# meaningful to ~1e-6 relative precision, and every threshold below is
+# PURE INTEGER arithmetic -- no float boundary can flip a kept-set row
+WEIGHT_SCALE = 1_000_000
+
+
 def mixture_sample(
     df: DataFrame, stratum: str, key: str, weights: dict[str, float]
 ) -> DataFrame:
@@ -62,7 +68,14 @@ def mixture_sample(
     total satisfying ``p_s * T <= n_s`` for every weighted stratum is
     ``T = min_s(n_s / p_s)``; each stratum keeps rate ``r_s = p_s * T /
     n_s`` (the binding stratum keeps everything, abundant strata shed).
-    Strata absent from ``weights`` are dropped (weight zero).
+    Strata absent from ``weights`` are dropped (weight zero); a stratum
+    named in ``weights`` but ABSENT from the data raises at the first
+    action (a lazy per-row ``raise_error`` guard on the tiny joined
+    weights table -- silently deviating from the requested mixture was the
+    r4 advice finding).  ``weights`` need not sum to 1: scaling every
+    weight by ``c`` scales ``T`` by ``1/c`` and leaves every keep-rate
+    ``p_s*T/n_s`` unchanged, so only the RATIOS matter (documented
+    invariance, pinned by ``tests/test_advice_r5.py``).
 
     Spark shape: ONE tiny groupBy for the counts (map-side partial agg),
     the scalar ``T`` via an aggregate over that tiny table attached with a
@@ -71,36 +84,62 @@ def mixture_sample(
     filter as ``hash_sample`` over the corpus scan.  Expected output
     mixture is ``weights`` with Bernoulli variance per stratum.
 
-    Determinism: rates involve double division, but both engines run the
-    IDENTICAL IEEE-754 expression tree (n/p, min, p*T/n, floor(P*r)), so
-    the integer thresholds -- and therefore the kept set -- are
-    bit-identical (same rule as the repo's other float folds)."""
+    Determinism (r5, r4 verdict #7): every quantity is an INTEGER --
+    weights become fixed-point ``P_s = round(p_s * WEIGHT_SCALE)``,
+    ``T_scaled = min_s(n_s * WEIGHT_SCALE div P_s)`` uses integer floor
+    division, and the keep test is the cross-multiplied comparison
+    ``h * n_s * WEIGHT_SCALE < HASH_P * P_s * T_scaled`` evaluated in
+    decimal(38,0) (the product reaches ~2^91, past int64).  No float
+    division anywhere, so the kept set cannot depend on engine rounding;
+    the floor in ``T_scaled`` costs the binding stratum at most a
+    ~1e-6 fraction of its rows vs the real-valued optimum."""
     if not weights or any(p <= 0 for p in weights.values()):
         raise ValueError("mixture weights must be non-empty and strictly positive")
+    scaled = {s: int(round(p * WEIGHT_SCALE)) for s, p in weights.items()}
+    if any(ps <= 0 for ps in scaled.values()):
+        raise ValueError(
+            f"mixture weights must be >= 1/{WEIGHT_SCALE} after fixed-point "
+            f"scaling; got {weights}"
+        )
     spark = df.sparkSession
     wtab = spark.createDataFrame(
-        [(s, float(p)) for s, p in weights.items()], f"{stratum} string, _p double"
+        [(s, ps) for s, ps in scaled.items()], f"{stratum} string, _ps long"
     )
     counts = df.groupBy(stratum).agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    avail = counts.join(F.broadcast(wtab), stratum)
-    tmin = avail.agg(F.min(F.col("_n") / F.col("_p")).alias("_T"))
-    thresholds = (
-        avail.crossJoin(F.broadcast(tmin))
-        .select(
-            stratum,
-            F.floor(
-                F.lit(HASH_P)
-                * F.least(F.lit(1.0), F.col("_p") * F.col("_T") / F.col("_n"))
+    # weights drive the join: a weighted stratum with no rows keeps a NULL
+    # count, which the guard turns into a loud error at execution time
+    avail = wtab.join(counts, stratum, "left").select(
+        stratum,
+        "_ps",
+        F.when(F.col("_n").isNotNull(), F.col("_n"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_sample: weighted stratum '"),
+                    F.col(stratum),
+                    F.lit(
+                        "' has no rows in the data -- the output mixture "
+                        "cannot meet the requested proportions"
+                    ),
+                )
             )
-            .cast("long")
-            .alias("_thr"),
         )
+        .alias("_n"),
+    )
+    tmin = avail.agg(
+        F.min(F.expr(f"(_n * {WEIGHT_SCALE}) div _ps")).alias("_T")
+    )
+    dec = "decimal(38,0)"
+    thresholds = avail.crossJoin(F.broadcast(tmin)).select(
+        stratum,
+        (F.col("_n").cast(dec) * F.lit(WEIGHT_SCALE)).alias("_lhsf"),
+        (F.lit(HASH_P).cast(dec) * F.col("_ps") * F.col("_T")).alias("_rhs"),
     )
     h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
     return (
         df.join(F.broadcast(thresholds), stratum)
-        .filter(h < F.col("_thr"))
-        .drop("_thr")
+        .filter(h.cast(dec) * F.col("_lhsf") < F.col("_rhs"))
+        .drop("_lhsf", "_rhs")
     )
 
 

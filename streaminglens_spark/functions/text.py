@@ -301,14 +301,25 @@ def strip_boilerplate(
     Spark shape: posexplode to (doc, pos, line); ONE groupBy on the line
     string counts distinct docs per line (count(distinct doc_id) plans as
     a two-phase partial_count_distinct -- no per-line row explosion
-    reaches the reduce side); frequent lines form an O(#distinct frequent
-    lines) set that is BROADCAST back as a left-anti join (at web scale
-    the frequent-line table is tiny by definition -- each entry needs
-    >= 5% of the corpus behind it, so there are at most 20/min_doc_frac
-    such lines); surviving lines reassemble in position order via
-    sort_array(collect_list(struct(pos, line))).  Docs whose every line is
-    boilerplate survive with empty text (left join from the doc spine).
-    Returns (doc_id, n_lines, n_kept, clean_len, clean_md5)."""
+    reaches the reduce side); frequent lines form a bounded set that is
+    BROADCAST back as a left-anti join; surviving lines reassemble in
+    position order via sort_array(collect_list(struct(pos, line))).  Docs
+    whose every line is boilerplate survive with empty text (left join
+    from the doc spine).  Returns (doc_id, n_lines, n_kept, clean_len,
+    clean_md5).
+
+    Broadcast bound (corrected per r4 advice): each frequent line needs
+    >= min_doc_frac * n_docs distinct docs behind it, and a doc
+    contributes each of its lines once, so the count is at most
+    total-line-incidences / (min_doc_frac * n_docs) =
+    **avg_lines_per_doc / min_doc_frac** -- it scales with how line-heavy
+    the corpus is, NOT a corpus-size-free constant (a 1,000-line-average
+    crawl at the 5% default admits up to ~20,000 frequent lines).  That is
+    still broadcast-sized for real corpora (20k short strings ~ a few MB),
+    and the failure mode is LOUD, not silent: an explicit broadcast hint
+    past Spark's hard relation-broadcast limit fails the job with the
+    size in the error, at which point raising ``min_doc_frac`` or
+    switching this join to shuffle is the documented operator move."""
     lines = documents.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )

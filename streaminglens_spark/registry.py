@@ -1860,17 +1860,21 @@ LOCAL_ORACLE.update(_r4d_extension_oracles())
 
 
 # ------------------------------------------- r4f extension oracles
-# mixture sampling: the rate computation is the IDENTICAL IEEE double
-# expression tree on both engines (n/p, min, p*T/n, floor(P*r)), so the
-# integer thresholds and the kept set are bit-equal.  cms_windowed: same
+# mixture sampling (r5, integer-exact): weights are fixed-point integers
+# (round(p * 1e6)), T_scaled = min(n * 1e6 // ps) is integer floor
+# division, and the keep test is the cross-multiplied integer comparison
+# h * n * 1e6 < HASH_P * ps * T_scaled (HUGEINT in DuckDB, decimal(38,0)
+# in Spark) -- no float division anywhere, so the kept set is
+# engine-independent by construction (r4 verdict #7).  cms_windowed: same
 # affine cells as the r4b count-min oracle, bucketed to epoch-aligned
 # hours (`//` floors == Spark window start for the nonnegative fixture ms).
 
 def _r4f_extension_oracles() -> dict[str, str]:
+    from .functions.sampling import WEIGHT_SCALE
     from .functions.sketch import CMS_A, CMS_B, CMS_D, CMS_W, HASH_A, HASH_B, HASH_P
 
     w_values = ", ".join(
-        f"('{s}', CAST({p} AS DOUBLE))" for s, p in MIXTURE_WEIGHTS.items()
+        f"('{s}', {int(round(p * WEIGHT_SCALE))})" for s, p in MIXTURE_WEIGHTS.items()
     )
     cms_cells = "\n            UNION ALL ".join(
         f"SELECT (ms // 3600000) * 3600000 AS window_start_ms, {i} AS r,"
@@ -1880,22 +1884,23 @@ def _r4f_extension_oracles() -> dict[str, str]:
     )
     return {
         "q_mixture_sample": f"""
-        WITH w AS (SELECT * FROM (VALUES {w_values}) AS w(lang, p)),
+        WITH w AS (SELECT * FROM (VALUES {w_values}) AS w(lang, ps)),
         counts AS (
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents GROUP BY 1
         ),
-        avail AS (SELECT counts.lang, n, p FROM counts JOIN w USING (lang)),
-        t AS (SELECT MIN(n / p) AS big_t FROM avail),
+        avail AS (SELECT counts.lang, n, ps FROM counts JOIN w USING (lang)),
+        t AS (SELECT MIN((n * {WEIGHT_SCALE}) // ps) AS t_scaled FROM avail),
         thr AS (
             SELECT lang,
-                   CAST(floor({HASH_P} * least(CAST(1.0 AS DOUBLE),
-                        p * big_t / n)) AS BIGINT) AS cutoff
+                   CAST(n AS HUGEINT) * {WEIGHT_SCALE} AS lhsf,
+                   CAST({HASH_P} AS HUGEINT) * ps * t_scaled AS rhs
             FROM avail CROSS JOIN t
         )
         SELECT d.doc_id, d.lang
         FROM documents d JOIN thr USING (lang)
-        WHERE ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} < cutoff""",
+        WHERE CAST(({HASH_A} * doc_id + {HASH_B}) % {HASH_P} AS HUGEINT)
+              * lhsf < rhs""",
         "q_cms_windowed": f"""
         WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
         cells AS (
@@ -1933,6 +1938,39 @@ _ROTATED_IN_R4 = [
 for _name in _ROTATED_OUT_R4:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R4:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+# Round-5 rotation (r4 verdict ask #2): the first eight driver-unproven r4
+# extension operators move onto the 50-slot driver surface; eight
+# thrice-green slots (each with r1-r4 driver CORRECTNESS rows of record)
+# move to LOCAL_ORACLE, where they stay hash-checked at sf0.001+sf0.01 on
+# every test run.  The remaining eight r4 extensions (q_hash_sample,
+# q_stratified_sample, q_mixture_sample, q_cms_windowed, q_random_project,
+# q_repetition, q_pack_sequences, q_assign_row_ids) are the r6 batch.
+# Recorded in COVERAGE.md.
+_ROTATED_OUT_R5 = [
+    "q_media_meta",
+    "q_frame_sample",
+    "q_quality_score",
+    "q_batch_parse",
+    "q_job_metrics",
+    "q_executor_metrics",
+    "q_source_recos",
+    "q_event_json",
+]
+_ROTATED_IN_R5 = [
+    "q_dedup_clusters",
+    "q_tfidf_topk",
+    "q_count_min",
+    "q_bloom_prune",
+    "q_quantized_topk",
+    "q_pii_redact",
+    "q_boilerplate",
+    "q_decontaminate",
+]
+for _name in _ROTATED_OUT_R5:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R5:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 assert len(ORACLE) == 50, f"driver surface must stay at 50, got {len(ORACLE)}"
 

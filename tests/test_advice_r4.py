@@ -158,13 +158,25 @@ def test_critical_path_task_only_job_is_zero(spark):
 # ----------------------------------------------------- dup-corpus id guard
 
 def test_minhash_rejects_oversized_doc_ids(spark):
+    """r5 (r4 verdict #3): the guard is a per-row raise_error inside the
+    hashing stage -- construction stays fully lazy (no Spark job), and the
+    FIRST action fails loudly with the offending id."""
     from streaminglens_spark.functions.dedup import DUP_SHIFT, minhash_lsh_pairs
 
     docs = spark.createDataFrame(
         [(DUP_SHIFT + 1, "some document text here")], "doc_id long, text string"
     )
-    with pytest.raises(ValueError, match="DUP_SHIFT"):
-        minhash_lsh_pairs(docs)
+    sc = spark.sparkContext
+    sc.setJobGroup("minhash-construct-guard", "laziness probe")
+    try:
+        pairs = minhash_lsh_pairs(docs)
+        assert (
+            sc.statusTracker().getJobIdsForGroup("minhash-construct-guard") == []
+        ), "building minhash_lsh_pairs must not run any Spark job"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    with pytest.raises(Exception, match="DUP_SHIFT"):
+        pairs.collect()
 
 
 # ------------------------------------------------------- tracked cache pool
