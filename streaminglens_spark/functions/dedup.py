@@ -542,3 +542,106 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         F.col("label").cast("long").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def _star_contract(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) over an edge
+    DataFrame (u, v).  Returns (labels(u, label), rounds-used).
+
+    Each round is two symmetric passes of the same join shape as one
+    min-label round (groupBy-min + join back), but the edge set itself is
+    REWRITTEN to point at per-neighborhood minima, so long chains halve
+    every round -- O(log diameter) rounds where plain propagation needs
+    O(diameter).  Convergence is detected by the (count, sum(u), sum(v))
+    signature going stable: endpoints only ever decrease toward component
+    minima, so the signature is strictly monotone until the star-forest
+    fixed point (same argument as dedup_clusters' label-sum stop)."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nmin = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        return (
+            sym.join(nmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        dn = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        nmin = dn.groupBy("u").agg(F.min("v").alias("_mn"))
+        joined = dn.join(nmin, "u")
+        kept = joined.filter(F.col("v") != F.col("_mn")).select(
+            F.col("v").alias("u"), F.col("_mn").alias("v")
+        )
+        self_edges = nmin.select("u", F.col("_mn").alias("v"))
+        return (
+            kept.unionByName(self_edges)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = edges.localCheckpoint()
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iters):
+        # localCheckpoint per round: same lineage-truncation requirement as
+        # dedup_clusters' loop (the edge set is read twice per pass)
+        edges = small_star(large_star(edges)).localCheckpoint()
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            ).first()
+        )
+        rounds += 1
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return labels, rounds
+
+
+def dedup_clusters_contract(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components via large-star/small-star contraction -- the
+    100 TB path for ADVERSARIALLY DEEP duplicate chains (r4 verdict #4):
+    a boilerplate-heavy crawl can produce near-dup chains whose diameter
+    makes ``dedup_clusters``' min-label propagation pay one round per hop;
+    contraction rewrites the graph toward its star forest and converges in
+    O(log diameter) rounds (pinned on a diameter-60 path fixture in
+    ``tests/test_dedup_clusters_contract.py``, where min-label alone would
+    need >= 60 rounds).
+
+    Output contract is IDENTICAL to ``dedup_clusters`` -- (doc_id,
+    cluster_id = smallest reachable doc_id, cluster_size) for every doc
+    appearing in a pair -- so the two implementations cross-check each
+    other and share the DuckDB oracle.  Per round: two groupBy-min +
+    join-back passes, all hash-partitioned by node id, no collect, no
+    global sort; the O(1)-row convergence signature is the only driver
+    traffic."""
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels, _ = _star_contract(edges, max_iters)
+    full = nodes.join(
+        labels.select(F.col("u").alias("node"), "label"), "node", "left"
+    ).select("node", F.coalesce("label", F.col("node")).alias("label"))
+    sizes = full.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return full.join(F.broadcast(sizes), "label").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -435,6 +435,15 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def q_ann_topk(spark, sf_dir):
+    """Default ANN surface (r5): kmeans-IVF-backed exact re-rank, the
+    driver-green ANN query with the pinned >= 0.8 recall@10 contract
+    (measured 0.94 at nprobe=3; see functions/similarity.py:ann_topk)."""
+    from .functions.similarity import ann_topk
+
+    return ann_topk(_emb(spark, sf_dir))
+
+
 def q_embed_dedup(spark, sf_dir):
     from .functions.similarity import embed_dedup_pairs
 
@@ -1278,6 +1287,128 @@ ORACLE: dict[str, str | None] = {
         ) WHERE rn <= 5""",
 }
 
+
+def _ann_topk_oracle(
+    n_cells: int = 8, iters: int = 5, nprobe: int = 3, n_queries: int = 5, k: int = 10
+) -> str:
+    """DuckDB oracle for ``q_ann_topk``: the ``iters`` deterministic Lloyd
+    iterations of ``kmeans_fit`` unrolled as CTEs (init = the ``n_cells``
+    lowest vec_ids; assignment = argmax cosine with ties to the lower
+    cell; re-estimation = integer-quantized per-dimension means), then the
+    same probe/re-rank tail as the q_ivf_topk oracle.  Every float fold is
+    the identical left-fold expression tree as the Spark plan, so the
+    5-iteration fit -- and therefore the final top-k -- hash-matches
+    bit-exactly."""
+    dot_vc = """list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> n.v[CAST(i AS INT)] * c.cv[CAST(i AS INT)])),
+                       (a, b) -> a + b)"""
+    ctes = [
+        """emb AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )""",
+        """normed AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                                    (a, b) -> a + b)) AS nrm
+            FROM emb
+        )""",
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   v AS cv,
+                   nrm AS cnrm
+            FROM (SELECT * FROM normed ORDER BY vec_id LIMIT {n_cells})
+        )""",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""s{t} AS (
+            SELECT vec_id, v, cell, cscore FROM (
+                SELECT n.vec_id, n.v, c.cell,
+                       {dot_vc} / (n.nrm * c.cnrm) AS cscore
+                FROM normed n CROSS JOIN c{t} c
+            )
+        )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+            SELECT cell, vec_id, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cscore DESC, cell) AS rn
+                FROM s{t}
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""d{t} AS (
+            SELECT cell, CAST(u.i - 1 AS INT) AS dim,
+                   CAST(round(v[CAST(u.i AS INT)] * 1000000) AS BIGINT) AS q
+            FROM a{t} CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) u
+        )"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+            SELECT cell, dim, CAST(SUM(q) AS BIGINT) / 1000000.0 / COUNT(*) AS c
+            FROM d{t} GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+            SELECT cell, cv,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
+                                    (a, b) -> a + b)) AS cnrm
+            FROM (SELECT cell, list(c ORDER BY dim) AS cv FROM m{t} GROUP BY cell)
+        )"""
+        )
+    ctes.append(
+        f"""cscored AS (
+            SELECT vec_id, v, nrm, cell, cscore,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, cell) AS crn
+            FROM (
+                SELECT n.vec_id, n.v, n.nrm, c.cell,
+                       {dot_vc} / (n.nrm * c.cnrm) AS cscore
+                FROM normed n CROSS JOIN c{iters} c
+            )
+        )"""
+    )
+    ctes.append(
+        """assign AS (SELECT cell, vec_id, v, nrm FROM cscored WHERE crn = 1)"""
+    )
+    ctes.append(
+        f"""probes AS (
+            SELECT cell, vec_id AS query_vec_id, v AS qv, nrm AS qn
+            FROM cscored WHERE vec_id < {n_queries} AND crn <= {nprobe}
+        )"""
+    )
+    ctes.append(
+        """cand AS (
+            SELECT p.query_vec_id, a.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> p.qv[CAST(i AS INT)] * a.v[CAST(i AS INT)])),
+                       (x, y) -> x + y) / (p.qn * a.nrm) AS cos_exact
+            FROM probes p JOIN assign a USING (cell)
+            WHERE a.vec_id != p.query_vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT query_vec_id, neighbor_id, round(cos_exact, 6) AS cosine
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cos_exact DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn <= {k}"""
+    )
+
+
+ORACLE["q_ann_topk"] = _ann_topk_oracle()
+
+
 # Rotated OUT of the 50-slot driver surface in round 3 (verdict ask #1) to
 # make room for q_simhash_pairs + q_ivf_topk; both remain first-class
 # operators, locally oracle-checked every test run (test_oracle_queries
@@ -1957,6 +2088,12 @@ _ROTATED_OUT_R5 = [
     "q_executor_metrics",
     "q_source_recos",
     "q_event_json",
+    # r4 verdict #3: the default ANN driver slot becomes q_ann_topk (the
+    # kmeans-IVF-backed re-rank with the pinned >= 0.8 recall@10
+    # contract); the 1-table SRP-LSH config moves to LOCAL_ORACLE with its
+    # honest recall numbers documented (it gained multiprobe this round
+    # and stays the bucketed-LSH reference path)
+    "q_ann_lsh",
 ]
 _ROTATED_IN_R5 = [
     "q_dedup_clusters",

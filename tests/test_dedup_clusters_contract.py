@@ -1,0 +1,83 @@
+"""Large-star/small-star cluster contraction (r5, r4 verdict #4): the
+O(log diameter) connected-components path for adversarially deep duplicate
+chains.  Pins (a) agreement with min-label ``dedup_clusters`` on every
+fixture, (b) O(log d) convergence on a path graph where min-label alone
+needs >= diameter rounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.functions.dedup import (
+    _star_contract,
+    dedup_clusters,
+    dedup_clusters_contract,
+)
+
+DIAMETER = 60  # path graph 0-1-2-...-60: min-label needs >= 60 rounds
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+
+def _clusters(df):
+    return {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in df.collect()
+    }
+
+
+def test_contract_agrees_with_minlabel_on_path_graph(spark):
+    chain = _pairs(spark, [(i, i + 1) for i in range(DIAMETER)])
+    got = _clusters(dedup_clusters_contract(chain))
+    want = {(i, 0, DIAMETER + 1) for i in range(DIAMETER + 1)}
+    assert got == want
+    # min-label needs enough rounds for the full diameter; give it exactly
+    # that and require identical output
+    assert _clusters(dedup_clusters(chain, max_iters=DIAMETER + 1)) == want
+
+
+def test_contract_converges_in_log_rounds_on_chain(spark):
+    edges = _pairs(spark, [(i, i + 1) for i in range(DIAMETER)]).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels, rounds = _star_contract(edges, max_iters=DIAMETER)
+    # O(log d): generous 2*log2(d)+4 bound, still far below the diameter
+    bound = 2 * math.ceil(math.log2(DIAMETER)) + 4
+    assert rounds <= bound, (rounds, bound)
+    got = {(r["u"], r["label"]) for r in labels.collect()}
+    assert all(lbl == 0 for _, lbl in got)
+
+
+def test_contract_agrees_on_mixed_components(spark):
+    # several components of different shapes: a chain, a star, a triangle
+    # with a tail, and a 2-node component
+    edges = (
+        [(i, i + 1) for i in range(10)]                     # chain 0..10
+        + [(100, x) for x in (101, 102, 103, 104)]          # star at 100
+        + [(200, 201), (201, 202), (200, 202), (202, 203)]  # triangle+tail
+        + [(300, 301)]
+    )
+    pairs = _pairs(spark, edges)
+    assert _clusters(dedup_clusters_contract(pairs)) == _clusters(
+        dedup_clusters(pairs)
+    )
+
+
+def test_contract_agrees_on_minhash_fixture(spark):
+    from streaminglens_spark import cache
+    from streaminglens_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs).persist()
+    try:
+        assert _clusters(dedup_clusters_contract(pairs)) == _clusters(
+            dedup_clusters(pairs)
+        )
+    finally:
+        pairs.unpersist()
+        cache.release_caches()
