@@ -207,6 +207,87 @@ def hist_quantiles(events: DataFrame, bin_cents: int = HIST_BIN_CENTS) -> DataFr
     )
 
 
+HDR_P_BITS = 7  # sub-bucket precision: relative value error <= 2^-7 < 1%
+
+
+def hdr_quantiles(events: DataFrame, p_bits: int = HDR_P_BITS) -> DataFrame:
+    """Log-scale (HDR-histogram-style) quantile sketch per event_type --
+    the heavy-tail companion to ``hist_quantiles`` (r4 verdict missing
+    #5): fixed-width bins have constant ABSOLUTE value error, which is
+    useless at the p99.9 of a heavy-tailed latency column (a 500-cent bin
+    on a millisecond tail spanning 6 decades); HDR bucketing keeps the
+    error RELATIVE -- every value ``x >= 2**p_bits`` lands in the bucket
+    ``[x >> (e-p) << (e-p), +2**(e-p))`` where ``e = floor(log2 x)``, so
+    the reported upper bound overshoots the true quantile by at most a
+    ``2**-p_bits`` fraction at ANY magnitude; values below ``2**p_bits``
+    (including all negatives) get exact singleton buckets.
+
+    The sketch state is the per-bucket count vector: additive, mergeable
+    (same contract as ``hist_quantiles``/CMS -- partial aggregation does
+    the merge), O(p_bits * 64) buckets per key max.  Every step is
+    integer arithmetic -- ``floor(log2)`` comes from the binary-string
+    length, bucket edges from integer shifts, rank selection from
+    ``cum * 1000 >= p * n`` -- so the result is independent of
+    partitioning and reduction order and hash-matches the DuckDB oracle
+    bit-exactly (the determinism KLL/t-digest cannot give; the tradeoff
+    vs those is bounded relative-VALUE error instead of bounded rank
+    error).  Returns (event_type, n, p500_ub_cents, p950_ub_cents,
+    p990_ub_cents, p999_ub_cents) -- permille ranks so the tail (p99.9)
+    is on the surface."""
+    fine_max = 1 << p_bits
+    e = events.select(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("x"),
+    )
+    # eb = floor(log2 x) for x >= fine_max, via base-2 string length (a
+    # deterministic integer path both engines share; no float log)
+    b = (
+        e.withColumn(
+            "eb",
+            F.when(
+                F.col("x") >= fine_max,
+                F.length(F.conv(F.col("x").cast("string"), 10, 2)) - 1,
+            ),
+        )
+        .withColumn(
+            "lo",
+            F.when(F.col("x") < fine_max, F.col("x"))
+            .otherwise(
+                F.expr(
+                    f"shiftleft(shiftright(x, eb - {p_bits}), eb - {p_bits})"
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "w",
+            F.when(F.col("x") < fine_max, F.lit(1))
+            .otherwise(F.expr(f"shiftleft(cast(1 as bigint), eb - {p_bits})"))
+            .cast("long"),
+        )
+    )
+    buckets = b.groupBy("event_type", "lo", "w").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = buckets.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    pick = lambda pm: F.min(  # noqa: E731 -- first bucket with cum >= pm permille
+        F.when(F.col("cum") * 1000 >= F.lit(pm) * F.col("n"), F.col("lo") + F.col("w"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            pick(pm).cast("long").alias(f"p{pm}_ub_cents")
+            for pm in (500, 950, 990, 999)
+        ],
+    )
+
+
 CMS_D = 4      # hash rows
 CMS_W = 1024   # counters per row
 # independent affine families (xxhash/Knuth-style odd constants); row i

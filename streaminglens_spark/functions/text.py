@@ -525,3 +525,126 @@ def tf_idf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("_rn") <= k)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+# --- hashed linear quality classifier (round-5 extension) -------------------
+
+QC_DIM = 256             # hashed feature buckets
+QC_THRESHOLD_MILLI = 0   # keep iff score_milli >= this
+
+
+def qc_weights(dim: int = QC_DIM) -> list[int]:
+    """Deterministic placeholder weight vector in INTEGER milli-units,
+    md5-derived per bucket.  A real deployment ships weights trained
+    offline (fastText-style logistic over hashed n-grams); what this
+    operator provides is the 100 TB-ready SCORING plumbing -- feature
+    hashing, map-only sparse dot, integer-exact arithmetic -- which is
+    identical whichever weights ride in the plan."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"qcw{j}".encode()).hexdigest(), 16) % 2001) - 1000
+        for j in range(dim)
+    ]
+
+
+def quality_classifier(
+    documents: DataFrame,
+    dim: int = QC_DIM,
+    threshold_milli: int = QC_THRESHOLD_MILLI,
+) -> DataFrame:
+    """Linear quality classifier over hashed bag-of-n-grams (the
+    fastText-shaped filter every pretraining pipeline runs after the
+    heuristic passes): features are word UNIGRAMS plus adjacent BIGRAMS,
+    hashed into ``dim`` buckets with the repo's char-fold polynomial hash;
+    the document score is the sum of the bucket weights.
+
+    Scale shape: ZERO-shuffle map-only -- the weight vector is a plan
+    literal (``dim`` ints), feature hashing and the sparse dot run inside
+    one projection; scoring a 100 TB corpus is exactly one scan.  Weights
+    are integer milli-units and the score an exact integer sum, so
+    keep/drop decisions are bit-identical across engines and
+    partitionings (no sigmoid -- the logistic is monotone in the linear
+    score, so thresholding the score IS thresholding the probability).
+    Returns (doc_id, n_feats, score_milli, keep)."""
+    w = F.array(*[F.lit(x).cast("long") for x in qc_weights(dim)])
+    toks = F.split(F.col("text"), " ")
+    uni = F.transform(toks, lambda t: char_fold_hash(t) % dim)
+    # guarded: F.sequence(1, 0) would generate a DESCENDING [1, 0], not an
+    # empty list -- single-token docs must contribute zero bigrams
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: char_fold_hash(
+                F.concat(
+                    F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+                )
+            )
+            % dim,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    feats = F.concat(uni, bi)
+    score = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(w, (b + 1).cast("int")),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_feats"),
+        score.alias("score_milli"),
+        (score >= threshold_milli).alias("keep"),
+    )
+
+
+# --- sliding-window document chunking (round-5 extension) -------------------
+
+CHUNK_TOKENS = 64   # window size in tokens
+CHUNK_STRIDE = 48   # window advance (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping sliding-window chunking (the RAG / long-context
+    pretraining splitter ``pack_sequences`` does NOT cover: packing
+    concatenates across docs, chunking subdivides within one): windows of
+    ``size`` tokens starting at 0, stride, 2*stride, ... -- the last
+    window is the (possibly shorter) tail, and every doc emits at least
+    one chunk.  Overlap ``size - stride`` preserves context across
+    boundaries.
+
+    Scale shape: one map-only projection builds the per-doc chunk array
+    (integer ceil-division for the chunk count -- no floats anywhere),
+    one ``posexplode`` multiplies rows by ~n/stride; no shuffle at all --
+    chunking a 100 TB corpus is a scan.  Chunk identity travels as
+    md5(chunk text) so downstream exact-dedup can run on chunks with the
+    same machinery as docs.  Returns (doc_id, chunk_idx, start_tok,
+    n_toks, chunk_md5)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # k_max = ceil(max(0, n - size) / stride): pure integer arithmetic;
+    # truncating `div` equals floor here because the operand is >= 0
+    k_max = F.expr(
+        f"greatest(cast(0 as bigint), "
+        f"(cast(size(split(text, ' ')) as bigint) - {size} + {stride - 1}) "
+        f"div {stride})"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), k_max),
+        lambda k: F.struct(
+            (k * stride).alias("start"),
+            F.slice(toks, (k * stride + 1).cast("int"), size).alias("ctoks"),
+        ),
+    )
+    e = documents.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start").cast("long").alias("start_tok"),
+        F.size("c.ctoks").cast("long").alias("n_toks"),
+        F.md5(F.array_join("c.ctoks", " ").cast("binary")).alias("chunk_md5"),
+    )

@@ -493,6 +493,31 @@ def q_hist_quantiles(spark, sf_dir):
     return hist_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_hdr_quantiles(spark, sf_dir):
+    """Log-scale (HDR) quantile sketch -- bounded RELATIVE value error for
+    heavy-tailed columns (r5; the hist_quantiles companion).  LOCAL_ORACLE
+    surface; r6 rotation candidate."""
+    from .functions.sketch import hdr_quantiles
+
+    return hdr_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-bag-of-ngrams linear quality classifier (r5): zero-shuffle
+    map-only scoring, integer-exact.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.text import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window document chunking with overlap (r5): map-only +
+    one posexplode, no shuffle.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 # ------------------------------------------- r4 extensions (LOCAL_ORACLE)
 # sampling / TF-IDF / dedup clustering; driver surface is full at 50, so
 # these join the locally-checked surface as r5 rotation candidates.
@@ -2043,6 +2068,134 @@ def _r4f_extension_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_r4f_extension_oracles())
+
+
+def _hdr_quantiles_oracle() -> dict[str, str]:
+    """r5: the HDR log-bucket sketch's independent DuckDB form -- same
+    integer bucket edges (binary-string length for floor(log2), integer
+    shifts), same permille rank selection; no float log anywhere."""
+    from .functions.sketch import HDR_P_BITS
+
+    p = HDR_P_BITS
+    fine_max = 1 << p
+    eb = f"(length(printf('%b', x)) - 1 - {p})"
+    picks = ",\n               ".join(
+        f"CAST(MIN(CASE WHEN cum * 1000 >= {pm} * n THEN lo + w END)"
+        f" AS BIGINT) AS p{pm}_ub_cents"
+        for pm in (500, 950, 990, 999)
+    )
+    return {
+        "q_hdr_quantiles": f"""
+        WITH v AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        b AS (
+            SELECT event_type,
+                   CASE WHEN x < {fine_max} THEN x
+                        ELSE (x >> {eb}) << {eb} END AS lo,
+                   CASE WHEN x < {fine_max} THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << {eb} END AS w
+            FROM v
+        ),
+        g AS (
+            SELECT event_type, lo, w, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
+        ),
+        cum AS (
+            SELECT event_type, lo, w, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY lo
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM g
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               {picks}
+        FROM cum GROUP BY 1""",
+    }
+
+
+LOCAL_ORACLE.update(_hdr_quantiles_oracle())
+
+
+def _r5_text_oracles() -> dict[str, str]:
+    """r5: quality classifier (weights inlined as a list literal, same
+    char-fold hash as q_doc_fingerprint) and sliding-window chunking
+    (correlated UNNEST over the integer chunk-count range)."""
+    from .functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        QC_DIM,
+        QC_THRESHOLD_MILLI,
+        qc_weights,
+    )
+
+    w_list = "[" + ", ".join(str(x) for x in qc_weights()) + "]"
+
+    def fold(expr: str) -> str:
+        # inner lambda var is `ci`, NOT `i`: the bigram caller embeds this
+        # inside list_transform(range(...), i -> ...) and DuckDB lambda
+        # variables shadow lexically -- an inner `i` would silently hash
+        # character positions instead of the outer token index
+        return f"""list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length({expr}) + 1),
+                           ci -> CAST(ascii(substr({expr}, CAST(ci AS INT), 1))
+                                AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+    sz, st = CHUNK_TOKENS, CHUNK_STRIDE
+    return {
+        "q_quality_classifier": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   list_concat(
+                       list_transform(toks, tok -> {fold('tok')} % {QC_DIM}),
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> {fold("(toks[CAST(i AS INT)] || '_' || toks[CAST(i + 1 AS INT)])")} % {QC_DIM})
+                       ELSE [] END
+                   ) AS fs
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(fs,
+                            b -> CAST(({w_list})[CAST(b + 1 AS INT)] AS BIGINT))),
+                        (a, x) -> a + x) AS BIGINT) AS score_milli
+            FROM feats
+        )
+        SELECT doc_id, n_feats, score_milli,
+               score_milli >= {QC_THRESHOLD_MILLI} AS keep
+        FROM scored""",
+        "q_chunk_docs": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        ks AS (
+            SELECT doc_id, toks,
+                   greatest(0, (len(toks) - {sz} + {st - 1}) // {st}) AS k_max
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, toks, UNNEST(range(0, k_max + 1)) AS k FROM ks
+        )
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+               CAST(k * {st} AS BIGINT) AS start_tok,
+               CAST(len(list_slice(toks, CAST(k * {st} + 1 AS INT),
+                                   CAST(k * {st} + {sz} AS INT))) AS BIGINT)
+                   AS n_toks,
+               md5(array_to_string(
+                   list_slice(toks, CAST(k * {st} + 1 AS INT),
+                              CAST(k * {st} + {sz} AS INT)), ' ')) AS chunk_md5
+        FROM e""",
+    }
+
+
+LOCAL_ORACLE.update(_r5_text_oracles())
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

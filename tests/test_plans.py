@@ -46,9 +46,11 @@ def test_ngram_filter_pushdown(spark):
 def test_no_row_at_a_time_python_udfs(spark):
     """Python only ever appears Arrow-batched (pandas UDF / mapInPandas),
     never as row-at-a-time BatchEvalPython."""
+    # getattr, not queries(): the set spans driver + LOCAL_ORACLE surfaces
+    # (q_frame_sample rotated off the driver surface in r5)
     for name in ("q_state_classify", "q_minhash_lsh", "q_critical_path",
                  "q_cosine_topk", "q_text_stats", "q_frame_sample"):
-        df = registry.queries()[name](spark, SF_DIR)
+        df = getattr(registry, name)(spark, SF_DIR)
         assert python_udf_count(df) == 0, f"{name} uses a row-at-a-time Python UDF"
 
 
@@ -77,7 +79,8 @@ def test_driver_surface_exactly_fifty(spark):
     o = registry.oracle_sql()
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
-    assert "q_ann_lsh" in q
+    # r5: the recall-contract ANN surface holds the driver ANN slot
+    assert "q_ann_topk" in q and "q_ann_lsh" not in q
 
 
 def test_ivf_broadcasts_centroids_no_python(spark):
