@@ -158,3 +158,38 @@ def stratified_sample(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def corpus_shuffle(
+    df: DataFrame, key: str = "doc_id", n_shards: int = 32
+) -> DataFrame:
+    """Deterministic global training-order shuffle (round-5 extension):
+    order the corpus by the affine hash of its key and assign dense
+    0..n-1 positions plus round-robin shard ids.  The permutation is a
+    pure FUNCTION of the key -- reproducible across runs, partitionings
+    and engines (no RNG state, no seed file), which is what makes a
+    training run's data order auditable and resumable at 100 TB.
+
+    Spark shape: the hash is map-only; the dense rank reuses
+    ``functions/ids.py::assign_row_ids`` (range-sharded two-pass
+    zipWithIndex -- no global sort; the affine hash is near-uniform on
+    [0, P), exactly the key-density precondition range sharding wants).
+    Shard = position mod n_shards interleaves sources/time so every
+    shard sees the same mixture in expectation.  Precondition: ``key``
+    unique and < P (the hash is a bijection mod P, so distinct keys
+    cannot collide).  Returns (key, shuffle_pos, shard)."""
+    from .ids import assign_row_ids
+
+    hashed = df.select(
+        F.col(key),
+        ((F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)).alias("_h"),
+    )
+    ranked = assign_row_ids(hashed.select("_h"), order_col="_h")
+    return (
+        hashed.join(ranked, "_h")
+        .select(
+            key,
+            F.col("row_id").alias("shuffle_pos"),
+            (F.col("row_id") % n_shards).cast("int").alias("shard"),
+        )
+    )

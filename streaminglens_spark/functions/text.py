@@ -648,3 +648,55 @@ def chunk_documents(
         F.size("c.ctoks").cast("long").alias("n_toks"),
         F.md5(F.array_join("c.ctoks", " ").cast("binary")).alias("chunk_md5"),
     )
+
+
+# --- chunk-level exact dedup (round-5 extension) ----------------------------
+
+def chunk_dedup(documents: DataFrame) -> DataFrame:
+    """Cross-document repeated-PASSAGE detection -- the chunk-granular
+    approximation of suffix-array substring dedup (Lee et al., 2022,
+    "Deduplicating Training Data Makes Language Models Better"): document-
+    level dedup misses the boilerplate paragraph pasted into thousands of
+    otherwise-distinct pages; hashing fixed chunks catches it with the
+    exact-dedup machinery.
+
+    Composition: ``chunk_documents`` (map-only, no shuffle) -> ONE
+    hash-groupBy on chunk_md5 -- the same single-shuffle shape as
+    ``dedup_exact``, now at chunk granularity.  Keeper is the smallest
+    (doc_id, chunk_idx); ``dup_count`` > 1 marks a passage to drop from
+    every other location.  Returns (chunk_md5, keep_doc_id,
+    keep_chunk_idx, dup_count, n_toks)."""
+    chunks = chunk_documents(documents)
+    return chunks.groupBy("chunk_md5").agg(
+        F.min(F.struct("doc_id", "chunk_idx"))["doc_id"].alias("keep_doc_id"),
+        F.min(F.struct("doc_id", "chunk_idx"))["chunk_idx"].alias(
+            "keep_chunk_idx"
+        ),
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+        F.max("n_toks").cast("long").alias("n_toks"),
+    )
+
+
+# --- per-source corpus manifest (round-5 extension) -------------------------
+
+def source_manifest(documents: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus accounting -- the manifest every training
+    run starts from (token budgets per source, mixture planning inputs,
+    post-filter size tracking).  ONE groupBy with map-side partial
+    aggregation; token counts are whitespace tokens (the same ruler as
+    ``text_stats``).  Returns (source, lang, n_docs, n_tokens, n_chars,
+    avg_doc_tokens)."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        documents.select("source", "lang", toks.alias("ntok"), F.length("text").cast("long").alias("nch"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("nch").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "avg_doc_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs").cast("double"), 6),
+        )
+    )

@@ -518,6 +518,32 @@ def q_chunk_docs(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Cross-doc repeated-passage detection (r5): chunk-granular exact
+    dedup -- the chunk_md5 hash-groupBy over chunk_documents output.
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.text import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir))
+
+
+def q_source_manifest(spark, sf_dir):
+    """Per-(source, lang) corpus manifest (r5): one partial-aggregated
+    groupBy.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.text import source_manifest
+
+    return source_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic hash-order training shuffle (r5): dense positions in
+    affine-hash order + round-robin shards, no global sort.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.sampling import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir).select("doc_id"))
+
+
 # ------------------------------------------- r4 extensions (LOCAL_ORACLE)
 # sampling / TF-IDF / dedup clustering; driver surface is full at 50, so
 # these join the locally-checked surface as r5 rotation candidates.
@@ -2196,6 +2222,77 @@ def _r5_text_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_r5_text_oracles())
+
+
+def _r5_pipeline_oracles() -> dict[str, str]:
+    """r5: chunk-level dedup (reuses the q_chunk_docs chunk CTE), the
+    per-source manifest, and the deterministic hash-order corpus shuffle
+    (oracle = the naive global row_number over the hash order)."""
+    from .functions.sampling import HASH_A, HASH_B, HASH_P
+    from .functions.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    sz, st = CHUNK_TOKENS, CHUNK_STRIDE
+    chunk_cte = f"""t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        ks AS (
+            SELECT doc_id, toks,
+                   greatest(0, (len(toks) - {sz} + {st - 1}) // {st}) AS k_max
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, toks, UNNEST(range(0, k_max + 1)) AS k FROM ks
+        ),
+        c AS (
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, CAST(k * {st} + 1 AS INT),
+                                       CAST(k * {st} + {sz} AS INT)))
+                        AS BIGINT) AS n_toks,
+                   md5(array_to_string(
+                       list_slice(toks, CAST(k * {st} + 1 AS INT),
+                                  CAST(k * {st} + {sz} AS INT)), ' '))
+                       AS chunk_md5
+            FROM e
+        )"""
+    return {
+        "q_chunk_dedup": f"""
+        WITH {chunk_cte},
+        m AS (
+            SELECT chunk_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count,
+                   CAST(MAX(n_toks) AS BIGINT) AS n_toks
+            FROM c GROUP BY 1
+        )
+        SELECT m.chunk_md5, m.keep_doc_id,
+               CAST(MIN(c.chunk_idx) AS BIGINT) AS keep_chunk_idx,
+               m.dup_count, m.n_toks
+        FROM m JOIN c ON c.chunk_md5 = m.chunk_md5
+                     AND c.doc_id = m.keep_doc_id
+        GROUP BY 1, 2, 4, 5""",
+        "q_source_manifest": """
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               round(CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS avg_doc_tokens
+        FROM documents GROUP BY 1, 2""",
+        "q_corpus_shuffle": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} AS hv
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY hv) - 1 AS BIGINT)
+                   AS shuffle_pos,
+               CAST((row_number() OVER (ORDER BY hv) - 1) % 32 AS INT)
+                   AS shard
+        FROM h""",
+    }
+
+
+LOCAL_ORACLE.update(_r5_pipeline_oracles())
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

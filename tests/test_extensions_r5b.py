@@ -1,0 +1,54 @@
+"""Round-5b extensions: chunk-level dedup, deterministic corpus shuffle,
+per-source manifest.  Oracle hash-equality runs in test_oracle_queries
+(LOCAL_ORACLE); this file pins goldens and invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from streaminglens_spark.functions.sampling import corpus_shuffle
+from streaminglens_spark.functions.text import CHUNK_TOKENS, chunk_dedup
+
+
+def test_chunk_dedup_finds_shared_passage(spark):
+    # one CHUNK_TOKENS-long boilerplate passage pasted into three docs
+    # whose remaining text is distinct: exactly that chunk must show
+    # dup_count == 3 with the smallest (doc_id, chunk_idx) as keeper
+    passage = " ".join(f"boiler{i}" for i in range(CHUNK_TOKENS))
+    rows = [
+        (1, passage),
+        (2, passage + " " + " ".join(f"a{i}" for i in range(CHUNK_TOKENS))),
+        (3, " ".join(f"b{i}" for i in range(48)) + " " + passage),
+        (4, " ".join(f"c{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["chunk_md5"]: r for r in chunk_dedup(df).collect()}
+    dups = [r for r in out.values() for _ in [0] if r["dup_count"] > 1]
+    # doc 1 chunk 0, doc 2 chunk 0, doc 3 chunk 1 (starts at token 48)
+    shared = [r for r in out.values() if r["dup_count"] == 3]
+    assert len(shared) == 1
+    r = shared[0]
+    assert (r["keep_doc_id"], r["keep_chunk_idx"]) == (1, 0)
+    assert r["n_toks"] == CHUNK_TOKENS
+    assert dups == shared  # no other passage repeats
+
+
+def test_corpus_shuffle_is_dense_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    rows = corpus_shuffle(df).collect()
+    assert len(rows) == 500
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(500))
+    # shards are round-robin over positions: perfectly balanced
+    shard_counts = Counter(r["shard"] for r in rows)
+    assert set(shard_counts) == set(range(32))
+    assert max(shard_counts.values()) - min(shard_counts.values()) <= 1
+    # the order is a real shuffle, not identity
+    by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["shuffle_pos"])]
+    assert by_pos != sorted(by_pos)
+
+
+def test_corpus_shuffle_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {(r["doc_id"], r["shuffle_pos"]) for r in corpus_shuffle(df.repartition(1)).collect()}
+    b = {(r["doc_id"], r["shuffle_pos"]) for r in corpus_shuffle(df.repartition(11)).collect()}
+    assert a == b
