@@ -441,3 +441,61 @@ def count_min_windowed(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(F.unix_millis("wnd.start").alias("window_start_ms"), "r", "c", "cnt")
     )
+
+
+def hdr_windowed(
+    events: DataFrame, window_dur: str = "1 hour", p_bits: int = HDR_P_BITS
+) -> DataFrame:
+    """Event-time-windowed HDR bucket counts -- the STREAMING form of
+    ``hdr_quantiles``'s build stage (round-5; same pattern as
+    ``count_min_windowed``): HDR buckets are ADDITIVE counters, so the
+    streaming plan is ONE ``groupBy(window, event_type, lo, w).count()``
+    -- a plain streaming aggregation whose state is one long per touched
+    bucket, hard-bounded at ``windows * types * ~p_bits * 64`` however
+    many events arrive.  Per-window quantile reads are then a batch-side
+    cumulative pass over the emitted cells, exactly as ``hdr_quantiles``
+    ranks its buckets.
+
+    Input: (ets TIMESTAMP, event_type, value); apply ``withWatermark``
+    upstream for append-mode emission.  Output: (window_start_ms,
+    event_type, lo, w, cnt) -- bit-identical to running the build over
+    the same rows as one batch (additivity = mergeability)."""
+    fine_max = 1 << p_bits
+    x = F.expr("cast(round(value * 100) as bigint)")
+    b = (
+        events.select(
+            F.window("ets", window_dur).alias("wnd"), "event_type", x.alias("x")
+        )
+        .withColumn(
+            "eb",
+            F.when(
+                F.col("x") >= fine_max,
+                F.length(F.conv(F.col("x").cast("string"), 10, 2)) - 1,
+            ),
+        )
+        .withColumn(
+            "lo",
+            F.when(F.col("x") < fine_max, F.col("x"))
+            .otherwise(
+                F.expr(f"shiftleft(shiftright(x, eb - {p_bits}), eb - {p_bits})")
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "w",
+            F.when(F.col("x") < fine_max, F.lit(1))
+            .otherwise(F.expr(f"shiftleft(cast(1 as bigint), eb - {p_bits})"))
+            .cast("long"),
+        )
+    )
+    return (
+        b.groupBy("wnd", "event_type", "lo", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.unix_millis("wnd.start").alias("window_start_ms"),
+            "event_type",
+            "lo",
+            "w",
+            "cnt",
+        )
+    )

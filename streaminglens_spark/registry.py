@@ -679,6 +679,23 @@ def q_cms_windowed(spark, sf_dir):
     )
 
 
+def q_hdr_windowed(spark, sf_dir):
+    """Event-time-windowed HDR bucket build (r5): the streaming form of
+    q_hdr_quantiles' build stage, run here on the batch fixture.
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.sketch import hdr_windowed
+    from .operators.windows import _ev
+
+    e = _ev(load_table(spark, sf_dir, "events"))
+    return hdr_windowed(
+        e.select(
+            F.timestamp_millis(F.col("ms")).alias("ets"),
+            "event_type",
+            (F.col("cents") / 100.0).alias("value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2137,6 +2154,23 @@ def _hdr_quantiles_oracle() -> dict[str, str]:
         SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
                {picks}
         FROM cum GROUP BY 1""",
+        "q_hdr_windowed": f"""
+        WITH v AS (
+            SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+                   event_type, CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        b AS (
+            SELECT window_start_ms, event_type,
+                   CASE WHEN x < {fine_max} THEN x
+                        ELSE (x >> {eb}) << {eb} END AS lo,
+                   CASE WHEN x < {fine_max} THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << {eb} END AS w
+            FROM v
+        )
+        SELECT window_start_ms, event_type, lo, w,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2, 3, 4""",
     }
 
 

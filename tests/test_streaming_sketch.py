@@ -90,3 +90,63 @@ def test_windowed_estimate_matches_flat_sketch(spark):
     got = {r["event_type"]: (r["hll_estimate"], r["zero_buckets"]) for r in windowed.collect()}
     want = {r["event_type"]: (r["hll_estimate"], r["zero_buckets"]) for r in flat.collect()}
     assert got == want
+
+
+def test_streaming_hdr_windowed_equals_batch(spark, tmp_path):
+    """r5: the windowed HDR bucket build is additive, so a 3-micro-batch
+    stream (each window's rows split across batches) must emit cell counts
+    bit-identical to one batch over the same rows."""
+    from streaminglens_spark.functions.sketch import hdr_windowed
+
+    rows = []
+    for hr in range(3):
+        for i in range(60):
+            # heavy-tail-ish values spanning fine and coarse buckets
+            rows.append(
+                {
+                    "ms": hr * HOUR_MS + i * 1000,
+                    "event_type": "a" if i % 2 == 0 else "b",
+                    "value": ((i * 37) % 7) * (10 ** (i % 5)) / 100.0,
+                }
+            )
+    src_dir = str(tmp_path / "hdrin")
+    os.makedirs(src_dir)
+    for part in range(3):
+        path = os.path.join(src_dir, f"f{part}.json")
+        with open(path + ".tmp", "w") as f:
+            for r in rows[part::3]:
+                f.write(json.dumps(r) + "\n")
+        os.rename(path + ".tmp", path)
+
+    schema = "ms long, event_type string, value double"
+    prep = lambda df: df.withColumn("ets", F.timestamp_millis(F.col("ms")))  # noqa: E731
+
+    stream = hdr_windowed(
+        prep(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src_dir)
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hdr_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start_ms"], r["event_type"], r["lo"], r["w"]): r["cnt"]
+            for r in spark.table("hdr_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = hdr_windowed(prep(spark.read.json(src_dir)))
+    want = {
+        (r["window_start_ms"], r["event_type"], r["lo"], r["w"]): r["cnt"]
+        for r in batch.collect()
+    }
+    assert got == want and got
+    assert sum(got.values()) == len(rows)  # every event lands in one cell
