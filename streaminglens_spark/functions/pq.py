@@ -1,0 +1,232 @@
+"""Product quantization (round-5 extension): the vector-compression path
+a 100 TB embedding corpus actually runs on.
+
+Int8 scalar quantization (``similarity.py::quantize_embeddings``) buys 4x;
+PQ buys 16x: each 64-float vector becomes M=8 four-bit codes (one byte
+pair packed, 4 bytes total at these defaults) by quantizing each 8-dim
+SUBVECTOR to its nearest codebook centroid.  Queries score compressed
+vectors without decompressing them -- ADC (asymmetric distance
+computation): per query, a small table of query-subvector-to-centroid
+distances; a vector's approximate distance is the sum of M table lookups.
+
+Spark shapes (all deterministic, all oracle-checkable):
+
+- ``pq_fit``: ALL subspaces fit jointly in one Lloyd loop -- centroids
+  keyed by (sub, cell), assignment is a broadcast join on ``sub``
+  (m*k = 128 rows), re-estimation one ``groupBy(sub, cell, dim)`` over
+  integer-quantized values.  Same bit-reproducibility contract as
+  ``kmeans_fit`` (lowest-vec_id init per subspace, L2 ties to the lower
+  cell, exact integer means).
+- ``pq_encode``: one broadcast join + per-(vec, sub) argmin -> codes.
+- ``pq_topk``: the ADC distance table is INTEGER micro-units
+  (``round(d * 1e6)``), so the per-vector sum of M lookups is a sum of
+  longs -- order-independent, hence partitioning-independent and
+  bit-identical to the DuckDB oracle.  Join + map-side-combined groupBy;
+  no global sort (top-k is TakeOrdered).
+- ``pq_topk_rerank``: ADC shortlist (``shortlist`` candidates) -> exact
+  cosine re-rank -- the standard IVFADC+re-rank recipe; recall floors are
+  pinned in ``tests/test_pq.py``.
+
+Reference note: the reference has no vector operators; PQ is public
+knowledge (Jegou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, _dot, _norm
+
+PQ_M = 8        # subspaces
+PQ_K = 16       # centroids per subspace (4-bit codes)
+PQ_SUB_DIM = 8  # 64 input dims / PQ_M
+PQ_ITERS = 5
+
+
+def _subvectors(embeddings: DataFrame, m: int, sub_dim: int) -> DataFrame:
+    """(vec_id, sub, sv): the m sub_dim-wide slices of each embedding."""
+    v = _as_double("embedding")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(v, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
+    )
+
+
+def _l2(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 as a sequential left fold (order-defined, bit-exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sub_dim: int = PQ_SUB_DIM,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Jointly fit all m per-subspace codebooks.  Per iteration: ONE
+    broadcast join (m*k centroid rows) + ONE argmin window per (vec, sub)
+    + ONE groupBy(sub, cell, dim) over integer-quantized values -- the
+    subspaces ride the same shuffles instead of m sequential fits.
+    Returns (sub, cell, cv ARRAY<DOUBLE>).  Empty cells drop out
+    (standard Lloyd); codes therefore always reference a live centroid."""
+    sv = _subvectors(embeddings, m, sub_dim)
+    init_w = Window.partitionBy("sub").orderBy("vec_id")
+    cents = (
+        sv.withColumn("_rn", F.row_number().over(init_w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "sub", (F.col("_rn") - 1).cast("int").alias("cell"), F.col("sv").alias("cv")
+        )
+    )
+    for _ in range(iters):
+        scored = sv.join(F.broadcast(cents), "sub").withColumn(
+            "d", _l2(F.col("sv"), F.col("cv"))
+        )
+        aw = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("d").asc(), F.col("cell").asc()
+        )
+        assign = (
+            scored.withColumn("_rn", F.row_number().over(aw))
+            .filter(F.col("_rn") == 1)
+            .select("sub", "cell", "sv")
+        )
+        dims = assign.select(
+            "sub", "cell", F.posexplode("sv").alias("dim", "x")
+        ).withColumn("q", F.round(F.col("x") * 1_000_000).cast("long"))
+        cents = (
+            dims.groupBy("sub", "cell", "dim")
+            .agg((F.sum("q") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias("c"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("p"))
+            .select("sub", "cell", F.transform("p", lambda s: s["c"]).alias("cv"))
+        )
+    return cents
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> DataFrame:
+    """(vec_id, sub, code): each subvector's nearest-centroid id -- the
+    compressed representation (m * log2(k) bits per vector).  Broadcast
+    join + per-(vec, sub) argmin; map-side only beyond the tiny join."""
+    sv = _subvectors(embeddings, m, sub_dim)
+    scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
+        "d", _l2(F.col("sv"), F.col("cv"))
+    )
+    aw = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d").asc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", F.col("cell").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k_out: int = 10,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """ADC approximate top-k over the PQ-compressed corpus: per query a
+    (sub, cell) -> integer-micro-unit distance table (m*k rows,
+    broadcast); a vector's score is the SUM OF LONGS over its m codes --
+    order-independent, so the result is partitioning-independent and
+    bit-identical to the oracle.  Ascending distance, ties to the lower
+    vec_id.  Returns (query_vec_id, neighbor_id, adc_dist)."""
+    cb = codebooks if codebooks is not None else pq_fit(embeddings)
+    from ..cache import track
+
+    # the codebook feeds encode + the distance table: one tiny table,
+    # persisted so the Lloyd chain runs once (m*k rows; released by the
+    # caller via release_caches -- the ivf_topk convention)
+    cb = track(cb)
+    codes = pq_encode(embeddings, cb)
+    qsv = _subvectors(
+        embeddings.filter(F.col("vec_id") < n_queries), PQ_M, PQ_SUB_DIM
+    ).select(F.col("vec_id").alias("query_vec_id"), "sub", F.col("sv").alias("qsv"))
+    dtab = qsv.join(F.broadcast(cb), "sub").select(
+        "query_vec_id",
+        "sub",
+        F.col("cell").alias("code"),
+        F.round(_l2(F.col("qsv"), F.col("cv")) * 1_000_000)
+        .cast("long")
+        .alias("d_int"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .groupBy("query_vec_id", "vec_id")
+        .agg(F.sum("d_int").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_out)
+        .select("query_vec_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+    )
+
+
+PQ_SHORTLIST = 100  # ADC candidates per query before the exact re-rank
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k_out: int = 10,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """ADC shortlist -> exact cosine re-rank (the IVFADC+re-rank recipe):
+    the compressed scan proposes ``shortlist`` candidates per query, the
+    exact pass re-scores only those -- full-precision quality at
+    compressed-scan cost.  Returns (query_vec_id, neighbor_id, cosine)."""
+    short = pq_topk(embeddings, n_queries=n_queries, k_out=shortlist)
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = (
+        short.select("query_vec_id", F.col("neighbor_id").alias("vec_id"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(q), "query_vec_id")
+        .withColumn(
+            "cos_exact", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_exact").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_out)
+        .select(
+            "query_vec_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_exact", 6).alias("cosine"),
+        )
+    )

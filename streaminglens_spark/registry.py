@@ -544,6 +544,22 @@ def q_corpus_shuffle(spark, sf_dir):
     return corpus_shuffle(_docs(spark, sf_dir).select("doc_id"))
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (r5): 16x-compressed corpus scored
+    by integer table lookups.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.pq import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir))
+
+
+def q_pq_rerank(spark, sf_dir):
+    """PQ ADC shortlist + exact cosine re-rank (r5): the IVFADC+re-rank
+    recipe with a pinned recall floor.  LOCAL_ORACLE; r6 candidate."""
+    from .functions.pq import pq_topk_rerank
+
+    return pq_topk_rerank(_emb(spark, sf_dir))
+
+
 # ------------------------------------------- r4 extensions (LOCAL_ORACLE)
 # sampling / TF-IDF / dedup clustering; driver surface is full at 50, so
 # these join the locally-checked surface as r5 rotation candidates.
@@ -2327,6 +2343,160 @@ def _r5_pipeline_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_r5_pipeline_oracles())
+
+
+def _pq_oracles() -> dict[str, str]:
+    """r5: product quantization -- the m jointly-fit codebooks unrolled as
+    CTEs (grouped Lloyd keyed by (sub, cell), same determinism contract as
+    the q_ann_topk oracle), ADC scoring as integer sums, and the exact
+    cosine re-rank over the ADC shortlist."""
+    from .functions.pq import PQ_ITERS, PQ_K, PQ_M, PQ_SHORTLIST, PQ_SUB_DIM
+
+    m, k, sd, iters = PQ_M, PQ_K, PQ_SUB_DIM, PQ_ITERS
+
+    def l2(a: str, b: str) -> str:
+        return f"""list_reduce(list_prepend(0.0,
+                   list_transform(range(1, {sd + 1}),
+                       li -> ({a}[CAST(li AS INT)] - {b}[CAST(li AS INT)])
+                           * ({a}[CAST(li AS INT)] - {b}[CAST(li AS INT)]))),
+                   (lx, ly) -> lx + ly)"""
+
+    ctes = [
+        """emb AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )""",
+        f"""sv AS (
+            SELECT vec_id, CAST(u.s AS INT) AS sub,
+                   list_slice(v, CAST(u.s * {sd} + 1 AS INT),
+                              CAST(u.s * {sd} + {sd} AS INT)) AS svec
+            FROM emb CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s) u
+        )""",
+        f"""c0 AS (
+            SELECT sub, CAST(rn - 1 AS INT) AS cell, svec AS cv FROM (
+                SELECT sub, svec,
+                       row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+                FROM sv
+            ) WHERE rn <= {k}
+        )""",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""s{t} AS (
+            SELECT a.vec_id, a.sub, a.svec, c.cell,
+                   {l2('a.svec', 'c.cv')} AS d
+            FROM sv a JOIN c{t} c USING (sub)
+        )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+            SELECT sub, cell, svec FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d, cell) AS rn
+                FROM s{t}
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""d{t} AS (
+            SELECT sub, cell, CAST(u.i - 1 AS INT) AS dim,
+                   CAST(round(svec[CAST(u.i AS INT)] * 1000000) AS BIGINT) AS q
+            FROM a{t} CROSS JOIN (SELECT UNNEST(range(1, {sd + 1})) AS i) u
+        )"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+            SELECT sub, cell, dim,
+                   CAST(SUM(q) AS BIGINT) / 1000000.0 / COUNT(*) AS c
+            FROM d{t} GROUP BY 1, 2, 3
+        )"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+            SELECT sub, cell, cv FROM (
+                SELECT sub, cell, list(c ORDER BY dim) AS cv
+                FROM m{t} GROUP BY 1, 2
+            )
+        )"""
+        )
+    ctes.append(
+        f"""enc AS (
+            SELECT vec_id, sub, cell AS code FROM (
+                SELECT a.vec_id, a.sub, c.cell,
+                       row_number() OVER (PARTITION BY a.vec_id, a.sub
+                                          ORDER BY {l2('a.svec', 'c.cv')},
+                                                   c.cell) AS rn
+                FROM sv a JOIN c{iters} c USING (sub)
+            ) WHERE rn = 1
+        )"""
+    )
+    ctes.append(
+        f"""dtab AS (
+            SELECT a.vec_id AS query_vec_id, a.sub, c.cell AS code,
+                   CAST(round({l2('a.svec', 'c.cv')} * 1000000) AS BIGINT)
+                       AS d_int
+            FROM sv a JOIN c{iters} c USING (sub)
+            WHERE a.vec_id < 5
+        )"""
+    )
+    ctes.append(
+        """adc AS (
+            SELECT d.query_vec_id, e.vec_id,
+                   CAST(SUM(d.d_int) AS BIGINT) AS adc_dist
+            FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+            WHERE e.vec_id != d.query_vec_id
+            GROUP BY 1, 2
+        )"""
+    )
+    prefix = "WITH " + ",\n        ".join(ctes)
+    topk_sql = (
+        prefix
+        + """
+        SELECT query_vec_id, CAST(vec_id AS BIGINT) AS neighbor_id, adc_dist
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY adc_dist, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= 10"""
+    )
+    rerank_sql = (
+        prefix
+        + f""",
+        short AS (
+            SELECT query_vec_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                             ORDER BY adc_dist, vec_id) AS rn
+                FROM adc
+            ) WHERE rn <= {PQ_SHORTLIST}
+        ),
+        normed AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM emb
+        ),
+        cand AS (
+            SELECT s.query_vec_id, s.vec_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> q.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])),
+                       (x, y) -> x + y) / (q.nrm * e.nrm) AS cos_exact
+            FROM short s
+            JOIN normed e ON e.vec_id = s.vec_id
+            JOIN normed q ON q.vec_id = s.query_vec_id
+        )
+        SELECT query_vec_id, CAST(vec_id AS BIGINT) AS neighbor_id,
+               round(cos_exact, 6) AS cosine
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cos_exact DESC, vec_id) AS rn
+            FROM cand
+        ) WHERE rn <= 10"""
+    )
+    return {"q_pq_topk": topk_sql, "q_pq_rerank": rerank_sql}
+
+
+LOCAL_ORACLE.update(_pq_oracles())
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

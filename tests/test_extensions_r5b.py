@@ -52,3 +52,19 @@ def test_corpus_shuffle_deterministic_across_partitionings(spark):
     a = {(r["doc_id"], r["shuffle_pos"]) for r in corpus_shuffle(df.repartition(1)).collect()}
     b = {(r["doc_id"], r["shuffle_pos"]) for r in corpus_shuffle(df.repartition(11)).collect()}
     assert a == b
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    """The ORACLE is the naive global row_number (single-partition sort);
+    the Spark plan must not be: the only SinglePartition work allowed is
+    the tiny per-shard offsets window (n_shards rows)."""
+    from streaminglens_spark.plans.audit import formatted_plan
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = formatted_plan(corpus_shuffle(df.select("doc_id")))
+    # the big-side rank must be partitioned by shard (same criterion as
+    # the assign_row_ids plan pin); the only Exchange SinglePartition
+    # nodes allowed are the tiny bounds/offsets tables -- the join-back
+    # duplicates that subtree once, hence <= 2
+    assert "hashpartitioning(_shard" in plan, plan[:800]
+    assert plan.count("Exchange SinglePartition") <= 2, plan[:800]
