@@ -125,19 +125,35 @@ def pq_encode(
     sub_dim: int = PQ_SUB_DIM,
 ) -> DataFrame:
     """(vec_id, sub, code): each subvector's nearest-centroid id -- the
-    compressed representation (m * log2(k) bits per vector).  Broadcast
-    join + per-(vec, sub) argmin; map-side only beyond the tiny join."""
+    compressed representation (m * log2(k) bits per vector).
+
+    The argmin is a sequential FOLD over the (broadcast) per-subspace
+    centroid array -- a pure projection with no window and no groupBy, so
+    encoding is map-only beyond the tiny join AND legal on streaming
+    DataFrames (fit offline, encode on arrival -- pinned by
+    ``tests/test_streaming_stateless_ops.py``).  Ties keep the first
+    (lowest) cell of the cell-sorted array: identical semantics -- and
+    identical float comparisons -- to a (d ASC, cell ASC) rank."""
+    cb_arr = codebooks.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
+    )
     sv = _subvectors(embeddings, m, sub_dim)
-    scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
-        "d", _l2(F.col("sv"), F.col("cv"))
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("inf")).alias("bd"),
     )
-    aw = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("d").asc(), F.col("cell").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", F.col("cell").alias("code"))
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        d = _l2(F.col("sv"), c["cv"])
+        better = d < acc["bd"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+        )
+
+    code = F.aggregate(F.col("cells"), init, step, lambda acc: acc["bc"])
+    return sv.join(F.broadcast(cb_arr), "sub").select(
+        "vec_id", "sub", code.alias("code")
     )
 
 

@@ -82,3 +82,57 @@ def test_hash_sample_streams_bit_equal(spark, tmp_path):
         hash_sample(_doc_stream(spark, tmp_path, rows), "doc_id", 0.3), ("doc_id",)
     )
     assert got == want
+
+
+def test_pq_encode_streams_bit_equal(spark, tmp_path):
+    """PQ encoding against a batch-fit codebook is a stream-static
+    broadcast join -- stateless, so a stream of vectors encodes bit-equal
+    to the batch pass (the continuous-ingest form of corpus compression:
+    fit offline, encode on arrival)."""
+    import json as _json
+    import os as _os
+
+    from streaminglens_spark import cache
+    from streaminglens_spark.functions.pq import pq_encode, pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_fit(emb).persist()
+    cb.count()
+    try:
+        want = {
+            (r["vec_id"], r["sub"], r["code"]) for r in pq_encode(emb, cb).collect()
+        }
+        rows = [
+            {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+            for r in emb.limit(80).collect()
+        ]
+        src = str(tmp_path / "vecs")
+        _os.makedirs(src)
+        for i in range(2):
+            path = _os.path.join(src, f"f{i}.json")
+            with open(path + ".tmp", "w") as f:
+                for r in rows[i * 40 : (i + 1) * 40]:
+                    f.write(_json.dumps(r) + "\n")
+            _os.rename(path + ".tmp", path)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        got = set()
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                got.add((r["vec_id"], r["sub"], r["code"]))
+
+        q = pq_encode(stream, cb).writeStream.foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+            assert q.lastProgress["stateOperators"] == []
+        finally:
+            q.stop()
+        want80 = {t for t in want if t[0] in {r["vec_id"] for r in rows}}
+        assert got == want80
+    finally:
+        cb.unpersist()
+        cache.release_caches()
