@@ -560,6 +560,34 @@ def q_pq_rerank(spark, sf_dir):
     return pq_topk_rerank(_emb(spark, sf_dir))
 
 
+# incremental-dedup fixture derivation: the NEW batch is the corpus docs
+# with doc_id % INCR_MOD == 0, re-keyed past DUP_SHIFT; of those, docs with
+# doc_id % INCR_PERTURB_MOD == 0 get a deterministic suffix so they score
+# 'near' (high estimate, different md5) instead of 'certain'
+INCR_MOD = 3
+INCR_PERTURB_MOD = 6
+INCR_SUFFIX = " incremental ingest suffix tokens appended"
+
+
+def q_dedup_increment(spark, sf_dir):
+    """Incremental dedup against a persisted index (r5): new-batch
+    verdicts from sketches only, corpus never rescanned.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.dedup import DUP_SHIFT, dedup_against_index, minhash_index
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        (F.col("doc_id") + DUP_SHIFT).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % INCR_PERTURB_MOD == 0,
+            F.concat(F.col("text"), F.lit(INCR_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_against_index(new, minhash_index(docs))
+
+
 # ------------------------------------------- r4 extensions (LOCAL_ORACLE)
 # sampling / TF-IDF / dedup clustering; driver surface is full at 50, so
 # these join the locally-checked surface as r5 rotation candidates.
@@ -2497,6 +2525,89 @@ def _pq_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_pq_oracles())
+
+
+def _dedup_increment_oracle() -> str:
+    """r5: incremental dedup -- same shingle/minhash/banding machinery as
+    the q_minhash_lsh oracle, but over corpus + derived new batch, with
+    sketch-only verdicts (est = matching signature positions / 16, a
+    power-of-two division so the double is exact cross-engine)."""
+    from .functions.dedup import DUP_SHIFT
+
+    return f"""
+        WITH newdocs AS (
+            SELECT doc_id + {DUP_SHIFT} AS doc_id,
+                   CASE WHEN orig_pm = 0
+                        THEN text || '{INCR_SUFFIX}' ELSE text END AS text
+            FROM (
+                SELECT doc_id, doc_id % {INCR_PERTURB_MOD} AS orig_pm, text
+                FROM documents WHERE doc_id % {INCR_MOD} = 0
+            )
+        ),
+        alldocs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id, text FROM newdocs
+        ),
+        md5s AS (
+            SELECT doc_id, md5(text) AS md5_fp FROM alldocs
+            WHERE length(text) >= 5
+        ),
+        shingled AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(length(text) - 3, 1)),
+                       i -> CAST((((ascii(substr(text, CAST(i AS INT), 1)) * 31
+                            + ascii(substr(text, CAST(i AS INT) + 1, 1))) * 31
+                            + ascii(substr(text, CAST(i AS INT) + 2, 1))) * 31
+                            + ascii(substr(text, CAST(i AS INT) + 3, 1))) * 31
+                            + ascii(substr(text, CAST(i AS INT) + 4, 1)) AS BIGINT)
+                   )) AS sh
+            FROM alldocs
+            WHERE length(text) >= 5
+        ),
+        coeffs AS (SELECT * FROM (VALUES {_MINHASH_SQL}) AS c(k, a, b)),
+        sigs AS (
+            SELECT doc_id, k,
+                   CAST(list_min(list_transform(sh, h -> (a * h + b) % 2147483647))
+                        AS BIGINT) AS mh
+            FROM shingled CROSS JOIN coeffs
+            GROUP BY ALL
+        ),
+        mharr AS (SELECT doc_id, list(mh ORDER BY k) AS mh FROM sigs GROUP BY 1),
+        bands AS (
+            SELECT doc_id, CAST(k // 4 AS INT) AS band,
+                   string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS band_sig
+            FROM sigs GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT n.doc_id AS new_id, o.doc_id AS match_id
+            FROM bands n
+            JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+            WHERE n.doc_id >= {DUP_SHIFT}
+              AND (o.doc_id < {DUP_SHIFT} OR o.doc_id < n.doc_id)
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT c.new_id, c.match_id,
+                   len(list_filter(range(1, 17),
+                       i -> a.mh[CAST(i AS INT)] = b.mh[CAST(i AS INT)])) / 16.0
+                       AS est,
+                   (a5.md5_fp = b5.md5_fp) AS same_md5
+            FROM cand c
+            JOIN mharr a ON a.doc_id = c.new_id
+            JOIN mharr b ON b.doc_id = c.match_id
+            JOIN md5s a5 ON a5.doc_id = c.new_id
+            JOIN md5s b5 ON b5.doc_id = c.match_id
+        )
+        SELECT new_id, match_id,
+               CASE WHEN est = 1.0 AND same_md5 THEN 'certain'
+                    ELSE 'near' END AS verdict,
+               est
+        FROM scored WHERE est >= 0.5"""
+
+
+LOCAL_ORACLE["q_dedup_increment"] = _dedup_increment_oracle()
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

@@ -1,0 +1,60 @@
+"""Empty-input hardening (r5): every corpus operator must be
+empty-in/empty-out -- no NPE on null aggregates, no first()[0] on a
+missing row, no div-by-zero -- because at 100 TB a filter chain
+legitimately empties a partition-restricted input (a new shard with no
+documents, a time window with no events)."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaminglens_spark import cache
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+CASES = [
+    ("dedup_exact", "functions.dedup", "doc_id long, text string"),
+    ("minhash_lsh_pairs", "functions.dedup", "doc_id long, text string"),
+    ("simhash_pairs", "functions.dedup", "doc_id long, text string"),
+    ("dedup_clusters", "functions.dedup", "doc_a long, doc_b long"),
+    ("dedup_clusters_contract", "functions.dedup", "doc_a long, doc_b long"),
+    ("quality_classifier", "functions.text", "doc_id long, text string"),
+    ("chunk_documents", "functions.text", "doc_id long, text string"),
+    ("chunk_dedup", "functions.text", "doc_id long, text string"),
+    ("text_stats", "functions.text", "doc_id long, text string"),
+    (
+        "hdr_quantiles",
+        "functions.sketch",
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    ),
+    (
+        "hist_quantiles",
+        "functions.sketch",
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    ),
+    (
+        "kmv_distinct",
+        "functions.sketch",
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    ),
+    ("assign_row_ids", "functions.ids", "doc_id long"),
+    ("corpus_shuffle", "functions.sampling", "doc_id long"),
+]
+
+
+@pytest.mark.parametrize("name,module,schema", CASES)
+def test_operator_is_empty_safe(spark, name, module, schema):
+    import importlib
+
+    fn = getattr(
+        importlib.import_module(f"streaminglens_spark.{module}"), name
+    )
+    try:
+        out = fn(_empty(spark, schema))
+        assert out.count() == 0
+        assert len(out.columns) > 0  # schema survives emptiness
+    finally:
+        cache.release_caches()

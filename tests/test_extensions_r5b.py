@@ -68,3 +68,55 @@ def test_corpus_shuffle_no_global_sort(spark):
     # duplicates that subtree once, hence <= 2
     assert "hashpartitioning(_shard" in plan, plan[:800]
     assert plan.count("Exchange SinglePartition") <= 2, plan[:800]
+
+
+# ------------------------------------------------------- incremental dedup
+
+def test_dedup_increment_verdicts(spark):
+    """Exact copies of corpus docs score 'certain'; suffixed copies score
+    'near' with a high (but < 1.0) estimate; unrelated docs don't match."""
+    from streaminglens_spark import cache
+    from streaminglens_spark.functions.dedup import (
+        DUP_SHIFT,
+        dedup_against_index,
+        minhash_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        corpus = docs.filter(F.col("doc_id") < 40)
+        new = (
+            corpus.filter(F.col("doc_id") < 20)
+            .select(
+                (F.col("doc_id") + DUP_SHIFT).alias("doc_id"),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(F.col("text"), F.lit(" tiny suffix")),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+        )
+        out = dedup_against_index(new, minhash_index(corpus)).collect()
+        by_new = {}
+        for r in out:
+            by_new.setdefault(r["new_id"], []).append(r)
+        for nid, rows in by_new.items():
+            orig = nid - DUP_SHIFT
+            own = [r for r in rows if r["match_id"] == orig]
+            assert own, (nid, rows)  # the true original is always found
+            r = own[0]
+            if orig % 2 == 0:
+                # a tiny suffix often leaves all 16 minima untouched, so
+                # est may still be 1.0 -- but md5 differs, so the verdict
+                # must downgrade to 'near' (the sketch-only contract:
+                # 'certain' requires BOTH full-signature AND md5 equality)
+                assert r["verdict"] == "near", r
+            else:
+                assert r["verdict"] == "certain" and r["est"] == 1.0, r
+        # every unperturbed copy surfaced; perturbed ones may rarely miss
+        # the banding (documented LSH recall), but on this fixture none do
+        assert len(by_new) == 20
+    finally:
+        cache.release_caches()
