@@ -241,3 +241,124 @@ def frame_sample(media: DataFrame, every_bytes: int = 64, max_frames: int = 4) -
             )
 
     return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+# --- audio modality: real WAV/PCM codec (round-5 extension) -----------------
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary,"
+    " meta struct<sample_rate: bigint, n_samples: bigint, format: string,"
+    " n_bytes: bigint>"
+)
+
+AUDIO_DECODED_SCHEMA = (
+    "doc_id bigint, sample_rate bigint, n_samples bigint, peak_abs bigint,"
+    " sum_sq bigint, zero_cross bigint, decoder string"
+)
+
+# waveform derivation constants: sample j of doc d is
+# (byte[j mod len(text)] - 128) * 256, for n = d % AUDIO_N_MOD + AUDIO_N_MIN
+# samples at rate 8000 + (d % 3) * 4000 -- pure integer arithmetic over the
+# text, so decoded-waveform statistics are independently computable in SQL
+# without any codec (the q_decode_image pattern, applied to audio)
+AUDIO_N_MOD = 200
+AUDIO_N_MIN = 32
+
+
+def attach_wav_blob(documents: DataFrame) -> DataFrame:
+    """Derive a REAL-WAV media column from text: samples are the
+    document's bytes (recentred to int16: ``(b - 128) * 256``) tiled to
+    the doc's deterministic sample count, encoded as a conforming mono
+    16-bit PCM WAV (stdlib codec, ``functions/wav``).  Empty texts are
+    excluded (no samples to tile)."""
+    from .wav import encode_pcm16_wav
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = d % AUDIO_N_MOD + AUDIO_N_MIN
+                sr = 8000 + (d % 3) * 4000
+                raw = text.encode("utf-8")
+                reps = n // len(raw) + 1
+                tiled = (raw * reps)[:n]
+                samples = [(b - 128) * 256 for b in tiled]
+                wav = encode_pcm16_wav(sr, samples)
+                payloads.append(wav)
+                metas.append(
+                    {
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "format": "wav",
+                        "n_bytes": len(wav),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return documents.select("doc_id", "text").filter(
+        F.length("text") > 0
+    ).mapInPandas(encode, AUDIO_SCHEMA)
+
+
+def decode_audio(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Decode WAV payloads via ``mapInPandas`` and emit INTEGER waveform
+    statistics: ``peak_abs`` (max |sample|), ``sum_sq`` (exact int64
+    energy -- callers divide for RMS), ``zero_cross`` (sign changes,
+    ``s >= 0`` as the sign convention).  All integers, so the codec-free
+    oracle hash-matches exactly; sample_rate/n_samples come from the
+    DECODED container (fmt/data chunks), not the metadata struct -- a
+    wrong decoder mismatches.  With ``strict=True`` (default) an
+    undecodable payload raises ``ValueError`` on the executor: fail the
+    job, never fake samples."""
+    from .wav import decode_pcm16_wav
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, peaks, sqs, zcs, decs = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                try:
+                    sr, samples = decode_pcm16_wav(data)
+                except ValueError:
+                    if strict:
+                        raise
+                    srs.append(0)
+                    ns.append(0)
+                    peaks.append(0)
+                    sqs.append(0)
+                    zcs.append(0)
+                    decs.append("undecodable")
+                    continue
+                srs.append(sr)
+                ns.append(len(samples))
+                peaks.append(max((abs(s) for s in samples), default=0))
+                sqs.append(sum(s * s for s in samples))
+                zcs.append(
+                    sum(
+                        1
+                        for a, b in zip(samples, samples[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                )
+                decs.append("wav-pcm16")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "peak_abs": peaks,
+                    "sum_sq": sqs,
+                    "zero_cross": zcs,
+                    "decoder": decs,
+                }
+            )
+
+    return media.mapInPandas(decode, AUDIO_DECODED_SCHEMA)

@@ -569,6 +569,15 @@ INCR_PERTURB_MOD = 6
 INCR_SUFFIX = " incremental ingest suffix tokens appended"
 
 
+def q_decode_audio(spark, sf_dir):
+    """Real WAV/PCM decode (r5): strict mono-16-bit decode of conforming
+    payloads; integer waveform stats verified by a codec-free oracle (the
+    q_decode_image pattern for audio).  LOCAL_ORACLE; r6 candidate."""
+    from .functions.multimodal import attach_wav_blob, decode_audio
+
+    return decode_audio(attach_wav_blob(_docs(spark, sf_dir)), strict=True)
+
+
 def q_dedup_increment(spark, sf_dir):
     """Incremental dedup against a persisted index (r5): new-batch
     verdicts from sketches only, corpus never rescanned.  LOCAL_ORACLE;
@@ -2608,6 +2617,47 @@ def _dedup_increment_oracle() -> str:
 
 
 LOCAL_ORACLE["q_dedup_increment"] = _dedup_increment_oracle()
+
+
+def _decode_audio_oracle() -> str:
+    """r5: codec-free verification of the WAV decode path -- the waveform
+    is a pure integer function of (doc_id, text), so the decoded stats
+    are recomputed in SQL from the generating formula; a decoder that
+    misparses the container or the samples hash-mismatches."""
+    from .functions.multimodal import AUDIO_N_MIN, AUDIO_N_MOD
+
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS len,
+                   doc_id % {AUDIO_N_MOD} + {AUDIO_N_MIN} AS n,
+                   8000 + (doc_id % 3) * 4000 AS sr
+            FROM documents WHERE length(text) > 0
+        ),
+        s AS (
+            SELECT doc_id, n, sr,
+                   list_transform(range(0, n),
+                       j -> (ascii(substr(text, CAST((j % len) + 1 AS INT), 1))
+                             - 128) * 256
+                   ) AS samples
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(sr AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT)
+                   AS peak_abs,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(samples, x -> CAST(x AS BIGINT) * x)),
+                    (a, b) -> a + b) AS BIGINT) AS sum_sq,
+               CAST(len(list_filter(range(2, n + 1),
+                    j -> (samples[CAST(j - 1 AS INT)] >= 0)
+                         != (samples[CAST(j AS INT)] >= 0))) AS BIGINT)
+                   AS zero_cross,
+               'wav-pcm16' AS decoder
+        FROM s"""
+
+
+LOCAL_ORACLE["q_decode_audio"] = _decode_audio_oracle()
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

@@ -1,0 +1,79 @@
+"""Stdlib WAV/PCM codec (r5): round-trip identity, container edge cases,
+and strict-mode decode behavior.  End-to-end decode verification runs in
+test_oracle_queries (q_decode_audio's codec-free oracle)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from streaminglens_spark.functions.wav import decode_pcm16_wav, encode_pcm16_wav
+
+
+def test_round_trip_identity():
+    samples = [0, 1, -1, 100, -100, 32767, -32768, 12345, -12345]
+    for sr in (8000, 16000, 44100):
+        sr2, got = decode_pcm16_wav(encode_pcm16_wav(sr, samples))
+        assert (sr2, got) == (sr, samples)
+
+
+def test_odd_sample_count_padding():
+    # 3 samples -> 6 data bytes (even); 1 sample -> 2 bytes; the RIFF pad
+    # path triggers only for odd chunk sizes, which 16-bit data never has,
+    # but a foreign odd-size chunk must still be skipped correctly
+    samples = [7, -7, 7]
+    wav = encode_pcm16_wav(8000, samples)
+    # inject an odd-sized junk chunk between fmt and data
+    pos = 12 + 8 + 16  # after fmt chunk
+    junk = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = wav[:pos] + junk + wav[pos:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    sr, got = decode_pcm16_wav(patched)
+    assert (sr, got) == (8000, samples)
+
+
+def test_empty_samples():
+    sr, got = decode_pcm16_wav(encode_pcm16_wav(8000, []))
+    assert (sr, got) == (8000, [])
+
+
+def test_out_of_range_sample_rejected():
+    with pytest.raises(ValueError, match="int16"):
+        encode_pcm16_wav(8000, [40000])
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda w: b"", "RIFF"),
+        (lambda w: w[:10], "RIFF"),
+        (lambda w: b"OggS" + w[4:], "RIFF"),
+        (lambda w: w[:-4], "truncated"),
+        # stereo fmt
+        (
+            lambda w: w[: 12 + 8] + w[12 + 8 : 12 + 8 + 2] + b"\x02\x00" + w[12 + 8 + 4 :],
+            "channel",
+        ),
+    ],
+)
+def test_malformed_rejected(mutate, msg):
+    wav = encode_pcm16_wav(8000, [1, 2, 3, 4])
+    with pytest.raises(ValueError, match=msg):
+        decode_pcm16_wav(mutate(wav))
+
+
+def test_decode_audio_strict_raises_on_garbage(spark):
+    from streaminglens_spark.functions.multimodal import (
+        AUDIO_SCHEMA,
+        decode_audio,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"not a wav"), (8000, 4, "wav", 9))],
+        AUDIO_SCHEMA,
+    )
+    with pytest.raises(Exception, match="RIFF"):
+        decode_audio(media, strict=True).collect()
+    rows = decode_audio(media, strict=False).collect()
+    assert rows[0]["decoder"] == "undecodable"
