@@ -362,3 +362,64 @@ def decode_audio(media: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(decode, AUDIO_DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, out_width bigint,"
+    " out_height bigint, sum_pix bigint, resized_md5 string"
+)
+
+
+def resize_image(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """REAL image resize (r5): decode the PNG payload, nearest-neighbor
+    downsample so the longest side is <= ``max_side``, emit the resized
+    image's integer pixel sum and md5 -- the pixel half of the resize
+    stage whose metadata half is ``resize_meta``.
+
+    Every quantity is integer: target dims are ``max(1, (side * max_side)
+    div longest)`` and the nearest-neighbor source index is ``(x2 * w)
+    div w2`` -- no float scale factor anywhere, so the resized bytes (and
+    their md5) are independently recomputable in SQL from the
+    ``attach_png_blob`` generating formula.  A decoder or resampler bug
+    hash-mismatches the oracle.  Expects ``attach_png_blob`` media
+    (real PNGs); raises on undecodable payloads (strict by design --
+    resizing fake pixels is worse than failing)."""
+    from .png import decode_gray_png
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ws, hs, w2s, h2s, sums, md5s = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, pix = decode_gray_png(bytes(payload))
+                side = max(w, h)
+                if side > max_side:
+                    w2 = max(1, (w * max_side) // side)
+                    h2 = max(1, (h * max_side) // side)
+                else:
+                    w2, h2 = w, h
+                resized = bytes(
+                    pix[((y2 * h) // h2) * w + ((x2 * w) // w2)]
+                    for y2 in range(h2)
+                    for x2 in range(w2)
+                )
+                ws.append(w)
+                hs.append(h)
+                w2s.append(w2)
+                h2s.append(h2)
+                sums.append(sum(resized))
+                md5s.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "out_width": w2s,
+                    "out_height": h2s,
+                    "sum_pix": sums,
+                    "resized_md5": md5s,
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)

@@ -569,6 +569,15 @@ INCR_PERTURB_MOD = 6
 INCR_SUFFIX = " incremental ingest suffix tokens appended"
 
 
+def q_resize_image(spark, sf_dir):
+    """Real nearest-neighbor resize over decoded PNG pixels (r5): integer
+    target dims + integer source indices, resized bytes md5-verified by a
+    codec-free oracle.  LOCAL_ORACLE; r6 candidate."""
+    from .functions.multimodal import attach_png_blob, resize_image
+
+    return resize_image(attach_png_blob(_docs(spark, sf_dir)))
+
+
 def q_decode_audio(spark, sf_dir):
     """Real WAV/PCM decode (r5): strict mono-16-bit decode of conforming
     payloads; integer waveform stats verified by a codec-free oracle (the
@@ -2658,6 +2667,55 @@ def _decode_audio_oracle() -> str:
 
 
 LOCAL_ORACLE["q_decode_audio"] = _decode_audio_oracle()
+
+
+def _resize_image_oracle(max_side: int = 16) -> str:
+    """r5: codec-free verification of decode + nearest-neighbor resize --
+    the resized pixel at flattened position q is the tiled text byte at
+    ``((((q // w2) * h) // h2) * w + (((q % w2) * w) // w2)) % len``, all
+    integer floor division, so the resized bytes and their md5 are
+    recomputed in SQL with no codec and no float scale factor."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS len,
+                   doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+            FROM documents WHERE length(text) > 0
+        ),
+        t AS (
+            SELECT doc_id, text, len, w, h,
+                   CASE WHEN greatest(w, h) > {max_side}
+                        THEN greatest(1, (w * {max_side}) // greatest(w, h))
+                        ELSE w END AS w2,
+                   CASE WHEN greatest(w, h) > {max_side}
+                        THEN greatest(1, (h * {max_side}) // greatest(w, h))
+                        ELSE h END AS h2
+            FROM d
+        ),
+        px AS (
+            SELECT doc_id, w, h, w2, h2,
+                   list_transform(range(0, w2 * h2),
+                       q -> ascii(substr(text,
+                            CAST((((((q // w2) * h) // h2) * w
+                                  + (((q % w2) * w) // w2)) % len) + 1 AS INT),
+                            1))
+                   ) AS rp
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w2 AS BIGINT) AS out_width,
+               CAST(h2 AS BIGINT) AS out_height,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(rp, x -> CAST(x AS BIGINT))),
+                    (a, b) -> a + b) AS BIGINT) AS sum_pix,
+               md5(array_to_string(
+                   list_transform(rp, x -> chr(CAST(x AS INT))), ''))
+                   AS resized_md5
+        FROM px"""
+
+
+LOCAL_ORACLE["q_resize_image"] = _resize_image_oracle()
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

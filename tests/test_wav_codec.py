@@ -77,3 +77,40 @@ def test_decode_audio_strict_raises_on_garbage(spark):
         decode_audio(media, strict=True).collect()
     rows = decode_audio(media, strict=False).collect()
     assert rows[0]["decoder"] == "undecodable"
+
+
+# ------------------------------------------------- real resize (image side)
+
+def test_resize_image_identity_and_downsample(spark):
+    """Small canvases (longest side <= 16) pass through unchanged
+    (out dims == dims, md5 == original bytes' md5); large ones downsample
+    with the longest side capped at 16 and aspect preserved."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.multimodal import (
+        attach_png_blob,
+        resize_image,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = {r["doc_id"]: r for r in
+           resize_image(attach_png_blob(docs.filter(F.col("doc_id") < 60))).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.filter(F.col("doc_id") < 60).collect()}
+    for doc_id, r in out.items():
+        w, h = doc_id % 64 + 1, doc_id % 48 + 1
+        assert (r["width"], r["height"]) == (w, h)
+        assert max(r["out_width"], r["out_height"]) <= 16
+        if max(w, h) <= 16:
+            assert (r["out_width"], r["out_height"]) == (w, h)
+            raw = texts[doc_id].encode()
+            pix = (raw * ((w * h) // len(raw) + 1))[: w * h]
+            assert r["resized_md5"] == hashlib.md5(pix).hexdigest()
+        else:
+            # integer aspect preservation: out = max(1, side*16 // longest)
+            side = max(w, h)
+            assert r["out_width"] == max(1, (w * 16) // side)
+            assert r["out_height"] == max(1, (h * 16) // side)
