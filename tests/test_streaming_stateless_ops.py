@@ -136,3 +136,76 @@ def test_pq_encode_streams_bit_equal(spark, tmp_path):
     finally:
         cb.unpersist()
         cache.release_caches()
+
+
+def test_dedup_increment_streams_per_batch(spark, tmp_path):
+    """Incremental dedup in continuous form: each micro-batch of NEW docs
+    scores against the static corpus index inside foreachBatch (the as-of
+    enrichment recipe -- per-row answers need only the row + the index
+    snapshot, so no streaming state).  Verdicts are bit-equal to running
+    the batch operator over the same rows."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark import cache
+    from streaminglens_spark.functions.dedup import (
+        DUP_SHIFT,
+        dedup_against_index,
+        minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 40)
+    index = minhash_index(corpus).persist()
+    index.count()
+    try:
+        new_rows = [
+            {"doc_id": r["doc_id"] + DUP_SHIFT, "text": r["text"]}
+            for r in corpus.filter(F.col("doc_id") < 16).collect()
+        ]
+        src = str(tmp_path / "newdocs")
+        _os.makedirs(src)
+        for i in range(2):
+            path = _os.path.join(src, f"f{i}.json")
+            with open(path + ".tmp", "w") as f:
+                for r in new_rows[i * 8 : (i + 1) * 8]:
+                    f.write(_json.dumps(r) + "\n")
+            _os.rename(path + ".tmp", path)
+
+        want = {
+            tuple(r)
+            for r in dedup_against_index(
+                spark.createDataFrame(new_rows, "doc_id long, text string"), index
+            ).collect()
+        }
+        # NOTE: per-batch semantics intentionally differ from one-batch in
+        # ONE way -- intra-new matches only see EARLIER rows of the same
+        # micro-batch -- but this fixture's new docs are mutually distinct,
+        # so the verdict sets are identical.
+        got = set()
+
+        def body(batch_df, batch_id):
+            for r in dedup_against_index(batch_df, index).collect():
+                got.add(tuple(r))
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = stream.writeStream.foreachBatch(body).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # >= 16: every new doc matches its original, plus whatever
+        # cross-doc signature collisions clear the 0.5 estimate (the same
+        # set in both modes -- equality is the real check)
+        assert got == want and len(got) >= 16
+    finally:
+        index.unpersist()
+        cache.release_caches()
