@@ -2782,6 +2782,38 @@ for _name in _ROTATED_OUT_R5:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R5:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+# Round-5 second batch (the r4 verdict's named r6 batch, delivered early):
+# the remaining eight r4 extensions rotate IN; eight four-round-green
+# slots rotate OUT (six extensions whose operator families remain
+# represented on the surface -- minhash/simhash_pairs cover dedup,
+# ivf/ann_topk cover embeddings, pricing/region cover relational -- plus
+# two trivial control-plane gates, the exact r4 rotation precedent; each
+# has r1-r4 driver rows of record and stays locally hash-checked).
+_ROTATED_OUT_R5B = [
+    "q_simhash",
+    "q_label_centroids",
+    "q_embed_dedup",
+    "q_dedup_corpus",
+    "q_top_customers",
+    "q_batch_gate",
+    "q_purge_set",
+    "q_state_buckets",
+]
+_ROTATED_IN_R5B = [
+    "q_hash_sample",
+    "q_stratified_sample",
+    "q_mixture_sample",
+    "q_cms_windowed",
+    "q_random_project",
+    "q_repetition",
+    "q_pack_sequences",
+    "q_assign_row_ids",
+]
+for _name in _ROTATED_OUT_R5B:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R5B:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 assert len(ORACLE) == 50, f"driver surface must stay at 50, got {len(ORACLE)}"
 
 
