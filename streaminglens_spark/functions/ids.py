@@ -59,6 +59,20 @@ def assign_row_ids(
 ) -> DataFrame:
     """Dense deterministic 0..n-1 ids in ``order_col`` order, no global
     sort.  Returns the input columns' key plus ``row_id``."""
+    # NULL-key guard (lazy, per-row -- the minhash DUP_SHIFT pattern):
+    # min/max ignore NULLs and window ordering sorts them first, so a NULL
+    # key would silently receive an arbitrary-looking rank instead of
+    # failing; the contract (unique, hence non-null, key) is enforced at
+    # the first action with a loud error
+    guarded = F.when(F.col(order_col).isNotNull(), F.col(order_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"assign_row_ids: NULL {order_col} -- the order key must be "
+                "unique and non-null for ids to be deterministic"
+            )
+        )
+    )
+    df = df.select(guarded.alias(order_col))
     bounds = df.agg(
         F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
     )

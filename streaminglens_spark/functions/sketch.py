@@ -499,3 +499,39 @@ def hdr_windowed(
             "cnt",
         )
     )
+
+
+def cms_window_probe(
+    cells: DataFrame, keys: list[int], w: int = CMS_W
+) -> DataFrame:
+    """Per-window frequency estimates for TRACKED keys from windowed
+    count-min cells (round-5; the read side of ``count_min_windowed``):
+    estimate(key, window) = min over the d hash rows of that window's
+    counter at the key's cell, with an ABSENT cell counting 0 (a key
+    whose cell was never touched in a window truly has count 0 there).
+
+    Spark shape: the (key, r, c) probe rows are plan literals (d rows per
+    tracked key -- a monitoring list, tiny by definition); a distinct-
+    windows spine cross-joins them (broadcast) and LEFT-joins the cell
+    table, so the cost is O(windows * keys * d) rows however large the
+    event stream behind the cells was -- exactly the sketch's point.
+    Count-min guarantees estimate >= true count (overestimate-only,
+    pinned in tests).  Returns (window_start_ms, key, est)."""
+    spark = cells.sparkSession
+    probe_rows = [
+        (int(key), i, ((CMS_A[i] * int(key) + CMS_B[i]) % HASH_P) % w)
+        for key in keys
+        for i in range(CMS_D)
+    ]
+    probe = spark.createDataFrame(probe_rows, "key long, r int, c long")
+    wins = cells.select("window_start_ms").distinct()
+    spine = wins.crossJoin(F.broadcast(probe))
+    joined = spine.join(
+        cells.withColumnRenamed("cnt", "_cnt"),
+        ["window_start_ms", "r", "c"],
+        "left",
+    )
+    return (
+        joined.groupBy("window_start_ms", "key")
+        .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).cast("long").alias("est"))
+    )

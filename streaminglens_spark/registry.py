@@ -569,6 +569,23 @@ INCR_PERTURB_MOD = 6
 INCR_SUFFIX = " incremental ingest suffix tokens appended"
 
 
+CMS_PROBE_KEYS = list(range(10))  # the tracked-key monitoring list
+
+
+def q_cms_probe(spark, sf_dir):
+    """Per-window tracked-key frequency estimates from the windowed
+    count-min cells (r5): the read side of q_cms_windowed.  LOCAL_ORACLE;
+    r6 candidate."""
+    from .functions.sketch import cms_window_probe, count_min_windowed
+    from .operators.windows import _ev
+
+    e = _ev(load_table(spark, sf_dir, "events"))
+    cells = count_min_windowed(
+        e.select(F.timestamp_millis(F.col("ms")).alias("ets"), "user_id")
+    )
+    return cms_window_probe(cells, CMS_PROBE_KEYS)
+
+
 def q_resize_image(spark, sf_dir):
     """Real nearest-neighbor resize over decoded PNG pixels (r5): integer
     target dims + integer source indices, resized bytes md5-verified by a
@@ -2716,6 +2733,46 @@ def _resize_image_oracle(max_side: int = 16) -> str:
 
 
 LOCAL_ORACLE["q_resize_image"] = _resize_image_oracle()
+
+
+def _cms_probe_oracle() -> str:
+    """r5: windowed tracked-key probe -- the probe cells are Python-side
+    literals (same affine arithmetic), the window cell counts the same
+    UNION-ALL build as the q_cms_windowed oracle, the estimate a
+    min-over-rows with absent cells counting zero."""
+    from .functions.sketch import CMS_A, CMS_B, CMS_D, CMS_W, HASH_P
+
+    cms_cells = "\n            UNION ALL ".join(
+        f"SELECT (ms // 3600000) * 3600000 AS window_start_ms, {i} AS r,"
+        f" (({CMS_A[i]} * user_id + {CMS_B[i]}) % {HASH_P}) % {CMS_W} AS c"
+        " FROM e"
+        for i in range(CMS_D)
+    )
+    probe_values = ", ".join(
+        f"({k}, {i}, {((CMS_A[i] * k + CMS_B[i]) % HASH_P) % CMS_W})"
+        for k in CMS_PROBE_KEYS
+        for i in range(CMS_D)
+    )
+    return f"""
+        WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+        cells AS (
+            {cms_cells}
+        ),
+        agg AS (
+            SELECT window_start_ms, r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2, 3
+        ),
+        wins AS (SELECT DISTINCT window_start_ms FROM agg),
+        probe AS (SELECT * FROM (VALUES {probe_values}) AS p(key, r, c))
+        SELECT w.window_start_ms, CAST(p.key AS BIGINT) AS key,
+               CAST(MIN(COALESCE(a.cnt, 0)) AS BIGINT) AS est
+        FROM wins w CROSS JOIN probe p
+        LEFT JOIN agg a ON a.window_start_ms = w.window_start_ms
+                       AND a.r = p.r AND a.c = p.c
+        GROUP BY 1, 2"""
+
+
+LOCAL_ORACLE["q_cms_probe"] = _cms_probe_oracle()
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

@@ -109,3 +109,13 @@ def test_mixture_rejects_degenerate_weights(spark):
         mixture_sample(docs, "lang", "doc_id", {"en": -0.1})
     with pytest.raises(ValueError, match="fixed-point"):
         mixture_sample(docs, "lang", "doc_id", {"en": 1e-9})
+
+
+def test_assign_row_ids_rejects_null_keys(spark):
+    """r5 hardening: a NULL order key must fail the first action loudly
+    (min/max skip NULLs and window sorts them first -- a silent
+    arbitrary rank would corrupt every downstream shard manifest)."""
+    df = spark.createDataFrame([(1,), (None,), (3,)], "doc_id long")
+    out = assign_row_ids(df)  # construction stays lazy
+    with pytest.raises(Exception, match="non-null"):
+        out.collect()

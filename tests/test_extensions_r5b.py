@@ -120,3 +120,40 @@ def test_dedup_increment_verdicts(spark):
         assert len(by_new) == 20
     finally:
         cache.release_caches()
+
+
+# --------------------------------------------------- windowed cms probe
+
+def test_cms_probe_overestimates_only(spark):
+    """Count-min's one-sided guarantee, per window: the tracked-key
+    estimate is never below the true count (absent cells count 0, which
+    is exact -- an untouched cell means the key truly never hashed
+    there in that window)."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.sketch import (
+        cms_window_probe,
+        count_min_windowed,
+    )
+    from streaminglens_spark.operators.windows import _ev
+    from tests.conftest import SF_DIR
+
+    e = _ev(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    cells = count_min_windowed(
+        e.select(F.timestamp_millis(F.col("ms")).alias("ets"), "user_id")
+    )
+    keys = list(range(10))
+    est = {
+        (r["window_start_ms"], r["key"]): r["est"]
+        for r in cms_window_probe(cells, keys).collect()
+    }
+    truth = {
+        (r["w"], r["user_id"]): r["n"]
+        for r in e.filter(F.col("user_id") < 10)
+        .groupBy((F.expr("ms div 3600000") * 3600000).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert truth  # fixture has tracked-key traffic
+    for k, n in truth.items():
+        assert est.get(k, 0) >= n, (k, n, est.get(k, 0))
