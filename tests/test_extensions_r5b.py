@@ -157,3 +157,36 @@ def test_cms_probe_overestimates_only(spark):
     assert truth  # fixture has tracked-key traffic
     for k, n in truth.items():
         assert est.get(k, 0) >= n, (k, n, est.get(k, 0))
+
+
+def test_dedup_index_parquet_round_trip(spark, tmp_path):
+    """The index IS the persisted artifact: writing minhash_index to
+    parquet and reading it back must produce verdicts identical to using
+    the freshly-computed index -- the reuse contract an incremental
+    pipeline depends on across runs."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark import cache
+    from streaminglens_spark.functions.dedup import (
+        DUP_SHIFT,
+        dedup_against_index,
+        minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        corpus = docs.filter(F.col("doc_id") < 40)
+        new = corpus.filter(F.col("doc_id") < 12).select(
+            (F.col("doc_id") + DUP_SHIFT).alias("doc_id"), "text"
+        )
+        fresh = minhash_index(corpus)
+        path = str(tmp_path / "index.parquet")
+        fresh.write.parquet(path)
+        reloaded = spark.read.parquet(path)
+        want = {tuple(r) for r in dedup_against_index(new, fresh).collect()}
+        got = {tuple(r) for r in dedup_against_index(new, reloaded).collect()}
+        assert got == want and len(got) >= 12
+    finally:
+        cache.release_caches()
