@@ -19,7 +19,7 @@ from .multimodal import (
     resize_meta,
 )
 from .joins import asof_join, events_asof_orders, events_in_batches, interval_join
-from .kll import kll_quantiles, kll_sketch_shards
+from .kll import kll_merge_quantiles, kll_quantiles, kll_sketch_shards
 from .relational import pricing_summary, region_volume, top_customers
 from .sketch import hist_quantiles, hll_distinct, hll_distinct_windowed, kmv_distinct
 from .similarity import (
@@ -52,6 +52,7 @@ __all__ = [
     "hll_distinct",
     "hll_distinct_windowed",
     "interval_join",
+    "kll_merge_quantiles",
     "kll_quantiles",
     "kll_sketch_shards",
     "kmv_distinct",

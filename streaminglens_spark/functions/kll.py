@@ -210,32 +210,70 @@ def kll_quantiles(
     for fixed (k, n_shards): a pure function of the (event_id, value)
     multiset -- repartition-invariant, engine-independent."""
     shards = kll_sketch_shards(events, k=k, n_shards=n_shards)
+    return shards.groupBy("event_type").applyInPandas(_merge_kernel(k), _OUT_SCHEMA)
+
+
+def _merge_kernel(k: int):
+    """applyInPandas kernel: all serialized sketch rows of one key ->
+    one (event_type, n, p50_est, p95_est, p99_est) row.  Several rows at
+    the same (shard, level) -- e.g. sketches of different ingest batches
+    persisted into the same table -- concatenate level-wise, which is a
+    valid KLL merge for ANY partition of the data; a fresh one-shot
+    build simply has one row per level."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(
                 columns=["event_type", "n", "p50_est", "p95_est", "p99_est"]
             )
-        parts: dict[int, tuple[list[np.ndarray], list[int]]] = {}
+        parts: list[tuple[int, list[np.ndarray], list[int]]] = []
         for sid, grp in pdf.groupby("shard"):
-            grp = grp.sort_values("level")
             depth = int(grp["level"].max()) + 1
-            lv = [np.empty(0)] * depth
+            lv = [[] for _ in range(depth)]
             cc = [0] * depth
             for _, row in grp.iterrows():
-                lv[int(row["level"])] = np.asarray(row["items"], dtype=np.float64)
-                cc[int(row["level"])] = int(row["ccount"])
-            parts[int(sid)] = (lv, cc)
-        levels, _ = _merge_sketches(
-            [(sid, lv, cc) for sid, (lv, cc) in parts.items()], k
-        )
+                i = int(row["level"])
+                lv[i].append(np.asarray(row["items"], dtype=np.float64))
+                cc[i] += int(row["ccount"])
+            parts.append(
+                (
+                    int(sid),
+                    [
+                        np.sort(np.concatenate(a)) if a else np.empty(0)
+                        for a in lv
+                    ],
+                    cc,
+                )
+            )
+        levels, _ = _merge_sketches(parts, k)
         n, (p50, p95, p99) = _quantiles(levels, (50, 95, 99))
         return pd.DataFrame(
             [(pdf["event_type"].iat[0], n, p50, p95, p99)],
             columns=["event_type", "n", "p50_est", "p95_est", "p99_est"],
         )
 
-    return shards.groupBy("event_type").applyInPandas(merge, _OUT_SCHEMA)
+    return merge
+
+
+def kll_merge_quantiles(*shard_tables: DataFrame, k: int = KLL_K) -> DataFrame:
+    """Quantiles from the UNION of serialized sketch tables -- the
+    incremental form (the ``dedup_against_index`` pattern for rank
+    quantiles): persist ``kll_sketch_shards(batch)`` per ingest batch
+    and answer corpus-level quantiles from sketches alone, never
+    rescanning earlier batches.  Merging per (key, shard, level) by
+    concatenation is a valid KLL merge for any batch split, so the
+    result carries the same rank-error contract as a one-shot build
+    (the estimates may differ bit-wise from one-shot -- both are valid
+    sketches of the union; determinism still holds for a FIXED batch
+    split).  ``n`` stays exact (weight preservation is split-proof)."""
+    if not shard_tables:
+        raise ValueError("kll_merge_quantiles needs at least one shard table")
+    all_shards = shard_tables[0]
+    for t in shard_tables[1:]:
+        all_shards = all_shards.unionByName(t)
+    return all_shards.groupBy("event_type").applyInPandas(
+        _merge_kernel(k), _OUT_SCHEMA
+    )
 
 
 def kll_reference(

@@ -700,3 +700,62 @@ def source_manifest(documents: DataFrame) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("n_docs").cast("double"), 6),
         )
     )
+
+
+# --- whitespace/control normalization (round-5 extension) --------------------
+
+def dirty_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministically inject the crawl-artifact whitespace a real
+    ingest sees (the ``pii_corpus`` convention: the fixture text is clean,
+    so the mess is constructed, keyed on doc_id, bit-identical in any
+    engine): CRLF line endings after every ' join ' token, a literal TAB
+    plus doubled spaces after every ' the ' token, leading whitespace on
+    even ids, a C0 control char (BEL) on ids % 3 == 0, trailing spaces on
+    ids % 5 == 0.  Plain (non-regex) replace + concat only."""
+    d = F.col("doc_id")
+    t = F.col("text")
+    t = F.replace(t, F.lit(" join "), F.lit(" join\r\n"))
+    t = F.replace(t, F.lit(" the "), F.lit(" the\t  "))
+    prefix = F.when(d % 2 == 0, F.lit("  \t")).otherwise(F.lit(""))
+    bell = F.when(d % 3 == 0, F.lit(" \x07garbled")).otherwise(F.lit(""))
+    suffix = F.when(d % 5 == 0, F.lit("   ")).otherwise(F.lit(""))
+    return documents.select(
+        "doc_id", F.concat(prefix, t, bell, suffix).alias("text")
+    )
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Whitespace/control normalization -- the cleanup pass before any
+    token-, line- or hash-based operator (dedup fingerprints, line-level
+    boilerplate removal and token counts all change meaning when CRLF,
+    tabs and stray control bytes survive ingest).  Chained JVM
+    ``regexp_replace`` only -- map-only, zero shuffle, no Python; every
+    pattern is shared Java-regex/RE2 syntax so the DuckDB oracle runs the
+    SAME chain (the ``pii_redact`` precedent):
+
+    1. CRLF / lone CR -> LF;
+    2. strip C0 controls except TAB and LF (plus DEL);
+    3. TAB -> space;
+    4. spaces around newlines dropped;
+    5. space runs -> one space;
+    6. 3+ newlines -> 2 (paragraph break preserved);
+    7. trim leading/trailing whitespace.
+
+    The chain is IDEMPOTENT (pinned in tests: a second pass is the
+    identity), so re-running the pass over partially-cleaned shards at
+    100 TB is safe.  Returns (doc_id, raw_len, clean_len, clean_md5)."""
+    s = F.col("text")
+    s = F.regexp_replace(s, r"\r\n?", "\n")
+    s = F.regexp_replace(s, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    s = F.regexp_replace(s, r"\t", " ")
+    s = F.regexp_replace(s, r" +\n", "\n")
+    s = F.regexp_replace(s, r"\n +", "\n")
+    s = F.regexp_replace(s, r"  +", " ")
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    s = F.regexp_replace(s, r"^[ \n]+|[ \n]+$", "")
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        F.length(s).cast("long").alias("clean_len"),
+        F.md5(s.cast("binary")).alias("clean_md5"),
+    )

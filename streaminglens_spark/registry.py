@@ -595,6 +595,17 @@ def q_resize_image(spark, sf_dir):
     return resize_image(attach_png_blob(_docs(spark, sf_dir)))
 
 
+def q_normalize_text(spark, sf_dir):
+    """Whitespace/control normalization over a deterministically dirtied
+    corpus (r5): the crawl-cleanup front pass -- CRLF, tabs, C0 controls,
+    space runs and edge whitespace normalized by a chained-JVM-regexp
+    map-only plan; the oracle runs the IDENTICAL chain (shared
+    Java-regex/RE2 syntax).  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.text import dirty_corpus, normalize_text
+
+    return normalize_text(dirty_corpus(_docs(spark, sf_dir)))
+
+
 def q_decode_audio(spark, sf_dir):
     """Real WAV/PCM decode (r5): strict mono-16-bit decode of conforming
     payloads; integer waveform stats verified by a codec-free oracle (the
@@ -2773,6 +2784,50 @@ def _cms_probe_oracle() -> str:
 
 
 LOCAL_ORACLE["q_cms_probe"] = _cms_probe_oracle()
+
+
+def _normalize_text_oracle() -> str:
+    """r5: the SAME injection (plain replace/concat) and the SAME
+    regexp chain as the Spark plan -- the patterns are written in the
+    Java-regex/RE2 shared subset, so cross-engine agreement checks both
+    the dirtying and every normalization step byte-for-byte (md5)."""
+    return r"""
+        WITH dirty AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN '  ' || chr(9) ELSE '' END
+              || replace(
+                   replace(text, ' join ', ' join' || chr(13) || chr(10)),
+                   ' the ', ' the' || chr(9) || '  ')
+              || CASE WHEN doc_id % 3 = 0
+                 THEN ' ' || chr(7) || 'garbled' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN '   ' ELSE '' END AS text
+            FROM documents
+        ),
+        clean AS (
+            SELECT doc_id, length(text) AS raw_len,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(text, '\r\n?', chr(10), 'g'),
+                            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                          '\t', ' ', 'g'),
+                        ' +\n', chr(10), 'g'),
+                      '\n +', chr(10), 'g'),
+                    '  +', ' ', 'g'),
+                  '\n{3,}', chr(10) || chr(10), 'g'),
+                '^[ \n]+|[ \n]+$', '', 'g') AS c
+            FROM dirty
+        )
+        SELECT doc_id, CAST(raw_len AS BIGINT) AS raw_len,
+               CAST(length(c) AS BIGINT) AS clean_len, md5(c) AS clean_md5
+        FROM clean"""
+
+
+LOCAL_ORACLE["q_normalize_text"] = _normalize_text_oracle()
 
 
 # Round-4 rotation (r3 verdict ask #1): the six r3 temporal-join / sketch /

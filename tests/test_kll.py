@@ -149,3 +149,54 @@ def test_sketch_size_bounded(spark):
     assert per_group
     for r in per_group:
         assert r["total"] <= 4 * KLL_K, r
+
+
+def test_incremental_merge_rank_error_and_exact_n(spark):
+    """The dedup_against_index pattern for quantiles: per-batch sketch
+    tables merged by concatenation must keep n exact and the rank-error
+    contract, without rescanning earlier batches."""
+    from streaminglens_spark.functions.kll import (
+        kll_merge_quantiles,
+        kll_sketch_shards,
+    )
+
+    ev = _events(spark, SF_DIR_001)
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    tables = [kll_sketch_shards(b) for b in batches]
+    got = _collect(kll_merge_quantiles(*tables))
+    pdf = ev.select("event_type", "value").toPandas()
+    for etype, (n, ests) in got.items():
+        vals = pdf.loc[pdf["event_type"] == etype, "value"].to_numpy()
+        assert n == len(vals), etype  # exact across the batch split
+        for p, est in zip((50, 95, 99), ests):
+            assert _rank_error(vals, est, p) <= 0.02, (etype, p)
+
+
+def test_incremental_merge_deterministic(spark):
+    """A fixed batch split gives a fixed merged sketch: same inputs,
+    bit-identical estimates on re-run."""
+    from streaminglens_spark.functions.kll import (
+        kll_merge_quantiles,
+        kll_sketch_shards,
+    )
+
+    ev = _events(spark, SF_DIR)
+    a = kll_sketch_shards(ev.filter(F.col("event_id") % 2 == 0))
+    b = kll_sketch_shards(ev.filter(F.col("event_id") % 2 == 1))
+    one = _collect(kll_merge_quantiles(a, b))
+    two = _collect(kll_merge_quantiles(a, b))
+    assert one == two
+
+
+def test_merge_of_single_table_matches_one_shot(spark):
+    """Degenerate incremental case (one batch) must be bit-identical to
+    the one-shot build -- the concat-merge path may not perturb it."""
+    from streaminglens_spark.functions.kll import (
+        kll_merge_quantiles,
+        kll_sketch_shards,
+    )
+
+    ev = _events(spark, SF_DIR)
+    assert _collect(kll_merge_quantiles(kll_sketch_shards(ev))) == _collect(
+        kll_quantiles(ev)
+    )
