@@ -364,6 +364,57 @@ def decode_audio(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(decode, AUDIO_DECODED_SCHEMA)
 
 
+AUDIO_FRAME_LEN = 16  # samples per analysis frame
+
+AUDIO_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_n bigint, peak_abs bigint,"
+    " sum_sq bigint, zero_cross bigint"
+)
+
+
+def audio_frames(media: DataFrame, frame: int = AUDIO_FRAME_LEN) -> DataFrame:
+    """Frame-level audio features over decoded PCM -- the VAD/segmentation
+    primitive (silence detection, energy gating, speech-rate proxies all
+    start from per-frame energy + zero-crossing): non-overlapping frames
+    of ``frame`` samples (last frame partial), each reporting INTEGER
+    ``peak_abs`` / ``sum_sq`` / ``zero_cross`` (sign changes WITHIN the
+    frame; callers derive RMS by dividing).  Same decode path and
+    strictness as ``decode_audio``; the frame fan-out happens inside the
+    Arrow batch (one output row per frame), so the plan stays a map-only
+    ``mapInPandas`` scan -- no shuffle, and the codec-free oracle
+    recomputes every frame from the generating formula."""
+    import numpy as np
+
+    from .wav import decode_pcm16_wav
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, fns, peaks, sqs, zcs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = decode_pcm16_wav(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                for f in range((len(s) + frame - 1) // frame):
+                    fr = s[f * frame : (f + 1) * frame]
+                    ids.append(int(doc_id))
+                    fidx.append(f)
+                    fns.append(len(fr))
+                    peaks.append(int(np.abs(fr).max()))
+                    sqs.append(int((fr * fr).sum()))
+                    zcs.append(int(((fr[:-1] >= 0) != (fr[1:] >= 0)).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "frame_n": fns,
+                    "peak_abs": peaks,
+                    "sum_sq": sqs,
+                    "zero_cross": zcs,
+                }
+            )
+
+    return media.mapInPandas(frames, AUDIO_FRAMES_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "doc_id bigint, width bigint, height bigint, out_width bigint,"
     " out_height bigint, sum_pix bigint, resized_md5 string"

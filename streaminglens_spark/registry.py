@@ -615,6 +615,16 @@ def q_decode_audio(spark, sf_dir):
     return decode_audio(attach_wav_blob(_docs(spark, sf_dir)), strict=True)
 
 
+def q_audio_frames(spark, sf_dir):
+    """Frame-level audio features (r5): per-16-sample integer energy /
+    peak / zero-crossing frames over REAL WAV payloads -- the VAD
+    primitive; codec-free oracle recomputes every frame from the
+    generating formula.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.multimodal import attach_wav_blob, audio_frames
+
+    return audio_frames(attach_wav_blob(_docs(spark, sf_dir)))
+
+
 def q_dedup_increment(spark, sf_dir):
     """Incremental dedup against a persisted index (r5): new-batch
     verdicts from sketches only, corpus never rescanned.  LOCAL_ORACLE;
@@ -2695,6 +2705,57 @@ def _decode_audio_oracle() -> str:
 
 
 LOCAL_ORACLE["q_decode_audio"] = _decode_audio_oracle()
+
+
+def _audio_frames_oracle() -> str:
+    """r5: codec-free frame features -- same generating-formula samples
+    as the q_decode_audio oracle, then per-16-sample frames via list
+    slicing; a decoder or framing bug hash-mismatches."""
+    from .functions.multimodal import AUDIO_FRAME_LEN, AUDIO_N_MIN, AUDIO_N_MOD
+
+    fl = AUDIO_FRAME_LEN
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS len,
+                   doc_id % {AUDIO_N_MOD} + {AUDIO_N_MIN} AS n
+            FROM documents WHERE length(text) > 0
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   list_transform(range(0, n),
+                       j -> (ascii(substr(text, CAST((j % len) + 1 AS INT), 1))
+                             - 128) * 256
+                   ) AS samples
+            FROM d
+        ),
+        fr AS (
+            SELECT doc_id, n, samples,
+                   unnest(range(0, CAST((n + {fl} - 1) // {fl} AS BIGINT)))
+                       AS f
+            FROM s
+        ),
+        sliced AS (
+            SELECT doc_id, f,
+                   list_slice(samples, CAST(f * {fl} + 1 AS INT),
+                              CAST(least((f + 1) * {fl}, n) AS INT)) AS w
+            FROM fr
+        )
+        SELECT doc_id,
+               CAST(f AS BIGINT) AS frame_idx,
+               CAST(len(w) AS BIGINT) AS frame_n,
+               CAST(list_max(list_transform(w, x -> abs(x))) AS BIGINT)
+                   AS peak_abs,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(w, x -> CAST(x AS BIGINT) * x)),
+                    (a, b) -> a + b) AS BIGINT) AS sum_sq,
+               CAST(len(list_filter(range(2, len(w) + 1),
+                    j -> (w[CAST(j - 1 AS INT)] >= 0)
+                         != (w[CAST(j AS INT)] >= 0))) AS BIGINT)
+                   AS zero_cross
+        FROM sliced"""
+
+
+LOCAL_ORACLE["q_audio_frames"] = _audio_frames_oracle()
 
 
 def _resize_image_oracle(max_side: int = 16) -> str:

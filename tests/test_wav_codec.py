@@ -114,3 +114,40 @@ def test_resize_image_identity_and_downsample(spark):
             side = max(w, h)
             assert r["out_width"] == max(1, (w * 16) // side)
             assert r["out_height"] == max(1, (h * 16) // side)
+
+
+def test_audio_frames_cover_waveform_exactly(spark):
+    """Frame invariants over the real decode: frames tile the waveform
+    with no gap/overlap (sum of frame_n == n_samples), every frame but
+    the last is full, per-doc totals of sum_sq match the whole-waveform
+    decode (energy is additive over a partition of the samples)."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.multimodal import (
+        AUDIO_FRAME_LEN,
+        attach_wav_blob,
+        audio_frames,
+        decode_audio,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 80)
+    media = attach_wav_blob(docs)
+    frames = audio_frames(media).collect()
+    whole = {r["doc_id"]: r for r in decode_audio(media).collect()}
+    per_doc: dict[int, list] = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert per_doc.keys() == whole.keys()
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        w = whole[doc_id]
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        assert sum(r["frame_n"] for r in rows) == w["n_samples"]
+        assert all(r["frame_n"] == AUDIO_FRAME_LEN for r in rows[:-1])
+        assert sum(r["sum_sq"] for r in rows) == w["sum_sq"]
+        assert max(r["peak_abs"] for r in rows) == w["peak_abs"]
+        # within-frame sign changes can only MISS the cross-boundary ones
+        assert sum(r["zero_cross"] for r in rows) <= w["zero_cross"]
+        assert w["zero_cross"] - sum(r["zero_cross"] for r in rows) < len(rows)
