@@ -625,6 +625,24 @@ def q_audio_frames(spark, sf_dir):
     return audio_frames(attach_wav_blob(_docs(spark, sf_dir)))
 
 
+def q_canon_urls(spark, sf_dir):
+    """URL canonicalization (r5): RFC-3986 case rules + tracking-param
+    strip over a deterministically derived URL column, all-JVM regexp
+    map-only plan.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.urls import canonicalize_urls, url_corpus
+
+    return canonicalize_urls(url_corpus(_docs(spark, sf_dir)))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain URL accounting (r5): doc counts + distinct canonical
+    resources over the canonicalized corpus.  LOCAL_ORACLE; r6
+    rotation candidate."""
+    from .functions.urls import canonicalize_urls, domain_stats, url_corpus
+
+    return domain_stats(canonicalize_urls(url_corpus(_docs(spark, sf_dir))))
+
+
 def q_dedup_increment(spark, sf_dir):
     """Incremental dedup against a persisted index (r5): new-batch
     verdicts from sketches only, corpus never rescanned.  LOCAL_ORACLE;
@@ -2756,6 +2774,83 @@ def _audio_frames_oracle() -> str:
 
 
 LOCAL_ORACLE["q_audio_frames"] = _audio_frames_oracle()
+
+
+def _url_oracles() -> dict[str, str]:
+    """r5: the URL injection and the canonicalization chain reproduced in
+    DuckDB -- the regexp patterns are the same Java-regex/RE2 shared
+    subset the Spark plan uses (no backreference replacements), with
+    DuckDB's explicit 'g' flag where the Spark op is implicitly global."""
+    from .functions.urls import TRACKING_PARAMS_RE
+
+    prelude = r"""
+        WITH urls AS (
+            SELECT doc_id,
+              (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+              || '://'
+              || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+              || 'Site' || (doc_id % 7) || '.ExAmple.COM'
+              || (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 0 THEN ':443'
+                       WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
+                       WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+              || '/Docs/p' || (doc_id % 13)
+              || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+              || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || doc_id
+                  ELSE '?utm_source=feed' || (doc_id % 3) || '&id='
+                       || doc_id || '&utm_campaign=x' END)
+              || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || (doc_id % 4)
+                  ELSE '' END) AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id,
+              lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              regexp_replace(lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                    '^www\.', '') AS hostport,
+              regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+            FROM urls
+        ),
+        split AS (
+            SELECT doc_id, scheme,
+              regexp_extract(hostport, '^([^:]+)', 1) AS host,
+              regexp_extract(hostport, '(:[0-9]+)$', 1) AS rawport,
+              regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                             '/+$', '') AS path,
+              regexp_extract(rest, '(\?.*)$', 1) AS rawq
+            FROM parts
+        ),
+        canon AS (
+            SELECT doc_id,
+              scheme || '://' || host
+              || (CASE WHEN scheme = 'http' AND rawport = ':80' THEN ''
+                       WHEN scheme = 'https' AND rawport = ':443' THEN ''
+                       ELSE rawport END)
+              || path
+              || regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(rawq, '__TRACK__', '', 'g'),
+                     '&{2,}', '&', 'g'), '\?&', '?', 'g'),
+                     '[?&]+$', '', 'g') AS canon_url,
+              host AS domain,
+              regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain
+            FROM split
+        )
+    """.replace("__TRACK__", TRACKING_PARAMS_RE)
+    return {
+        "q_canon_urls": prelude
+        + "SELECT doc_id, canon_url, domain, reg_domain FROM canon",
+        "q_domain_stats": prelude
+        + """
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_unique_urls,
+               CAST(COUNT(DISTINCT reg_domain) AS BIGINT) AS n_reg_domains
+        FROM canon GROUP BY domain""",
+    }
+
+
+LOCAL_ORACLE.update(_url_oracles())
 
 
 def _resize_image_oracle(max_side: int = 16) -> str:
