@@ -31,6 +31,7 @@ from .similarity import (
     kmeans_fit,
     lsh_bucket,
     recall_at_k,
+    semantic_dedup_pairs,
 )
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
 
@@ -67,6 +68,7 @@ __all__ = [
     "pricing_summary",
     "quality_score",
     "recall_at_k",
+    "semantic_dedup_pairs",
     "region_volume",
     "resize_meta",
     "simhash",

@@ -319,6 +319,90 @@ def ann_topk(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    iters: int = 5,
+    centroids: DataFrame | None = None,
+    max_block: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with the SAME deterministic
+    ``kmeans_fit`` quantizer the ANN surface uses, then exact-cosine
+    compare only WITHIN each learned cell -- the label-free counterpart
+    of ``embed_dedup_pairs`` (which needs natural blocking keys).  A
+    semantic duplicate and its twin land in the same cell with high
+    probability (they are near-identical vectors), so recall degrades
+    only for pairs straddling a cell boundary -- SemDeDup's documented
+    trade.  Honest numbers (``tests/test_semantic_dedup.py``): planted
+    true twins (identical / near-identical vectors) are found at recall 1.0
+    -- identical vectors score identically and tie-break into the SAME
+    cell deterministically -- while the fixture's near-orthogonal random
+    scatter at cosine >= 0.3 (pairs with no semantic relation, the
+    blocking-hostile hard case, same as LSH's) measures ~0.33; the
+    operator is a DEDUP primitive, not a general similarity join --
+    ``cosine_topk``/``ann_topk`` are the search surfaces.
+
+    Scale shape: centroids broadcast (k x dim), assignment map-only,
+    candidate generation an equi-join on cell => O(sum cell^2) not
+    O(n^2); choose ``n_cells ~ n / target_cell_size`` at scale.  Cells
+    that still exceed ``max_block`` vectors are sub-blocked by their
+    hyperplane-LSH bucket (the ``embed_dedup_pairs`` skew guard; at the
+    fixture scale no cell reaches the cap, so the oracle is unchanged).
+    The pairs feed ``dedup_clusters`` / ``dedup_clusters_contract`` for
+    the keep-one-per-group step, exactly like the MinHash path.
+    Returns (vec_a, vec_b, cosine) with round(cosine, 6) >= threshold."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(embeddings, k=n_cells, iters=iters)
+    )
+    scored = F.broadcast(cents).crossJoin(emb).withColumn(
+        "cscore", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cell"))
+    assign = (
+        scored.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") == 1)
+        .select("cell", "vec_id", "v", "nrm")
+    )
+    # materialize before the self-join fan-out: both sides would otherwise
+    # recompute the k-means assignment (the ivf_topk / minhash lesson)
+    from ..cache import track
+
+    assign = track(assign)
+    assign.count()
+    counts = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    assign = assign.join(F.broadcast(counts), "cell").withColumn(
+        "block",
+        F.when(F.col("_n") > max_block, lsh_bucket(F.col("v")))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    a = assign.select(
+        "cell", "block", F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        "cell", "block", F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, ["cell", "block"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_exact", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.round("cos_exact", 6) >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cosine"))
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Mean per-query fraction of the exact top-k an approximate result
     recovered -- the quality number that makes an ANN path's speed/recall

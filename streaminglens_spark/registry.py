@@ -444,6 +444,15 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(_emb(spark, sf_dir))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic near-dup pairs (r5): kmeans cells + exact
+    within-cell cosine -- the label-free embedding dedup path.
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
 def q_embed_dedup(spark, sf_dir):
     from .functions.similarity import embed_dedup_pairs
 
@@ -1474,17 +1483,15 @@ ORACLE: dict[str, str | None] = {
 }
 
 
-def _ann_topk_oracle(
-    n_cells: int = 8, iters: int = 5, nprobe: int = 3, n_queries: int = 5, k: int = 10
-) -> str:
-    """DuckDB oracle for ``q_ann_topk``: the ``iters`` deterministic Lloyd
-    iterations of ``kmeans_fit`` unrolled as CTEs (init = the ``n_cells``
-    lowest vec_ids; assignment = argmax cosine with ties to the lower
-    cell; re-estimation = integer-quantized per-dimension means), then the
-    same probe/re-rank tail as the q_ivf_topk oracle.  Every float fold is
-    the identical left-fold expression tree as the Spark plan, so the
-    5-iteration fit -- and therefore the final top-k -- hash-matches
-    bit-exactly."""
+def _kmeans_assign_ctes(n_cells: int, iters: int) -> list[str]:
+    """The ``iters`` deterministic Lloyd iterations of ``kmeans_fit``
+    unrolled as CTEs (init = the ``n_cells`` lowest vec_ids; assignment =
+    argmax cosine with ties to the lower cell; re-estimation =
+    integer-quantized per-dimension means), ending with ``cscored``
+    (final scoring + rank) and ``assign`` (cell, vec_id, v, nrm).  Shared
+    by the q_ann_topk and q_semantic_dedup oracles; every float fold is
+    the identical left-fold expression tree as the Spark plan, so the fit
+    hash-matches bit-exactly."""
     dot_vc = """list_reduce(list_prepend(0.0,
                        list_transform(range(1, 65),
                            i -> n.v[CAST(i AS INT)] * c.cv[CAST(i AS INT)])),
@@ -1562,6 +1569,16 @@ def _ann_topk_oracle(
     ctes.append(
         """assign AS (SELECT cell, vec_id, v, nrm FROM cscored WHERE crn = 1)"""
     )
+    return ctes
+
+
+def _ann_topk_oracle(
+    n_cells: int = 8, iters: int = 5, nprobe: int = 3, n_queries: int = 5, k: int = 10
+) -> str:
+    """DuckDB oracle for ``q_ann_topk``: the shared unrolled k-means fit
+    (``_kmeans_assign_ctes``), then the same probe/re-rank tail as the
+    q_ivf_topk oracle."""
+    ctes = _kmeans_assign_ctes(n_cells, iters)
     ctes.append(
         f"""probes AS (
             SELECT cell, vec_id AS query_vec_id, v AS qv, nrm AS qn
@@ -1593,6 +1610,32 @@ def _ann_topk_oracle(
 
 
 ORACLE["q_ann_topk"] = _ann_topk_oracle()
+
+
+def _semantic_dedup_oracle(
+    n_cells: int = 8, iters: int = 5, threshold: float = 0.3
+) -> str:
+    """r5: SemDeDup -- the shared unrolled k-means fit, then exact
+    within-cell pairwise cosine (the fixture's cells are all far below
+    the skew-guard cap, so no sub-blocking appears here, matching the
+    Spark plan's behavior at this scale)."""
+    ctes = _kmeans_assign_ctes(n_cells, iters)
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65),
+                       i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])),
+                   (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+        FROM assign a JOIN assign b USING (cell)
+        WHERE a.vec_id < b.vec_id
+          AND round(list_reduce(list_prepend(0.0,
+                  list_transform(range(1, 65),
+                      i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])),
+                  (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= {threshold}"""
+    )
 
 
 # Rotated OUT of the 50-slot driver surface in round 3 (verdict ask #1) to
@@ -2851,6 +2894,7 @@ def _url_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_url_oracles())
+LOCAL_ORACLE["q_semantic_dedup"] = _semantic_dedup_oracle()
 
 
 def _resize_image_oracle(max_side: int = 16) -> str:
