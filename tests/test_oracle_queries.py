@@ -1,27 +1,45 @@
-"""Every registry query vs its DuckDB oracle at sf0.001 (the driver runs the
-same comparison at sf0.01)."""
+"""Every registry query vs its DuckDB oracle, at sf0.001 AND at sf0.01
+(the driver's correctness scale) -- the second scale point catches
+size-dependent bugs (overflow, bucket boundaries, broadcast thresholds)
+a single tiny fixture can mask."""
 
 from __future__ import annotations
 
 import pytest
 
 from streaminglens_spark import registry
-from streaminglens_spark.oracle.compare import compare
-from tests.conftest import SF_DIR
+from streaminglens_spark.oracle.compare import compare, duckdb_connect
+from tests.conftest import SF_DIR, SF_DIR_001
 
-# driver surface + round-3 rotated-out queries (still first-class, locally
+# driver surface + rotated-out queries (still first-class, locally
 # checked every run)
 ALL_ORACLE = {**registry.ORACLE, **registry.LOCAL_ORACLE}
 NAMES = sorted(ALL_ORACLE)
 
 
-@pytest.mark.parametrize("name", NAMES)
-def test_query_vs_oracle(spark, duck, name):
+@pytest.fixture(scope="module")
+def duck001():
+    con = duckdb_connect(SF_DIR_001)
+    yield con
+    con.close()
+
+
+def _check(spark, con, name, sf_dir):
     fn = getattr(registry, name)
-    df = fn(spark, SF_DIR)
+    df = fn(spark, sf_dir)
     sql = ALL_ORACLE[name]
     if sql is None:
         assert df.count() >= 0  # rows-only check
         return
-    res = compare(df, duck, sql)
+    res = compare(df, con, sql)
     assert res["ok"], {k: v for k, v in res.items() if k != "spark_cols"}
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_vs_oracle(spark, duck, name):
+    _check(spark, duck, name, SF_DIR)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_vs_oracle_sf001(spark, duck001, name):
+    _check(spark, duck001, name, SF_DIR_001)
