@@ -209,3 +209,31 @@ def test_dedup_increment_streams_per_batch(spark, tmp_path):
     finally:
         index.unpersist()
         cache.release_caches()
+
+
+def test_normalize_text_streams_bit_equal(spark, tmp_path):
+    from streaminglens_spark.functions.text import dirty_corpus, normalize_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.limit(60).collect()]
+    static_df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {tuple(r) for r in normalize_text(dirty_corpus(static_df)).collect()}
+    got = _run_stream(
+        normalize_text(dirty_corpus(_doc_stream(spark, tmp_path, rows))),
+        ("doc_id",),
+    )
+    assert got == want
+
+
+def test_canonicalize_urls_streams_bit_equal(spark, tmp_path):
+    from streaminglens_spark.functions.urls import canonicalize_urls, url_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.limit(60).collect()]
+    static_df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {tuple(r) for r in canonicalize_urls(url_corpus(static_df)).collect()}
+    got = _run_stream(
+        canonicalize_urls(url_corpus(_doc_stream(spark, tmp_path, rows))),
+        ("doc_id",),
+    )
+    assert got == want
