@@ -1,0 +1,102 @@
+"""End-to-end corpus cleanup pipeline (round-5 extension): the "switch
+your pipeline to this engine" composition -- every cleanup pass this
+repo ships, chained in the order a pretraining ingest actually runs
+them, as ONE declarative DataFrame plan Catalyst optimizes end to end
+(filters and projections fuse across stages; nothing materializes
+between passes):
+
+1. **normalize** (``text.normalize_expr``): whitespace/control cleanup
+   -- map-only expression, fused into the scan;
+2. **redact** (``text.redact_expr``): PII scrubbing -- map-only, fused
+   with (1) into the same projection;
+3. **boilerplate strip** (``text.strip_boilerplate_text``): corpus-
+   frequency chrome removal -- the pipeline's one corpus-wide groupBy +
+   broadcast anti-join;
+4. **quality gate** (``text.quality_classifier``): hashed linear score
+   over the cleaned text -- map-only;
+5. **exact dedup keeper**: smallest doc_id per cleaned-text md5 group
+   -- one hash aggregation + broadcastable join back.
+
+Output, one row per input doc: (doc_id, n_lines, n_kept, clean_len,
+clean_md5, score_milli, keep_quality, keep_id, final_keep) where
+``final_keep`` = passed the quality gate AND is its duplicate-group
+keeper AND survived boilerplate removal with at least one line.  The
+cleaned text itself is carried only as md5+length (the repo's digest
+convention -- the full string is value-checked without shipping it);
+callers wanting the text run the same chain through
+``strip_boilerplate_text`` directly.
+
+Scale: stages 1, 2 and 4 are projections (zero shuffle); stage 3 is the
+documented boilerplate shape; stage 5 groups by md5 (uniform keys).
+Measured plan (pinned in ``tests/test_corpus_pipeline.py``): five data
+shuffles end to end (lines groupBy, reassembly groupBy, the spine join
+alignment, the md5-keeper window) plus one O(1)-row single-partition
+exchange for the n_docs count, regardless of corpus size -- and the
+boilerplate subtree appears exactly once (the keeper is a min-over-
+window on the md5 partition, not a groupBy self-join, and the quality
+score rides the digest projection), the fusion a stage-by-stage
+materializing pipeline gives up.
+
+Every stage is bit-deterministic, so the WHOLE pipeline hash-matches a
+DuckDB oracle that recomputes the five stages as CTEs
+(``q_corpus_pipeline``) -- the strongest end-to-end correctness
+statement in the repo: one hash covers normalization, redaction,
+corpus-frequency counting, reassembly, scoring and keeper election at
+once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import (
+    BOILERPLATE_MIN_DOC_FRAC,
+    normalize_expr,
+    redact_expr,
+    strip_boilerplate_text,
+)
+
+
+def corpus_pipeline(
+    documents: DataFrame, min_doc_frac: float = BOILERPLATE_MIN_DOC_FRAC
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import QC_THRESHOLD_MILLI, qc_score_expr
+
+    cleaned_input = documents.select(
+        "doc_id", redact_expr(normalize_expr(F.col("text"))).alias("text")
+    )
+    stripped = strip_boilerplate_text(cleaned_input, min_doc_frac)
+    # ONE projection computes the digest AND the quality score over the
+    # cleaned text (qc_score_expr is a plain column expression), and the
+    # dedup keeper is a min-over-window on the md5 partition -- no
+    # self-join, so the expensive boilerplate subtree appears exactly
+    # ONCE in the plan (pinned by the shuffle-bound test)
+    score = qc_score_expr(F.col("clean"))
+    hashed = stripped.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+        score.alias("score_milli"),
+        (score >= QC_THRESHOLD_MILLI).alias("keep_quality"),
+    )
+    keep_id = F.min("doc_id").over(Window.partitionBy("clean_md5")).cast("long")
+    return hashed.withColumn("keep_id", keep_id).select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "clean_len",
+        "clean_md5",
+        "score_milli",
+        "keep_quality",
+        "keep_id",
+        (
+            F.col("keep_quality")
+            & (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("n_kept") > 0)
+        ).alias("final_keep"),
+    )

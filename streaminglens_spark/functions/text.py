@@ -239,6 +239,18 @@ def pii_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def redact_expr(t: F.Column) -> F.Column:
+    """The text-valued PII redaction chain (email -> ip -> phone; see
+    ``pii_redact`` for order-safety) as a reusable column expression."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+
+
 def pii_redact(documents: DataFrame) -> DataFrame:
     """Detect and redact PII-shaped spans (email, 555-phone, IPv4) --
     map-only ``regexp_count`` + chained ``regexp_replace`` (JVM regex, no
@@ -250,13 +262,7 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     full scrubbed string is value-checked without shipping it.
     Returns (doc_id, n_emails, n_phones, n_ips, clean_len, clean_md5)."""
     t = F.col("text")
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    clean = redact_expr(t)
     return documents.select(
         "doc_id",
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
@@ -320,6 +326,25 @@ def strip_boilerplate(
     past Spark's hard relation-broadcast limit fails the job with the
     size in the error, at which point raising ``min_doc_frac`` or
     switching this join to shuffle is the documented operator move."""
+    rebuilt = strip_boilerplate_text(documents, min_doc_frac)
+    return rebuilt.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+    )
+
+
+def strip_boilerplate_text(
+    documents: DataFrame, min_doc_frac: float = BOILERPLATE_MIN_DOC_FRAC
+) -> DataFrame:
+    """Text-valued form of ``strip_boilerplate``: (doc_id, n_lines,
+    n_kept, clean) with the reassembled text itself -- the composition
+    building block ``corpus_pipeline`` feeds into the quality gate.
+    Same plan (one count-distinct-docs groupBy, broadcast anti-join,
+    positional reassembly); ``strip_boilerplate`` derives its md5/length
+    digest view from this."""
     lines = documents.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
@@ -343,15 +368,11 @@ def strip_boilerplate(
     spine = documents.select(
         "doc_id", F.size(F.split("text", "\n")).cast("long").alias("n_lines")
     )
-    return (
-        spine.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-            F.length(F.coalesce("clean", F.lit(""))).cast("long").alias("clean_len"),
-            F.md5(F.coalesce("clean", F.lit("")).cast("binary")).alias("clean_md5"),
-        )
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean", F.lit("")).alias("clean"),
     )
 
 
@@ -567,8 +588,20 @@ def quality_classifier(
     partitionings (no sigmoid -- the logistic is monotone in the linear
     score, so thresholding the score IS thresholding the probability).
     Returns (doc_id, n_feats, score_milli, keep)."""
-    w = F.array(*[F.lit(x).cast("long") for x in qc_weights(dim)])
-    toks = F.split(F.col("text"), " ")
+    feats = qc_feats_expr(F.col("text"), dim)
+    score = qc_score_expr(F.col("text"), dim)
+    return documents.select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_feats"),
+        score.alias("score_milli"),
+        (score >= threshold_milli).alias("keep"),
+    )
+
+
+def qc_feats_expr(text: F.Column, dim: int = QC_DIM) -> F.Column:
+    """Hashed unigram+bigram feature-bucket array as a reusable column
+    expression (see ``quality_classifier``)."""
+    toks = F.split(text, " ")
     uni = F.transform(toks, lambda t: char_fold_hash(t) % dim)
     # guarded: F.sequence(1, 0) would generate a DESCENDING [1, 0], not an
     # empty list -- single-token docs must contribute zero bigrams
@@ -584,17 +617,18 @@ def quality_classifier(
             % dim,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    feats = F.concat(uni, bi)
-    score = F.aggregate(
-        feats,
+    return F.concat(uni, bi)
+
+
+def qc_score_expr(text: F.Column, dim: int = QC_DIM) -> F.Column:
+    """Integer milli-unit quality score as a reusable column expression --
+    lets ``corpus_pipeline`` score inside the same projection that hashes
+    the cleaned text (no second pass, no subtree duplication)."""
+    w = F.array(*[F.lit(x).cast("long") for x in qc_weights(dim)])
+    return F.aggregate(
+        qc_feats_expr(text, dim),
         F.lit(0).cast("long"),
         lambda acc, b: acc + F.element_at(w, (b + 1).cast("int")),
-    )
-    return documents.select(
-        "doc_id",
-        F.size(feats).cast("long").alias("n_feats"),
-        score.alias("score_milli"),
-        (score >= threshold_milli).alias("keep"),
     )
 
 
@@ -724,6 +758,20 @@ def dirty_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def normalize_expr(s: F.Column) -> F.Column:
+    """The text-valued normalization chain (see ``normalize_text``) as a
+    reusable column expression -- the composition building block
+    ``corpus_pipeline`` chains before the redaction pass."""
+    s = F.regexp_replace(s, r"\r\n?", "\n")
+    s = F.regexp_replace(s, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    s = F.regexp_replace(s, r"\t", " ")
+    s = F.regexp_replace(s, r" +\n", "\n")
+    s = F.regexp_replace(s, r"\n +", "\n")
+    s = F.regexp_replace(s, r"  +", " ")
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    return F.regexp_replace(s, r"^[ \n]+|[ \n]+$", "")
+
+
 def normalize_text(documents: DataFrame) -> DataFrame:
     """Whitespace/control normalization -- the cleanup pass before any
     token-, line- or hash-based operator (dedup fingerprints, line-level
@@ -744,15 +792,7 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     The chain is IDEMPOTENT (pinned in tests: a second pass is the
     identity), so re-running the pass over partially-cleaned shards at
     100 TB is safe.  Returns (doc_id, raw_len, clean_len, clean_md5)."""
-    s = F.col("text")
-    s = F.regexp_replace(s, r"\r\n?", "\n")
-    s = F.regexp_replace(s, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
-    s = F.regexp_replace(s, r"\t", " ")
-    s = F.regexp_replace(s, r" +\n", "\n")
-    s = F.regexp_replace(s, r"\n +", "\n")
-    s = F.regexp_replace(s, r"  +", " ")
-    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
-    s = F.regexp_replace(s, r"^[ \n]+|[ \n]+$", "")
+    s = normalize_expr(F.col("text"))
     return documents.select(
         "doc_id",
         F.length("text").cast("long").alias("raw_len"),

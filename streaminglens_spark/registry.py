@@ -652,6 +652,20 @@ def q_domain_stats(spark, sf_dir):
     return domain_stats(canonicalize_urls(url_corpus(_docs(spark, sf_dir))))
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end cleanup pipeline (r5): normalize -> redact ->
+    boilerplate strip -> quality gate -> exact-dedup keeper as ONE fused
+    plan, over a corpus carrying all three deterministic injections
+    (pii, whitespace mess, chrome lines).  One oracle hash covers every
+    stage at once.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.corpus import corpus_pipeline
+    from .functions.text import boilerplate_corpus, dirty_corpus, pii_corpus
+
+    return corpus_pipeline(
+        boilerplate_corpus(dirty_corpus(pii_corpus(_docs(spark, sf_dir))))
+    )
+
+
 def q_dedup_increment(spark, sf_dir):
     """Incremental dedup against a persisted index (r5): new-batch
     verdicts from sketches only, corpus never rescanned.  LOCAL_ORACLE;
@@ -2895,6 +2909,160 @@ def _url_oracles() -> dict[str, str]:
 
 LOCAL_ORACLE.update(_url_oracles())
 LOCAL_ORACLE["q_semantic_dedup"] = _semantic_dedup_oracle()
+
+
+def _corpus_pipeline_oracle() -> str:
+    """r5: the five pipeline stages recomputed as CTEs over the same
+    three injections -- one hash covers normalization, redaction,
+    corpus-frequency boilerplate removal, reassembly, quality scoring
+    and keeper election end to end."""
+    from .functions.text import (
+        BOILERPLATE_MIN_DOC_FRAC,
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        QC_DIM,
+        QC_THRESHOLD_MILLI,
+        qc_weights,
+    )
+
+    w_list = "[" + ", ".join(str(x) for x in qc_weights()) + "]"
+
+    def fold(expr: str) -> str:
+        return f"""list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length({expr}) + 1),
+                           ci -> CAST(ascii(substr({expr}, CAST(ci AS INT), 1))
+                                AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+    normalize = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text, '\\r\\n?', chr(10), 'g'),"
+        " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),"
+        " '\\t', ' ', 'g'),"
+        " ' +\\n', chr(10), 'g'),"
+        " '\\n +', chr(10), 'g'),"
+        " '  +', ' ', 'g'),"
+        " '\\n{3,}', chr(10) || chr(10), 'g'),"
+        " '^[ \\n]+|[ \\n]+$', '', 'g')"
+    )
+    redact = (
+        f"regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{PII_IP_RE}', '<IP>', 'g'),"
+        f" '{PII_PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id, text
+              || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || (doc_id % 256) || '.'
+                      || ((doc_id // 256) % 256) || '.' || (doc_id % 100)
+                 ELSE '' END
+              AS text
+            FROM documents
+        ),
+        dz AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN '  ' || chr(9) ELSE '' END
+              || replace(
+                   replace(text, ' join ', ' join' || chr(13) || chr(10)),
+                   ' the ', ' the' || chr(9) || '  ')
+              || CASE WHEN doc_id % 3 = 0
+                 THEN ' ' || chr(7) || 'garbled' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN '   ' ELSE '' END AS text
+            FROM p
+        ),
+        bpc AS (
+            SELECT doc_id,
+              concat_ws(chr(10),
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'copyright acme corp all rights reserved' END,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'subscribe to our newsletter for updates' END,
+                text,
+                CASE WHEN doc_id % 4 = 0
+                     THEN 'privacy policy terms of service' END
+              ) AS text
+            FROM dz
+        ),
+        nz AS (SELECT doc_id, {normalize} AS text FROM bpc),
+        red AS (SELECT doc_id, {redact} AS text FROM nz),
+        lines AS (
+            SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM red)
+        ),
+        freq AS (
+            SELECT line FROM lines GROUP BY line
+            HAVING COUNT(DISTINCT doc_id) >=
+                   {BOILERPLATE_MIN_DOC_FRAC} *
+                   (SELECT COUNT(DISTINCT doc_id) FROM red)
+        ),
+        kept AS (
+            SELECT doc_id, pos, line FROM lines
+            WHERE line NOT IN (SELECT line FROM freq)
+        ),
+        rebuilt AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean
+            FROM kept GROUP BY doc_id
+        ),
+        spine AS (
+            SELECT r.doc_id,
+                   CAST(len(string_split(r.text, chr(10))) AS BIGINT) AS n_lines,
+                   COALESCE(b.n_kept, 0) AS n_kept,
+                   COALESCE(b.clean, '') AS clean
+            FROM red r LEFT JOIN rebuilt b USING (doc_id)
+        ),
+        t AS (SELECT doc_id, string_split(clean, ' ') AS toks FROM spine),
+        feats AS (
+            SELECT doc_id,
+                   list_concat(
+                       list_transform(toks, tok -> {fold('tok')} % {QC_DIM}),
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> {fold("(toks[CAST(i AS INT)] || '_' || toks[CAST(i + 1 AS INT)])")} % {QC_DIM})
+                       ELSE [] END
+                   ) AS fs
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(fs,
+                            b -> CAST(({w_list})[CAST(b + 1 AS INT)] AS BIGINT))),
+                        (a, x) -> a + x) AS BIGINT) AS score_milli
+            FROM feats
+        ),
+        hashed AS (
+            SELECT doc_id, n_lines, n_kept,
+                   CAST(length(clean) AS BIGINT) AS clean_len,
+                   md5(clean) AS clean_md5
+            FROM spine
+        ),
+        keepers AS (
+            SELECT clean_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM hashed GROUP BY clean_md5
+        )
+        SELECT h.doc_id, h.n_lines, h.n_kept, h.clean_len, h.clean_md5,
+               s.score_milli,
+               s.score_milli >= {QC_THRESHOLD_MILLI} AS keep_quality,
+               k.keep_id,
+               (s.score_milli >= {QC_THRESHOLD_MILLI})
+                 AND (h.doc_id = k.keep_id) AND (h.n_kept > 0) AS final_keep
+        FROM hashed h
+        JOIN keepers k USING (clean_md5)
+        JOIN scored s USING (doc_id)"""
+
+
+LOCAL_ORACLE["q_corpus_pipeline"] = _corpus_pipeline_oracle()
 
 
 def _resize_image_oracle(max_side: int = 16) -> str:
