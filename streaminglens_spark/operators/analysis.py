@@ -110,3 +110,43 @@ def job_walltime(islanded: DataFrame) -> DataFrame:
     return per_island.groupBy("query_id", "batch_id").agg(
         F.sum("island_ms").cast("long").alias("job_walltime_ms")
     )
+
+
+def duration_anomalies(progress: DataFrame, k: int = 3) -> DataFrame:
+    """Batch-duration anomaly flags per query (round-5 extension of the
+    reference's monitoring domain -- the reference thresholds each batch
+    against a FIXED SLA; this flags batches that are outliers against
+    the query's OWN duration distribution, the complementary signal when
+    no SLA is configured or the workload drifts).
+
+    Test: ``(d - mean)^2 > k^2 * variance``, evaluated as the
+    cross-multiplied INTEGER comparison ``(d*n - S)^2 > k^2 * (n*Q -
+    S^2)`` over exact int64 sums (S = sum of durations, Q = sum of
+    squares, both exact; the mixture-sample determinism rule), computed
+    in decimal(38,0) so no scale of n/durations can overflow -- the
+    flag is bit-deterministic across engines and partitionings.  Only
+    VALID batches (the reference's NONEWBATCHES exclusion) participate.
+    Zero-variance queries flag nothing (0 > 0 is false).
+
+    Spark shape: one groupBy(query_id) for the O(#queries) stats table,
+    broadcast back, flag map-only -- two passes, no window, no state.
+    Returns (query_id, batch_id, duration_ms, is_anomaly)."""
+    b = batch_bounds(progress).filter(F.col("valid"))
+    d = F.col("batch_running_ms")
+    stats = b.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(d).cast("long").alias("_s"),
+        F.sum(d * d).cast("long").alias("_q"),
+    )
+    dec = "decimal(38,0)"
+    n, s, q = (F.col(c).cast(dec) for c in ("_n", "_s", "_q"))
+    dev = d.cast(dec) * n - s
+    return (
+        b.join(F.broadcast(stats), "query_id")
+        .select(
+            "query_id",
+            "batch_id",
+            d.alias("duration_ms"),
+            (dev * dev > F.lit(k * k) * (n * q - s * s)).alias("is_anomaly"),
+        )
+    )

@@ -75,6 +75,17 @@ def q_batch_bounds(spark, sf_dir):
     return batch_bounds(t.progress).drop("valid")
 
 
+def q_duration_anomalies(spark, sf_dir):
+    """Batch-duration outlier flags per query (r5): integer-exact
+    Chebyshev-style test against the query's own duration distribution
+    -- the no-SLA complement to A10's fixed thresholds.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .operators.analysis import duration_anomalies
+
+    t = _telemetry(spark, sf_dir)
+    return duration_anomalies(t.progress)
+
+
 def q_batch_parse(spark, sf_dir):
     # S4 -- parse the spark.job.description string
     # (reference listener/StreamingAppListener.scala:57-66 +
@@ -3063,6 +3074,27 @@ def _corpus_pipeline_oracle() -> str:
 
 
 LOCAL_ORACLE["q_corpus_pipeline"] = _corpus_pipeline_oracle()
+
+# r5: duration anomalies -- same analysis prelude, the stats and the
+# cross-multiplied integer test recomputed independently (HUGEINT in
+# DuckDB, decimal(38,0) in Spark; both exceed the products' range)
+LOCAL_ORACLE["q_duration_anomalies"] = oracle_analysis("""
+        , vb AS (
+            SELECT query_id, batch_id, batch_running_ms FROM bounds2 WHERE valid
+        ),
+        st AS (
+            SELECT query_id,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(batch_running_ms) AS HUGEINT) AS s,
+                   CAST(SUM(batch_running_ms * batch_running_ms) AS HUGEINT) AS q
+            FROM vb GROUP BY 1
+        )
+        SELECT v.query_id, v.batch_id,
+               CAST(v.batch_running_ms AS BIGINT) AS duration_ms,
+               (CAST(v.batch_running_ms AS HUGEINT) * t.n - t.s)
+                 * (CAST(v.batch_running_ms AS HUGEINT) * t.n - t.s)
+                 > 9 * (t.n * t.q - t.s * t.s) AS is_anomaly
+        FROM vb v JOIN st t USING (query_id)""")
 
 
 def _resize_image_oracle(max_side: int = 16) -> str:

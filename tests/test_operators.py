@@ -312,3 +312,33 @@ def test_open_executor_span_corrected_to_batch_end(spark):
     )
     out = max_concurrency(be, bounds).collect()
     assert out[0]["max_concurrent"] == 2  # open span runs to batch end (100)
+
+
+def test_duration_anomalies_flags_only_true_outlier(spark):
+    """One 10x-duration batch among uniform ones is flagged; nothing else
+    is; a zero-variance query flags nothing (0 > 0).  Durations derive
+    from batch_bounds' numInputRows/processedRowsPerSecond math, so the
+    fixture speaks the operator's real input language."""
+    from streaminglens_spark.operators.analysis import duration_anomalies
+
+    rows = []
+    # q1: 30 batches of ~1000 ms, one of 10000 ms (rps scales duration)
+    for b in range(30):
+        rows.append(("q1", b, b * 60_000, 100, 100.0))   # 1000 ms
+    rows.append(("q1", 30, 31 * 60_000, 1000, 100.0))    # 10000 ms outlier
+    # q2: constant durations -> zero variance -> no flags
+    for b in range(10):
+        rows.append(("q2", b, b * 60_000, 100, 50.0))    # 2000 ms each
+    # q3: an invalid (no-rows) batch must not participate at all
+    rows.append(("q3", 0, 0, 0, 0.0))
+    progress = spark.createDataFrame(
+        rows,
+        "query_id string, batch_id long, ts_ms long, num_input_rows long,"
+        " processed_rps double",
+    )
+    out = {(r["query_id"], r["batch_id"]): r["is_anomaly"]
+           for r in duration_anomalies(progress).collect()}
+    assert out[("q1", 30)] is True
+    assert sum(1 for k, v in out.items() if k[0] == "q1" and v) == 1
+    assert not any(v for k, v in out.items() if k[0] == "q2")
+    assert not any(k[0] == "q3" for k in out)  # invalid batch excluded
