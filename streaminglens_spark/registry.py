@@ -75,6 +75,22 @@ def q_batch_bounds(spark, sf_dir):
     return batch_bounds(t.progress).drop("valid")
 
 
+PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+def q_profile_events(spark, sf_dir):
+    """Per-column table profile (r5): null/distinct/min/max over string
+    casts in one unpivot+groupBy pass.  ``ts`` is excluded because the
+    fixture's TIMESTAMP(NANOS) surfaces as long under Spark's
+    nanosAsLong but as timestamp in DuckDB -- a representation split,
+    not a value difference.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.profile import profile_table
+
+    return profile_table(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), PROFILE_COLS
+    )
+
+
 def q_duration_anomalies(spark, sf_dir):
     """Batch-duration outlier flags per query (r5): integer-exact
     Chebyshev-style test against the query's own duration distribution
@@ -3074,6 +3090,22 @@ def _corpus_pipeline_oracle() -> str:
 
 
 LOCAL_ORACLE["q_corpus_pipeline"] = _corpus_pipeline_oracle()
+
+# r5: per-column profile -- one UNION-ALL branch per column, each an
+# independent full-table aggregate (the opposite algorithm of the Spark
+# plan's single unpivot+groupBy, so the check is independent)
+LOCAL_ORACLE["q_profile_events"] = "\n        UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN CAST({c} AS VARCHAR) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
+                   AS n_distinct,
+               MIN(CAST({c} AS VARCHAR)) AS min_val,
+               MAX(CAST({c} AS VARCHAR)) AS max_val
+        FROM events"""
+    for c in PROFILE_COLS
+)
 
 # r5: duration anomalies -- same analysis prelude, the stats and the
 # cross-multiplied integer test recomputed independently (HUGEINT in
