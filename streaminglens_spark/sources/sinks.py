@@ -99,3 +99,38 @@ def read_committed(spark: SparkSession, path: str) -> DataFrame:
     if not dirs:
         raise ValueError(f"read_committed: no committed batches under {path}")
     return spark.read.option("basePath", path).parquet(*dirs)
+
+
+# --- deterministic training-shard export (round-5 extension) -----------------
+
+def write_training_shards(
+    df: DataFrame, path: str, key: str = "doc_id", n_shards: int = 32
+) -> None:
+    """Export a corpus in its deterministic training order: the
+    data-loader handoff.  ``corpus_shuffle`` assigns every row its
+    hash-order position and round-robin shard (a pure function of the
+    key -- re-running the export reproduces byte-identical shard
+    contents); rows are then clustered by shard and sorted by position
+    WITHIN each shard task, so every ``shard=N`` directory reads back in
+    exact training order with a plain sequential parquet scan -- the
+    loader never sorts, seeks or shuffles.  Round-robin interleaving
+    means every shard sees the same source/time mixture in expectation,
+    so data-parallel workers consuming distinct shards train on
+    exchangeable streams."""
+    from ..functions.sampling import corpus_shuffle
+
+    order = corpus_shuffle(df.select(key), key=key, n_shards=n_shards)
+    (
+        df.join(order, key)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_training_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """One shard in training order (partition pruning: only shard=N is
+    read; file order is the write order, so the scan IS the order)."""
+    return spark.read.parquet(path).filter(f"shard = {shard}")
