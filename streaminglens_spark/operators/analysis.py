@@ -150,3 +150,75 @@ def duration_anomalies(progress: DataFrame, k: int = 3) -> DataFrame:
             (dev * dev > F.lit(k * k) * (n * q - s * s)).alias("is_anomaly"),
         )
     )
+
+
+SLA_ROUND_MS = 500
+
+
+def recommend_sla(progress: DataFrame, round_ms: int = SLA_ROUND_MS) -> DataFrame:
+    """Data-driven SLA recommendation per query (round-5 extension of
+    the reference's config surface: the reference ASKS the user for
+    ``expectedMicroBatchSLAMillis`` and classifies against it; this
+    derives the number the user should configure from the query's own
+    history -- the answer to the reference docs' "how do I pick my
+    SLA?").
+
+    Method: exact integer duration quantiles per query (p50/p95/p99 as
+    the smallest duration with ``cum*100 >= p*n`` -- the hist_quantiles
+    pick rule applied to exact per-key sorted durations, affordable
+    because a query's batch history is small by construction), then
+    ``recommended_sla_ms`` = p99 rounded UP to the next ``round_ms``
+    multiple (ceiling division -- a pure integer rule, so the whole
+    output is oracle-hash-exact).  Only VALID batches participate.
+
+    Spark shape: one groupBy(query_id) over (duration, count) pairs with
+    a sorted-array fold -- same mergeable shape as the KMV two-level
+    merge; no window, no global sort.  Returns (query_id, n_batches,
+    p50_ms, p95_ms, p99_ms, recommended_sla_ms)."""
+    b = batch_bounds(progress).filter(F.col("valid"))
+    d = F.col("batch_running_ms")
+    per = (
+        b.groupBy("query_id", d.alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+    )
+    # cumulative pick over the sorted (duration, count) runs: aggregate
+    # carries (cum, n, p50, p95, p99) through one fold -- all integers
+    n_total = F.aggregate(
+        F.col("dc"), F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+    )
+    def pick(p):
+        return F.aggregate(
+            F.col("dc"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("long").alias("v"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.when(
+                    acc["v"].isNull()
+                    & ((acc["cum"] + x["c"]) * 100 >= F.lit(p) * F.col("_n")),
+                    x["d"],
+                )
+                .otherwise(acc["v"])
+                .alias("v"),
+            ),
+        )["v"]
+
+    out = per.withColumn("_n", n_total).select(
+        "query_id",
+        F.col("_n").alias("n_batches"),
+        pick(50).alias("p50_ms"),
+        pick(95).alias("p95_ms"),
+        pick(99).alias("p99_ms"),
+    )
+    return out.withColumn(
+        "recommended_sla_ms",
+        # integer ceiling division -- no float path (durations are
+        # non-negative by construction, so the +r-1 form is exact)
+        F.expr(f"((p99_ms + {round_ms} - 1) div {round_ms}) * {round_ms}").cast(
+            "long"
+        ),
+    )

@@ -91,6 +91,17 @@ def q_profile_events(spark, sf_dir):
     )
 
 
+def q_sla_recommend(spark, sf_dir):
+    """Data-driven SLA recommendation (r5): exact integer duration
+    quantiles per query + ceiling-rounded p99 -- the answer to "how do
+    I pick expectedMicroBatchSLAMillis".  LOCAL_ORACLE; r6 rotation
+    candidate."""
+    from .operators.analysis import recommend_sla
+
+    t = _telemetry(spark, sf_dir)
+    return recommend_sla(t.progress)
+
+
 def q_duration_anomalies(spark, sf_dir):
     """Batch-duration outlier flags per query (r5): integer-exact
     Chebyshev-style test against the query's own duration distribution
@@ -3106,6 +3117,30 @@ LOCAL_ORACLE["q_profile_events"] = "\n        UNION ALL ".join(
         FROM events"""
     for c in PROFILE_COLS
 )
+
+# r5: SLA recommendation -- quantiles recomputed the OPPOSITE way
+# (ranked window over raw rows vs the Spark plan's sorted run-length
+# fold), ceiling by integer division
+LOCAL_ORACLE["q_sla_recommend"] = oracle_analysis("""
+        , vb AS (
+            SELECT query_id, batch_running_ms AS d FROM bounds2 WHERE valid
+        ),
+        ranked AS (
+            SELECT query_id, d,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY query_id) AS n
+            FROM vb
+        ),
+        q AS (
+            SELECT query_id, CAST(MAX(n) AS BIGINT) AS n_batches,
+                   CAST(MIN(CASE WHEN rn * 100 >= 50 * n THEN d END) AS BIGINT) AS p50_ms,
+                   CAST(MIN(CASE WHEN rn * 100 >= 95 * n THEN d END) AS BIGINT) AS p95_ms,
+                   CAST(MIN(CASE WHEN rn * 100 >= 99 * n THEN d END) AS BIGINT) AS p99_ms
+            FROM ranked GROUP BY query_id
+        )
+        SELECT query_id, n_batches, p50_ms, p95_ms, p99_ms,
+               CAST(((p99_ms + 499) // 500) * 500 AS BIGINT) AS recommended_sla_ms
+        FROM q""")
 
 # r5: duration anomalies -- same analysis prelude, the stats and the
 # cross-multiplied integer test recomputed independently (HUGEINT in

@@ -342,3 +342,37 @@ def test_duration_anomalies_flags_only_true_outlier(spark):
     assert sum(1 for k, v in out.items() if k[0] == "q1" and v) == 1
     assert not any(v for k, v in out.items() if k[0] == "q2")
     assert not any(k[0] == "q3" for k in out)  # invalid batch excluded
+
+
+def test_recommend_sla_exact_quantiles_and_ceiling(spark):
+    """Quantiles are exact order statistics (cum*100 >= p*n pick) and the
+    recommendation is p99 ceiling-rounded; invalid batches excluded."""
+    from streaminglens_spark.operators.analysis import recommend_sla
+
+    rows = []
+    # q1: durations 1000, 2000, ..., 100000 ms (100 valid batches)
+    for b in range(100):
+        rows.append(("q1", b, b * 200_000, 100 * (b + 1), 100.0))
+    rows.append(("q1", 100, 0, 0, 0.0))  # invalid
+    progress = spark.createDataFrame(
+        rows,
+        "query_id string, batch_id long, ts_ms long, num_input_rows long,"
+        " processed_rps double",
+    )
+    out = recommend_sla(progress).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_batches"] == 100
+    assert r["p50_ms"] == 50_000   # ceil(50*100/100) = rank 50
+    assert r["p95_ms"] == 95_000
+    assert r["p99_ms"] == 99_000
+    assert r["recommended_sla_ms"] == 99_000  # already a 500-multiple
+    # non-multiple p99 rounds UP
+    rows2 = [("q2", b, 0, 1234, 1000.0) for b in range(5)]  # 1234 ms each
+    out2 = recommend_sla(spark.createDataFrame(
+        rows2,
+        "query_id string, batch_id long, ts_ms long, num_input_rows long,"
+        " processed_rps double",
+    )).collect()[0]
+    assert out2["p99_ms"] == 1234
+    assert out2["recommended_sla_ms"] == 1500
