@@ -799,3 +799,44 @@ def normalize_text(documents: DataFrame) -> DataFrame:
         F.length(s).cast("long").alias("clean_len"),
         F.md5(s.cast("binary")).alias("clean_md5"),
     )
+
+
+# --- corpus vocabulary builder (round-5 extension) ---------------------------
+
+def vocab_topk(documents: DataFrame, k: int = 200) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with
+    exact counts, ranks and cumulative coverage -- the tokenizer-training
+    precursor (vocab init, coverage curves, OOV-rate planning all start
+    here).
+
+    Spark shape: one explode + one groupBy for the counts (map-side
+    partial agg), then ``orderBy(...).limit(k)`` which Spark plans as
+    TakeOrdered -- a DISTRIBUTED per-partition top-k + driver merge of k
+    rows, never a global sort (the ``count_min_topk`` precedent).  The
+    rank/cumulative window that follows runs over the k surviving rows
+    only -- bounded by construction, so the single-partition window is
+    fine (the bloom-pack bounded-collect precedent).  Ties break to the
+    lexicographically smaller token (deterministic).  Coverage is
+    emitted as exact integers (cum_count, total_count) -- callers
+    divide; no float leaves the operator.  Returns (rank, token, cnt,
+    cum_count, total_count)."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total_count"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_count",
+            F.sum("cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .select("rank", "token", "cnt", "cum_count", "total_count")
+    )

@@ -642,6 +642,15 @@ def q_resize_image(spark, sf_dir):
     return resize_image(attach_png_blob(_docs(spark, sf_dir)))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k (r5): exact counts + cumulative coverage
+    via distributed TakeOrdered (never a global sort).  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir))
+
+
 def q_normalize_text(spark, sf_dir):
     """Whitespace/control normalization over a deterministically dirtied
     corpus (r5): the crawl-cleanup front pass -- CRLF, tabs, C0 controls,
@@ -3117,6 +3126,29 @@ LOCAL_ORACLE["q_profile_events"] = "\n        UNION ALL ".join(
         FROM events"""
     for c in PROFILE_COLS
 )
+
+# r5: vocabulary top-k -- ranked window over the full count table (the
+# opposite of the Spark plan's TakeOrdered), same deterministic tie-break
+LOCAL_ORACLE["q_vocab_topk"] = """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY token
+        ),
+        ranked AS (
+            SELECT token, cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)
+                        AS BIGINT) AS rank,
+                   CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_count,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS total_count
+            FROM counts
+        )
+        SELECT rank, token, cnt, cum_count, total_count
+        FROM ranked WHERE rank <= 200"""
 
 # r5: SLA recommendation -- quantiles recomputed the OPPOSITE way
 # (ranked window over raw rows vs the Spark plan's sorted run-length

@@ -110,3 +110,17 @@ def test_chunk_no_shuffle(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = formatted_plan(chunk_documents(df.select("doc_id", "text")))
     assert "Exchange" not in plan, "chunking must not shuffle the corpus"
+
+
+def test_vocab_topk_invariants(spark):
+    """Exact counts, deterministic tie-break (count desc, token asc),
+    monotone cumulative coverage ending <= total."""
+    from streaminglens_spark.functions.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c b x")], "doc_id long, text string"
+    )
+    rows = sorted(vocab_topk(df, k=3).collect(), key=lambda r: r["rank"])
+    assert [(r["token"], r["cnt"]) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
+    assert [r["cum_count"] for r in rows] == [3, 6, 8]
+    assert all(r["total_count"] == 9 for r in rows)
