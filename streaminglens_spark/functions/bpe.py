@@ -1,0 +1,156 @@
+"""BPE tokenizer training (round-5 extension): learn byte-pair-encoding
+merges from the corpus -- the tokenizer-TRAINING step (Sennrich et al.
+2016) that sits between corpus cleanup and ``pack_sequences`` in a real
+pretraining pipeline; ``vocab_topk`` plans the vocab budget, this
+produces the merge table a BPE tokenizer actually ships.
+
+Algorithm (classic word-level BPE): reduce the corpus to its distinct
+words with counts (the word table is the only thing the loop ever
+touches -- at 100 TB the text reduces to a few million (word, count)
+rows in one groupBy); start from character symbols; each round counts
+adjacent symbol pairs weighted by word count, picks the most frequent
+pair (ties: lexicographically smallest -- fully deterministic, no RNG),
+and rewrites every word's symbol array with the pair merged
+left-to-right non-overlapping (the standard greedy convention; after a
+merge the new symbol differs from its left component, so chains cannot
+cascade within a round).
+
+Spark shape per round: ONE shuffle (pair-count groupBy over the word
+table), an O(1)-row ``orderBy().limit(1)`` argmax (TakeOrdered -- the
+same bounded driver traffic as a k-means centroid collect), and a
+map-only ``aggregate`` fold that performs the merge inside the JVM --
+no Python in the loop.  ``localCheckpoint`` per round keeps the plan
+flat (the ``dedup_clusters`` iterative-DataFrame idiom).  Rounds are
+sequential by nature (each merge depends on the last) -- the
+parallelism is WITHIN a round, which is where the data is.
+
+Determinism: counts are exact integers, the argmax tie-break is total,
+and the merge rewrite is a pure function -- so the merge table is
+bit-reproducible across engines and partitionings, and the DuckDB
+oracle unrolls the same rounds as CTEs (the ``kmeans_fit`` precedent)
+and hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BPE_MERGES = 8
+
+
+def _word_table(documents: DataFrame) -> DataFrame:
+    """(ws: array<string> character symbols, cnt): the distinct-word
+    reduction of the corpus."""
+    return (
+        documents.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.split(F.col("w"), "").alias("ws"), "cnt")
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("a"),
+            F.element_at("ws", i + 1).alias("b"),
+        ),
+    )
+    return (
+        words.filter(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def _merge_expr(a: str, b: str) -> F.Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) in ws --
+    a single JVM fold; the state is the output array itself."""
+    merged = a + b
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(F.col("ws"), F.array().cast("array<string>"), step)
+
+
+def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (step, left, right, merged, pair_count) -- the artifact a tokenizer
+    ships.  Stops early if no pair occurs at least twice."""
+    spark = documents.sparkSession
+    words = _word_table(documents).localCheckpoint()
+    merges = []
+    for step_i in range(n_merges):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < 2:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((step_i, a, b, a + b, c))
+        words = words.select(
+            _merge_expr(a, b).alias("ws"), "cnt"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_segment(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list to the corpus: per document, the BPE
+    token count and per-word symbol arrays' total -- the ENCODE side
+    (the budget number ``pack_sequences`` consumes).  Each merge is one
+    map-only fold applied in training order; no Python, no shuffle.
+    Returns (doc_id, n_words, n_bpe_tokens)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    sym = F.transform(toks, lambda w: F.split(w, ""))
+
+    def apply_merge(arrs: F.Column, a: str, b: str) -> F.Column:
+        merged = a + b
+
+        def step(acc: F.Column, x: F.Column) -> F.Column:
+            can = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b))
+            )
+            return F.when(
+                can,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.transform(
+            arrs,
+            lambda ws: F.aggregate(ws, F.array().cast("array<string>"), step),
+        )
+
+    for a, b in merges:
+        sym = apply_merge(sym, a, b)
+    n_tokens = F.aggregate(
+        F.transform(sym, F.size), F.lit(0).cast("long"), lambda acc, n: acc + n
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        n_tokens.alias("n_bpe_tokens"),
+    )

@@ -651,6 +651,16 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (r5): the learned merge table -- 8 rounds
+    of most-frequent-pair merging over the distinct-word reduction,
+    fully deterministic (exact counts, total tie-break).  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir))
+
+
 def q_normalize_text(spark, sf_dir):
     """Whitespace/control normalization over a deterministically dirtied
     corpus (r5): the crawl-cleanup front pass -- CRLF, tabs, C0 controls,
@@ -3126,6 +3136,70 @@ LOCAL_ORACLE["q_profile_events"] = "\n        UNION ALL ".join(
         FROM events"""
     for c in PROFILE_COLS
 )
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """r5: the BPE training loop unrolled as CTEs (the kmeans_fit
+    precedent for iterative algorithms): per round, pair counts from the
+    current word table, the same (count desc, a, b) argmax, and the
+    left-to-right non-overlapping merge as a list_reduce whose
+    accumulator IS the output list.  An empty best round leaves the word
+    table unchanged and emits nothing -- matching the Spark loop's early
+    stop."""
+    ctes = [
+        """wrds AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE length(w) > 0 GROUP BY w
+        )""",
+        "w0 AS (SELECT string_split(w, '') AS ws, cnt FROM wrds)",
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""p{r} AS (
+            SELECT ws[i] AS a, ws[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+            FROM (
+                SELECT ws, cnt, CAST(unnest(range(1, len(ws))) AS INT) AS i
+                FROM w{r} WHERE len(ws) >= 2
+            ) GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""best{r} AS (
+            SELECT a AS ba, b AS bb, c FROM p{r} WHERE c >= 2
+            ORDER BY c DESC, a ASC, b ASC LIMIT 1
+        )"""
+        )
+        # the best pair joins in as COLUMNS (DuckDB forbids subqueries
+        # inside lambdas; outer column references are fine)
+        ctes.append(
+            f"""w{r + 1} AS (
+            SELECT CASE
+                WHEN ba IS NULL OR len(ws) < 2 THEN ws
+                ELSE list_reduce(
+                    list_transform(ws, s -> [s]),
+                    (acc, x) -> CASE
+                        WHEN len(acc) > 0 AND acc[-1] = ba AND x[1] = bb
+                        THEN list_append(
+                            list_slice(acc, 1, len(acc) - 1), ba || bb)
+                        ELSE list_concat(acc, x)
+                    END)
+            END AS ws, cnt FROM w{r} LEFT JOIN best{r} ON TRUE
+        )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+            SELECT CAST({r} AS BIGINT) AS step, ba AS "left", bb AS "right",
+                   ba || bb AS merged, c AS pair_count
+            FROM best{r}
+        )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(n_merges)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + union
+
+
+LOCAL_ORACLE["q_bpe_merges"] = _bpe_oracle()
 
 # r5: vocabulary top-k -- ranked window over the full count table (the
 # opposite of the Spark plan's TakeOrdered), same deterministic tie-break
