@@ -661,6 +661,17 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir))
 
 
+def q_bpe_segment(spark, sf_dir):
+    """BPE encode side (r5): per-document token budgets under the
+    merges learned from the SAME corpus (train then apply -- the real
+    usage).  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.bpe import bpe_segment, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [(r["left"], r["right"]) for r in bpe_train(docs).collect()]
+    return bpe_segment(docs, merges)
+
+
 def q_normalize_text(spark, sf_dir):
     """Whitespace/control normalization over a deterministically dirtied
     corpus (r5): the crawl-cleanup front pass -- CRLF, tabs, C0 controls,
@@ -3137,21 +3148,22 @@ LOCAL_ORACLE["q_profile_events"] = "\n        UNION ALL ".join(
     for c in PROFILE_COLS
 )
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_ctes(n_merges: int = 8) -> list[str]:
     """r5: the BPE training loop unrolled as CTEs (the kmeans_fit
     precedent for iterative algorithms): per round, pair counts from the
     current word table, the same (count desc, a, b) argmax, and the
     left-to-right non-overlapping merge as a list_reduce whose
     accumulator IS the output list.  An empty best round leaves the word
     table unchanged and emits nothing -- matching the Spark loop's early
-    stop."""
+    stop.  The word STRING rides along so the segment oracle can map
+    documents to their final symbol counts."""
     ctes = [
         """wrds AS (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
             WHERE length(w) > 0 GROUP BY w
         )""",
-        "w0 AS (SELECT string_split(w, '') AS ws, cnt FROM wrds)",
+        "w0 AS (SELECT w, string_split(w, '') AS ws, cnt FROM wrds)",
     ]
     for r in range(n_merges):
         ctes.append(
@@ -3173,7 +3185,7 @@ def _bpe_oracle(n_merges: int = 8) -> str:
         # inside lambdas; outer column references are fine)
         ctes.append(
             f"""w{r + 1} AS (
-            SELECT CASE
+            SELECT w, CASE
                 WHEN ba IS NULL OR len(ws) < 2 THEN ws
                 ELSE list_reduce(
                     list_transform(ws, s -> [s]),
@@ -3193,13 +3205,47 @@ def _bpe_oracle(n_merges: int = 8) -> str:
             FROM best{r}
         )"""
         )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
     union = "\n        UNION ALL ".join(
         f"SELECT * FROM m{r}" for r in range(n_merges)
     )
-    return "WITH " + ",\n        ".join(ctes) + "\n        " + union
+    return "WITH " + ",\n        ".join(_bpe_ctes(n_merges)) + "\n        " + union
+
+
+def _bpe_segment_oracle(n_merges: int = 8) -> str:
+    """r5: encode side -- a word's BPE token count is len(ws) in the
+    FINAL word table, so per-doc budgets are one join from the exploded
+    document words to that mapping (the merge result depends only on
+    the word string, which is exactly why the Spark encode and this
+    mapping agree)."""
+    ctes = _bpe_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        , dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        dwf AS (SELECT doc_id, w FROM dw WHERE length(w) > 0),
+        map AS (SELECT w, CAST(len(ws) AS BIGINT) AS ntok FROM w{n_merges}),
+        agg AS (
+            SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(m.ntok) AS BIGINT) AS n_bpe_tokens
+            FROM dwf d JOIN map m USING (w) GROUP BY d.doc_id
+        )
+        SELECT s.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM (SELECT doc_id FROM documents) s LEFT JOIN agg a USING (doc_id)"""
+    )
 
 
 LOCAL_ORACLE["q_bpe_merges"] = _bpe_oracle()
+LOCAL_ORACLE["q_bpe_segment"] = _bpe_segment_oracle()
 
 # r5: vocabulary top-k -- ranked window over the full count table (the
 # opposite of the Spark plan's TakeOrdered), same deterministic tie-break
