@@ -42,6 +42,40 @@ CASES = [
     ),
     ("assign_row_ids", "functions.ids", "doc_id long"),
     ("corpus_shuffle", "functions.sampling", "doc_id long"),
+    # round-5 continued-session additions
+    ("normalize_text", "functions.text", "doc_id long, text string"),
+    ("dirty_corpus", "functions.text", "doc_id long, text string"),
+    ("vocab_topk", "functions.text", "doc_id long, text string"),
+    ("strip_boilerplate_text", "functions.text", "doc_id long, text string"),
+    ("canonicalize_urls", "functions.urls", "doc_id long, url string"),
+    ("url_corpus", "functions.urls", "doc_id long, text string"),
+    ("domain_stats", "functions.urls",
+     "doc_id long, canon_url string, domain string, reg_domain string"),
+    ("corpus_pipeline", "functions.corpus", "doc_id long, text string"),
+    ("bpe_train", "functions.bpe", "doc_id long, text string"),
+    ("profile_table", "functions.profile", "doc_id long, text string"),
+    (
+        "kll_quantiles",
+        "functions.kll",
+        "event_id long, event_type string, value double",
+    ),
+    (
+        "duration_anomalies",
+        "operators.analysis",
+        "query_id string, batch_id long, ts_ms long, num_input_rows long,"
+        " processed_rps double",
+    ),
+    (
+        "recommend_sla",
+        "operators.analysis",
+        "query_id string, batch_id long, ts_ms long, num_input_rows long,"
+        " processed_rps double",
+    ),
+    (
+        "semantic_dedup_pairs",
+        "functions.similarity",
+        "vec_id long, embedding array<float>, label int",
+    ),
 ]
 
 
