@@ -840,3 +840,71 @@ def vocab_topk(documents: DataFrame, k: int = 200) -> DataFrame:
         )
         .select("rank", "token", "cnt", "cum_count", "total_count")
     )
+
+
+# --- incremental boilerplate-frequency index (round-5 extension) -------------
+
+def boilerplate_index(documents: DataFrame) -> DataFrame:
+    """Per-line distinct-document counts plus the batch's doc count --
+    the persistable state of corpus-frequency boilerplate removal (the
+    ``minhash_index`` pattern for the chrome pass): an incremental
+    pipeline appends each ingest batch's index to a store and strips
+    against the MERGED counts, never rescanning earlier batches' text.
+    Counts are additive across DISJOINT batches (a doc contributes each
+    of its lines once, and a doc lives in exactly one batch), so the
+    merge is a plain ``groupBy(line).sum`` -- ``merge_boilerplate_index``.
+    Returns (line, n_in) rows; total docs ride separately (callers track
+    the running doc count the same way they track the store)."""
+    return (
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", "\n"))).alias("line")
+        )
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_in"))
+    )
+
+
+def merge_boilerplate_index(*indexes: DataFrame) -> DataFrame:
+    """Union + re-sum: the additive merge of per-batch line indexes."""
+    if not indexes:
+        raise ValueError("merge_boilerplate_index needs at least one index")
+    all_idx = indexes[0]
+    for t in indexes[1:]:
+        all_idx = all_idx.unionByName(t)
+    return all_idx.groupBy("line").agg(F.sum("n_in").cast("long").alias("n_in"))
+
+
+def strip_boilerplate_with_index(
+    documents: DataFrame,
+    index: DataFrame,
+    n_docs_total: int,
+    min_doc_frac: float = BOILERPLATE_MIN_DOC_FRAC,
+) -> DataFrame:
+    """Strip using a PRE-BUILT merged index instead of re-counting the
+    corpus: same output contract as ``strip_boilerplate_text``; when the
+    index covers exactly the input corpus the two are bit-identical
+    (pinned), and an incremental pipeline passes the merged multi-batch
+    index + running doc count to strip new batches against corpus-wide
+    frequencies."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    freq = index.filter(
+        F.col("n_in") >= F.lit(n_docs_total) * F.lit(min_doc_frac)
+    ).select("line")
+    kept = lines.join(F.broadcast(freq), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.struct("pos", "line"))).line, "\n"
+        ).alias("clean"),
+    )
+    spine = documents.select(
+        "doc_id", F.size(F.split("text", "\n")).cast("long").alias("n_lines")
+    )
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean", F.lit("")).alias("clean"),
+    )

@@ -96,3 +96,36 @@ def test_plan_map_only(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_incremental_boilerplate_index_matches_batch(spark):
+    """The minhash_index pattern for the chrome pass: per-batch line
+    indexes merged additively equal the whole-corpus counts, and
+    stripping against the merged index is bit-identical to the one-shot
+    strip_boilerplate_text."""
+    from streaminglens_spark.functions.text import (
+        boilerplate_corpus,
+        boilerplate_index,
+        merge_boilerplate_index,
+        strip_boilerplate_text,
+        strip_boilerplate_with_index,
+    )
+
+    docs = boilerplate_corpus(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    )
+    n_total = docs.count()
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    merged = merge_boilerplate_index(*[boilerplate_index(b) for b in batches])
+    whole = {r["line"]: r["n_in"] for r in boilerplate_index(docs).collect()}
+    got = {r["line"]: r["n_in"] for r in merged.collect()}
+    assert got == whole
+    a = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean"])
+        for r in strip_boilerplate_with_index(docs, merged, n_total).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean"])
+        for r in strip_boilerplate_text(docs).collect()
+    }
+    assert a == b
