@@ -474,3 +474,106 @@ def resize_image(media: DataFrame, max_side: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+# --- video containers: real ISO-BMFF parse (round-5 extension) ---------------
+
+VIDEO_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary,"
+    " meta struct<timescale: bigint, duration: bigint, n_tracks: bigint,"
+    " n_bytes: bigint>"
+)
+
+VIDEO_PROBED_SCHEMA = (
+    "doc_id bigint, brand string, timescale bigint, duration bigint,"
+    " n_tracks bigint, width bigint, height bigint, mdat_bytes bigint"
+)
+
+VIDEO_TIMESCALE = 1000
+
+
+def attach_mp4_blob(documents: DataFrame) -> DataFrame:
+    """Derive a REAL ISO-BMFF container column from text (the
+    ``attach_wav_blob`` convention for video): duration, track count and
+    per-track 16.16 display dims come from deterministic doc_id
+    arithmetic, the mdat payload is the document's bytes -- so every
+    probed field is independently computable in SQL without a parser."""
+    from .mp4 import encode_minimal_mp4
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                duration = d % 5000 + 100
+                n_tracks = d % 2 + 1
+                dims = [
+                    (d % 320 + 16 + i * 4, d % 240 + 16 + i * 2)
+                    for i in range(n_tracks)
+                ]
+                media = text.encode("utf-8")
+                blob = encode_minimal_mp4(VIDEO_TIMESCALE, duration, dims, media)
+                payloads.append(blob)
+                metas.append(
+                    {
+                        "timescale": VIDEO_TIMESCALE,
+                        "duration": duration,
+                        "n_tracks": n_tracks,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return documents.select("doc_id", "text").filter(
+        F.length("text") > 0
+    ).mapInPandas(encode, VIDEO_SCHEMA)
+
+
+def probe_video(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Parse the CONTAINER layer of each payload (``functions/mp4``):
+    brand, movie timescale/duration, track count, largest-track display
+    dims, media payload size -- the triage pass a video pipeline runs
+    before any sample decode.  Arrow-batched ``mapInPandas``; with
+    ``strict=True`` a malformed container fails the job (never fake
+    metadata), else it degrades to an 'unparseable' row."""
+    from .mp4 import parse_mp4
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    p = parse_mp4(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append((int(doc_id), "unparseable", 0, 0, 0, 0, 0, 0))
+                    continue
+                rows.append(
+                    (
+                        int(doc_id),
+                        p["brand"],
+                        int(p["timescale"] or 0),
+                        int(p["duration"] or 0),
+                        int(p["n_tracks"]),
+                        int(p["width"]),
+                        int(p["height"]),
+                        int(p["mdat_bytes"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "timescale", "duration", "n_tracks",
+                    "width", "height", "mdat_bytes",
+                ],
+            )
+
+    return media.mapInPandas(probe, VIDEO_PROBED_SCHEMA)

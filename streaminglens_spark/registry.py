@@ -734,6 +734,16 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_probe_video(spark, sf_dir):
+    """Real ISO-BMFF container probe (r5): brand / duration / tracks /
+    largest-track dims / mdat size parsed from conforming MP4 byte
+    streams; codec-free oracle recomputes every field from the
+    generating formula.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.multimodal import attach_mp4_blob, probe_video
+
+    return probe_video(attach_mp4_blob(_docs(spark, sf_dir)), strict=True)
+
+
 def q_dedup_increment(spark, sf_dir):
     """Incremental dedup against a persisted index (r5): new-batch
     verdicts from sketches only, corpus never rescanned.  LOCAL_ORACLE;
@@ -2899,6 +2909,20 @@ def _audio_frames_oracle() -> str:
 
 
 LOCAL_ORACLE["q_audio_frames"] = _audio_frames_oracle()
+
+# r5: video container probe -- every field recomputed from the doc_id
+# arithmetic (the codec-free pattern); largest track = the last one (dims
+# grow with the track index by construction)
+LOCAL_ORACLE["q_probe_video"] = """
+        SELECT doc_id,
+               'isom' AS brand,
+               CAST(1000 AS BIGINT) AS timescale,
+               CAST(doc_id % 5000 + 100 AS BIGINT) AS duration,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS n_tracks,
+               CAST(doc_id % 320 + 16 + (doc_id % 2) * 4 AS BIGINT) AS width,
+               CAST(doc_id % 240 + 16 + (doc_id % 2) * 2 AS BIGINT) AS height,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS mdat_bytes
+        FROM documents WHERE length(text) > 0"""
 
 
 def _url_oracles() -> dict[str, str]:
