@@ -237,3 +237,39 @@ def test_canonicalize_urls_streams_bit_equal(spark, tmp_path):
         ("doc_id",),
     )
     assert got == want
+
+
+def test_audio_frames_streams_bit_equal(spark, tmp_path):
+    """The Arrow mapInPandas media ops are streaming-compatible by
+    construction: frame features on a stream == batch, zero state."""
+    from streaminglens_spark.functions.multimodal import (
+        attach_wav_blob,
+        audio_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.limit(40).collect()]
+    static_df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {tuple(r) for r in audio_frames(attach_wav_blob(static_df)).collect()}
+    got = _run_stream(
+        audio_frames(attach_wav_blob(_doc_stream(spark, tmp_path, rows))),
+        ("doc_id", "frame_idx"),
+    )
+    assert got == want
+
+
+def test_probe_video_streams_bit_equal(spark, tmp_path):
+    from streaminglens_spark.functions.multimodal import (
+        attach_mp4_blob,
+        probe_video,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.limit(40).collect()]
+    static_df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {tuple(r) for r in probe_video(attach_mp4_blob(static_df)).collect()}
+    got = _run_stream(
+        probe_video(attach_mp4_blob(_doc_stream(spark, tmp_path, rows))),
+        ("doc_id",),
+    )
+    assert got == want
