@@ -642,6 +642,26 @@ def q_resize_image(spark, sf_dir):
     return resize_image(attach_png_blob(_docs(spark, sf_dir)))
 
 
+def q_langid_eval(spark, sf_dir):
+    """Heuristic-evaluation harness (r5): confusion counts of the
+    lang_id predictor against the fixture's ground-truth ``lang``
+    column -- the measure-your-filters pattern (a pipeline that cannot
+    score its own heuristics ships silent quality drift).
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.text import lang_id
+
+    docs = _docs(spark, sf_dir)
+    truth = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return (
+        lang_id(docs)
+        .join(truth, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-k (r5): exact counts + cumulative coverage
     via distributed TakeOrdered (never a global sort).  LOCAL_ORACLE;
@@ -3270,6 +3290,23 @@ def _bpe_segment_oracle(n_merges: int = 8) -> str:
 
 LOCAL_ORACLE["q_bpe_merges"] = _bpe_oracle()
 LOCAL_ORACLE["q_bpe_segment"] = _bpe_segment_oracle()
+
+# r5: lang_id evaluation -- the q_lang_id prediction SQL wrapped in a
+# confusion-count aggregate against the ground-truth lang column
+
+# (q_lang_id still sits in ORACLE at this point in the file; the r4
+# rotation block moves it to LOCAL_ORACLE further down)
+LOCAL_ORACLE["q_langid_eval"] = (
+    (LOCAL_ORACLE.get("q_lang_id") or ORACLE["q_lang_id"]).replace(
+        """SELECT d.doc_id, COALESCE(b.lex_lang, 'und') AS pred_lang
+        FROM documents d LEFT JOIN best b USING (doc_id)""",
+        """SELECT d.lang, COALESCE(b.lex_lang, 'und') AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents d LEFT JOIN best b USING (doc_id)
+        GROUP BY 1, 2""",
+    )
+)
+assert "GROUP BY 1, 2" in LOCAL_ORACLE["q_langid_eval"], "replace must hit"
 
 # r5: vocabulary top-k -- ranked window over the full count table (the
 # opposite of the Spark plan's TakeOrdered), same deterministic tie-break
