@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAMS_RE = "(utm_[a-z]+|ref|fbclid|gclid)=[^&]*"
+# anchored to the parameter DELIMITER (consumed by the match) so a
+# parameter merely ENDING in a tracking name -- href=, subref= -- never
+# loses its tail; no backreference replacement, so Java regex and RE2
+# run the identical chain.  The consumed delimiter is repaired by the
+# '^&' -> '?' step that follows removal.
+TRACKING_PARAMS_RE = "[?&](utm_[a-z]+|ref|fbclid|gclid)=[^&]*"
 
 
 def url_corpus(documents: DataFrame) -> DataFrame:
@@ -92,8 +97,8 @@ def canonicalize_urls(urls: DataFrame) -> DataFrame:
     path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(rest, r"(\?.*)$", 1)
     query = F.regexp_replace(query, TRACKING_PARAMS_RE, "")
-    query = F.regexp_replace(query, r"&{2,}", "&")
-    query = F.regexp_replace(query, r"\?&", "?")
+    # a removed FIRST param consumed the '?': promote the next delimiter
+    query = F.regexp_replace(query, r"^&", "?")
     query = F.regexp_replace(query, r"[?&]+$", "")
     return urls.select(
         "doc_id",

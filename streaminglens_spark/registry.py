@@ -2998,9 +2998,9 @@ def _url_oracles() -> dict[str, str]:
                        WHEN scheme = 'https' AND rawport = ':443' THEN ''
                        ELSE rawport END)
               || path
-              || regexp_replace(regexp_replace(regexp_replace(
+              || regexp_replace(regexp_replace(
                      regexp_replace(rawq, '__TRACK__', '', 'g'),
-                     '&{2,}', '&', 'g'), '\?&', '?', 'g'),
+                     '^&', '?', 'g'),
                      '[?&]+$', '', 'g') AS canon_url,
               host AS domain,
               regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain

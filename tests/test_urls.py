@@ -44,6 +44,13 @@ def test_rule_goldens(spark):
         # with the exact param name 'ref'
         12: ("https://a.com/x?b=2&a=1", "https://a.com/x?b=2&a=1"),
         13: ("https://a.com/x?reference=1", "https://a.com/x?reference=1"),
+        # a param merely ENDING in a tracking name keeps its tail (the
+        # boundary-anchoring regression: 'href' must not lose 'ref=1')
+        14: ("https://a.com/x?href=1", "https://a.com/x?href=1"),
+        15: ("https://a.com/x?subref=2&id=3", "https://a.com/x?subref=2&id=3"),
+        # ...while the exact names are dropped in any position
+        16: ("https://a.com/x?ref=1&id=2", "https://a.com/x?id=2"),
+        17: ("https://a.com/x?id=2&ref=1", "https://a.com/x?id=2"),
     }
     got = _canon(spark, [(i, u) for i, (u, _) in cases.items()])
     for i, (_, want) in cases.items():
