@@ -75,7 +75,7 @@ def _merge_expr(a: str, b: str) -> F.Column:
     def step(acc: F.Column, x: F.Column) -> F.Column:
         can = (
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
+            & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
             & (x == F.lit(b))
         )
         return F.when(
@@ -129,7 +129,7 @@ def bpe_segment(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFram
         def step(acc: F.Column, x: F.Column) -> F.Column:
             can = (
                 (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
+                & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
                 & (x == F.lit(b))
             )
             return F.when(
