@@ -78,6 +78,15 @@ def q_batch_bounds(spark, sf_dir):
 PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
 
 
+def q_funnel(spark, sf_dir):
+    """Strict-order funnel conversion counts (r5): signup -> view ->
+    purchase within a 6 h horizon; per-step pre-aggregation keeps hot
+    users map-side-reduced.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .operators.funnel import funnel_counts
+
+    return funnel_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_profile_events(spark, sf_dir):
     """Per-column table profile (r5): null/distinct/min/max over string
     casts in one unpivot+groupBy pass.  ``ts`` is excluded because the
@@ -3175,6 +3184,45 @@ def _corpus_pipeline_oracle() -> str:
 
 
 LOCAL_ORACLE["q_corpus_pipeline"] = _corpus_pipeline_oracle()
+
+# r5: funnel -- the same greedy-earliest chain as the Spark plan but
+# built from correlated step CTEs over the raw rows
+def _funnel_oracle() -> str:
+    from .operators.funnel import FUNNEL_HORIZON_MS, FUNNEL_STEPS
+
+    s = FUNNEL_STEPS
+    h = FUNNEL_HORIZON_MS
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        ),
+        s0 AS (
+            SELECT user_id, MIN(ms) AS t, MIN(ms) AS entry
+            FROM e WHERE event_type = '{s[0]}' GROUP BY 1
+        ),
+        s1 AS (
+            SELECT e.user_id, s0.entry, MIN(e.ms) AS t
+            FROM e JOIN s0 USING (user_id)
+            WHERE e.event_type = '{s[1]}' AND e.ms > s0.t
+              AND e.ms <= s0.entry + {h}
+            GROUP BY 1, 2
+        ),
+        s2 AS (
+            SELECT e.user_id, s1.entry, MIN(e.ms) AS t
+            FROM e JOIN s1 USING (user_id)
+            WHERE e.event_type = '{s[2]}' AND e.ms > s1.t
+              AND e.ms <= s1.entry + {h}
+            GROUP BY 1, 2
+        )
+        SELECT CAST(0 AS BIGINT) AS step_idx, '{s[0]}' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), '{s[1]}', CAST(COUNT(*) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), '{s[2]}', CAST(COUNT(*) AS BIGINT) FROM s2"""
+
+
+LOCAL_ORACLE["q_funnel"] = _funnel_oracle()
 
 # r5: per-column profile -- one UNION-ALL branch per column, each an
 # independent full-table aggregate (the opposite algorithm of the Spark
