@@ -75,3 +75,46 @@ def funnel_counts(
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts
+
+
+RETENTION_WEEK_MS = 7 * 86_400_000
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor: str = "signup",
+    bucket_ms: int = RETENTION_WEEK_MS,
+) -> DataFrame:
+    """Cohort retention (the funnel's sibling): users are cohorted by
+    the epoch-aligned week of their FIRST ``anchor`` event, and each
+    cohort's activity is counted per whole-week offset from that first
+    event -- the (cohort x week) retention triangle every growth
+    dashboard draws.
+
+    Spark shape: one ``groupBy(user).min(ms)`` for the anchor (map-side
+    reduced), one join back to events on user_id, then a distinct +
+    count over (cohort, offset, user) -- two shuffles total, all
+    hash-partitioned by user/cohort, exact integer week arithmetic
+    (truncating ``div`` on non-negative offsets), so the triangle is
+    engine- and partitioning-exact.  Events BEFORE a user's anchor are
+    excluded (offset would be negative: pre-signup anonymous activity
+    is not retention).  Returns (cohort_start_ms, week_offset,
+    n_active); ``n_active`` at offset 0 is the cohort size (the anchor
+    event itself lands there)."""
+    from .windows import _ev as _evf
+
+    ev = _evf(events).select("user_id", "event_type", "ms")
+    first = (
+        ev.filter(F.col("event_type") == anchor)
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t0"))
+    )
+    joined = ev.join(first, "user_id").filter(F.col("ms") >= F.col("t0"))
+    buckets = joined.select(
+        "user_id",
+        (F.expr(f"t0 div {bucket_ms}") * bucket_ms).alias("cohort_start_ms"),
+        F.expr(f"(ms - t0) div {bucket_ms}").alias("week_offset"),
+    ).distinct()
+    return buckets.groupBy("cohort_start_ms", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )

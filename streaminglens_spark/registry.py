@@ -87,6 +87,15 @@ def q_funnel(spark, sf_dir):
     return funnel_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_retention(spark, sf_dir):
+    """Cohort retention triangle (r5): weekly cohorts by first signup,
+    distinct-user activity per week offset.  LOCAL_ORACLE; r6 rotation
+    candidate."""
+    from .operators.funnel import retention_cohorts
+
+    return retention_cohorts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_profile_events(spark, sf_dir):
     """Per-column table profile (r5): null/distinct/min/max over string
     casts in one unpivot+groupBy pass.  ``ts`` is excluded because the
@@ -3223,6 +3232,34 @@ def _funnel_oracle() -> str:
 
 
 LOCAL_ORACLE["q_funnel"] = _funnel_oracle()
+
+
+def _retention_oracle() -> str:
+    from .operators.funnel import RETENTION_WEEK_MS
+
+    w = RETENTION_WEEK_MS
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        ),
+        first AS (
+            SELECT user_id, MIN(ms) AS t0 FROM e
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        b AS (
+            SELECT DISTINCT e.user_id,
+                   (f.t0 // {w}) * {w} AS cohort_start_ms,
+                   (e.ms - f.t0) // {w} AS week_offset
+            FROM e JOIN first f USING (user_id)
+            WHERE e.ms >= f.t0
+        )
+        SELECT CAST(cohort_start_ms AS BIGINT) AS cohort_start_ms,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM b GROUP BY 1, 2"""
+
+
+LOCAL_ORACLE["q_retention"] = _retention_oracle()
 
 # r5: per-column profile -- one UNION-ALL branch per column, each an
 # independent full-table aggregate (the opposite algorithm of the Spark

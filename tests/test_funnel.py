@@ -76,3 +76,33 @@ def test_same_timestamp_not_after(spark):
 def test_requires_two_steps(spark):
     with pytest.raises(ValueError, match="two steps"):
         funnel_counts(_events(spark, []), steps=("signup",))
+
+
+def test_retention_cohort_goldens(spark):
+    """Offset-0 row is the cohort size; pre-anchor activity excluded;
+    week bucketing exact."""
+    from streaminglens_spark.operators.funnel import retention_cohorts
+
+    day = 24 * 60
+    rows = [
+        # user 1 signs up day 0, active day 8 (week 1) and day 15 (week 2)
+        (1, "signup", 0), (1, "view", 8 * day), (1, "click", 15 * day),
+        # user 2 signs up day 0, never returns
+        (2, "signup", 0),
+        # user 3: activity BEFORE signup (excluded), signup day 1,
+        # active day 9 (offset (9-1)//7 = week 1)
+        (3, "view", 0), (3, "signup", 1 * day), (3, "click", 9 * day),
+        # user 4 never signs up: absent entirely
+        (4, "view", 0),
+    ]
+    got = {
+        (r["cohort_start_ms"], r["week_offset"]): r["n_active"]
+        for r in retention_cohorts(_events(spark, rows)).collect()
+    }
+    # all three signups fall in the same epoch-aligned week cohort
+    assert len({c for c, _ in got}) == 1
+    cohort = next(iter(got))[0]
+    assert got[(cohort, 0)] == 3          # cohort size
+    assert got[(cohort, 1)] == 2          # users 1 and 3 return in week 1
+    assert got[(cohort, 2)] == 1          # user 1 only
+    assert (cohort, -1) not in got        # nothing pre-anchor
