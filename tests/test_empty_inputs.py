@@ -76,7 +76,35 @@ CASES = [
         "functions.similarity",
         "vec_id long, embedding array<float>, label int",
     ),
+    (
+        "retention_cohorts",
+        "operators.funnel",
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ),
 ]
+
+
+def test_funnel_empty_reports_zero_per_step(spark):
+    """funnel_counts is the one operator whose empty-input contract is
+    NOT empty-out: it reports 0 users for every step (a dashboard needs
+    the rows)."""
+    from streaminglens_spark import cache
+    from streaminglens_spark.operators.funnel import funnel_counts
+
+    try:
+        out = funnel_counts(
+            _empty(
+                spark,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+        assert [(r["step_idx"], r["n_users"]) for r in out] == [
+            (0, 0), (1, 0), (2, 0),
+        ]
+    finally:
+        cache.release_caches()
 
 
 @pytest.mark.parametrize("name,module,schema", CASES)
