@@ -106,8 +106,16 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((step_i, a, b, a + b, c))
+        # gate the fold on cheap containment: a word lacking either
+        # symbol cannot contain the pair, and the fold is the IDENTITY
+        # on any word without the adjacent pair -- so the gate is
+        # output-identical while most of the table skips the O(len)
+        # rewrite once merges become rare symbols (measured 49 -> ~25 s
+        # for the 8-round sf1 fit)
+        has_both = F.array_contains("ws", a) & F.array_contains("ws", b)
         words = words.select(
-            _merge_expr(a, b).alias("ws"), "cnt"
+            F.when(has_both, _merge_expr(a, b)).otherwise(F.col("ws")).alias("ws"),
+            "cnt",
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_count long"
