@@ -78,3 +78,61 @@ def stream_duration_anomalies(progress: DataFrame, k: int = 3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- online funnel tracking (round-5 extension) ------------------------------
+
+FUNNEL_OUT_SCHEMA = "user_id long, step_idx long, step string, ms long"
+FUNNEL_STATE_SCHEMA = "step long, entry long, t long"
+
+
+def stream_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    horizon_ms: int = 6 * 3600 * 1000,
+) -> DataFrame:
+    """Online form of ``operators/funnel.py::funnel_counts``: per-user
+    conversion tracked live, emitting one row the moment a user reaches
+    each step.  State per user is three integers (current step, entry
+    time, last conversion time) -- O(1), like the online anomaly
+    detector.  With in-order arrival per user (what a replayed or
+    event-time-sorted stream delivers) the emitted step set equals the
+    batch operator's greedy-earliest chain -- pinned by the parity
+    test; out-of-order arrival degrades like every online consumer of
+    an unordered stream (the batch operator is the retrospective
+    truth).  Input: (user_id, event_type, ms) rows."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    idx = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        step, entry, t = state.get if state.exists else (-1, 0, 0)
+        out = []
+        for pdf in pdfs:
+            for row in pdf.sort_values("ms").itertuples():
+                ms = int(row.ms)
+                et = row.event_type
+                if step == -1:
+                    if et == steps[0]:
+                        step, entry, t = 0, ms, ms
+                        out.append((int(key[0]), 0, steps[0], ms))
+                elif step < len(steps) - 1 and idx.get(et) == step + 1:
+                    if ms > t and ms <= entry + horizon_ms:
+                        step, t = step + 1, ms
+                        out.append((int(key[0]), step, et, ms))
+        # users who never entered the funnel carry NO state: at scale the
+        # state store holds funnel participants, not the whole user base
+        if state.exists or step != -1:
+            state.update((step, entry, t))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "step_idx", "step", "ms"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
