@@ -193,3 +193,46 @@ def corpus_shuffle(
             (F.col("row_id") % n_shards).cast("int").alias("shard"),
         )
     )
+
+
+SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def assign_split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fractions: tuple[tuple[str, float], ...] = SPLIT_FRACTIONS,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment (round-5 extension): every
+    row of a GROUP lands in the same split -- the guard against the
+    classic evaluation leak where near-duplicate or correlated rows
+    (same user, same domain, same document family) straddle train and
+    test and inflate held-out metrics.  Row-level splitting
+    (``hash_sample``) cannot give this property; group-level hashing
+    gives it by construction.
+
+    The split is the affine hash of the GROUP key against cumulative
+    integer thresholds (the ``hash_sample`` determinism: a pure function
+    of the key -- reproducible across runs, partitionings and engines;
+    expected group-count fractions are ``fractions`` with the usual
+    hashing variance, and heavy groups skew ROW fractions -- the
+    documented and intended behavior: correlated rows move together).
+    Map-only: no shuffle, no group materialization.  Fractions must be
+    positive and sum to 1 (validated).  Returns the input plus
+    ``split``."""
+    names = [n for n, _ in fractions]
+    fracs = [f for _, f in fractions]
+    if len(names) < 2 or any(f <= 0 for f in fracs):
+        raise ValueError("need >= 2 splits with positive fractions")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fracs)}")
+    h = (F.lit(HASH_A) * F.col(group_col) + F.lit(HASH_B)) % F.lit(HASH_P)
+    cum = 0.0
+    expr = None
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thr = int(cum * HASH_P)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -87,6 +87,23 @@ def q_funnel(spark, sf_dir):
     return funnel_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-safe split assignment (r5): whole user-groups land in one
+    split; per-split user/event accounting.  LOCAL_ORACLE; r6 rotation
+    candidate."""
+    from .functions.sampling import assign_split_by_group
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        assign_split_by_group(ev, "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
 def q_retention(spark, sf_dir):
     """Cohort retention triangle (r5): weekly cohorts by first signup,
     distinct-user activity per week offset.  LOCAL_ORACLE; r6 rotation
@@ -3260,6 +3277,30 @@ def _retention_oracle() -> str:
 
 
 LOCAL_ORACLE["q_retention"] = _retention_oracle()
+
+
+def _group_split_oracle() -> str:
+    from .functions.sampling import SPLIT_FRACTIONS
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    cum, cases = 0.0, []
+    for name, frac in SPLIT_FRACTIONS[:-1]:
+        cum += frac
+        thr = int(cum * HASH_P)  # the SAME float->int the Spark side takes
+        cases.append(
+            f"WHEN ({HASH_A} * user_id + {HASH_B}) % {HASH_P} < {thr}"
+            f" THEN '{name}'"
+        )
+    last = SPLIT_FRACTIONS[-1][0]
+    case = "CASE " + " ".join(cases) + f" ELSE '{last}' END"
+    return f"""
+        WITH s AS (SELECT user_id, {case} AS split FROM events)
+        SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1"""
+
+
+LOCAL_ORACLE["q_group_split"] = _group_split_oracle()
 
 # r5: per-column profile -- one UNION-ALL branch per column, each an
 # independent full-table aggregate (the opposite algorithm of the Spark

@@ -119,3 +119,38 @@ def test_assign_row_ids_rejects_null_keys(spark):
     out = assign_row_ids(df)  # construction stays lazy
     with pytest.raises(Exception, match="non-null"):
         out.collect()
+
+
+def test_group_split_no_straddling_and_validation(spark):
+    """Leakage guard: every group's rows share one split; fractions
+    validated; deterministic across partitionings."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.sampling import assign_split_by_group
+
+    df = spark.createDataFrame(
+        [(u, i) for u in range(200) for i in range(u % 4 + 1)],
+        "user_id long, seq long",
+    )
+    out = assign_split_by_group(df, "user_id")
+    straddle = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    a = {(r["user_id"], r["seq"]): r["split"] for r in out.collect()}
+    b = {
+        (r["user_id"], r["seq"]): r["split"]
+        for r in assign_split_by_group(df.repartition(7), "user_id").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split_by_group(df, "user_id", (("a", 0.5), ("b", 0.1)))
+    with pytest.raises(ValueError, match="positive"):
+        assign_split_by_group(df, "user_id", (("a", 1.5), ("b", -0.5)))
