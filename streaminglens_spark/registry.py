@@ -3745,3 +3745,148 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, sql in ORACLE.items() if sql is not None}
+
+
+# ------------------------------------------------- r5 continued: retrieval
+
+# fixture search queries: corpus-vocabulary terms, multi- and single-term,
+# literal in both the Spark plan and the oracle SQL (like CMS_PROBE_KEYS)
+BM25_QUERIES = [
+    ("q1", "fast table scan"),
+    ("q2", "stream window agg"),
+    ("q3", "customer query join"),
+    ("q4", "hash merge sort"),
+    ("q5", "slow batch"),
+    ("q6", "vector filter group row"),
+]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 inverted-index keyword search (r5 continued): integer-exact
+    Lucene-shaped scoring via the fixed-point log2 primitive -- zero
+    float log anywhere.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.search import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), BM25_QUERIES)
+
+
+def q_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM cross-entropy scoring (r5 continued): the CCNet-style
+    perplexity filter in integer micro-bits.  LOCAL_ORACLE; r6 rotation
+    candidate."""
+    from .functions.lm import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+def _bm25_oracle() -> str:
+    from .functions.intlog import log2_fp_sql
+
+    qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in BM25_QUERIES)
+    idf = (
+        f"({log2_fp_sql('2 * s.n_docs + 2')} - {log2_fp_sql('2 * f.df + 1')})"
+    )
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {qvals}),
+        qterms AS (
+            SELECT DISTINCT query_id, term FROM (
+                SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+                FROM q
+            )
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        postings AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+               FROM postings GROUP BY 1),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        dfs AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM postings
+            WHERE term IN (SELECT DISTINCT term FROM qterms)
+            GROUP BY term
+        ),
+        scored AS (
+            SELECT qt.query_id, p.doc_id,
+                   ({idf}::HUGEINT * 22 * p.tf * s.n_tokens)
+                   // (10::HUGEINT * p.tf * s.n_tokens
+                       + 3::HUGEINT * s.n_tokens
+                       + 9::HUGEINT * d.dl * s.n_docs) AS term_score
+            FROM postings p
+            JOIN dfs f USING (term)
+            JOIN qterms qt USING (term)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        doc_scores AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(term_score) AS BIGINT) AS score_fp
+            FROM scored GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_fp DESC, doc_id ASC) AS BIGINT)
+                       AS rank,
+                   doc_id, score_fp
+            FROM doc_scores
+        )
+        SELECT query_id, rank, doc_id, score_fp
+        FROM ranked WHERE rank <= 10"""
+
+
+def _bigram_surprisal_oracle() -> str:
+    # bigrams by POSITION SELF-JOIN (the opposite algorithm to the Spark
+    # plan's array transform); same integer log2 transform
+    from .functions.intlog import log2_fp_sql
+
+    s = (
+        f"({log2_fp_sql('m.c1 + vocab.v')} - {log2_fp_sql('m.c12 + 1')})"
+    )
+    return f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ),
+        big AS (
+            SELECT doc_id, l[g.i] AS w1, l[g.i + 1] AS w2
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM big GROUP BY 1, 2
+        ),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY 1),
+        m AS (SELECT c12.w1, c12.w2, c12.c12, c1.c1
+              FROM c12 JOIN c1 USING (w1)),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+                SELECT w1 AS w FROM c12 UNION SELECT w2 FROM c12
+            )
+        ),
+        inst AS (
+            SELECT b.doc_id, {s} AS st
+            FROM big b
+            JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2
+            CROSS JOIN vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(st) AS BIGINT) AS total_micro_bits,
+               CAST(SUM(st) // COUNT(*) AS BIGINT) AS mean_micro_bits
+        FROM inst GROUP BY doc_id"""
+
+
+LOCAL_ORACLE["q_bm25_search"] = _bm25_oracle()
+LOCAL_ORACLE["q_bigram_surprisal"] = _bigram_surprisal_oracle()

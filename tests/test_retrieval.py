@@ -1,0 +1,164 @@
+"""Integer-log2 primitive + the retrieval/scoring operators built on it:
+BM25 inverted-index search and bigram-LM surprisal (r5 continued).
+
+The cross-engine hash checks live in test_oracle_queries.py (both queries
+are on LOCAL_ORACLE); these tests pin the SEMANTICS (known-answer goldens,
+monotonicity) and the plan shape (broadcast query side, zero Python)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaminglens_spark.functions.intlog import (
+    FP_ONE,
+    LOG2_LUT,
+    dec,
+    dec_div,
+    log2_fp,
+)
+from streaminglens_spark.functions.lm import bigram_surprisal, doc_bigrams
+from streaminglens_spark.functions.search import bm25_search
+from streaminglens_spark.plans.audit import python_udf_count, uses_broadcast_join
+from streaminglens_spark import registry
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------------------- intlog core
+
+def test_log2_fp_error_bound(spark):
+    """Quantized log2 is within the documented mantissa-truncation bound
+    (< log2(1 + 1/64) + LUT rounding) of the real log2, across magnitudes
+    from 1 to 2^62."""
+    vals = [1, 2, 3, 5, 63, 64, 65, 127, 128, 255, 12345, 2**31 - 1,
+            10**12 + 7, 2**62 + 12345]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    out = [r[0] for r in df.select(log2_fp(F.col("n"))).collect()]
+    bound = math.log2(1 + 1 / 64) + 1e-6
+    for v, got in zip(vals, out):
+        err = abs(got / FP_ONE - math.log2(v))
+        assert err < bound, (v, got, err)
+        # truncation never overshoots (beyond LUT rounding)
+        assert got / FP_ONE <= math.log2(v) + 1e-6
+
+
+def test_log2_fp_exact_on_powers_of_two(spark):
+    df = spark.createDataFrame([(1 << k,) for k in range(63)], "n long")
+    out = [r[0] for r in df.select(log2_fp(F.col("n"))).collect()]
+    assert out == [k * FP_ONE for k in range(63)]
+
+
+def test_lut_is_monotone_and_anchored():
+    assert LOG2_LUT[0] == 0
+    assert all(a < b for a, b in zip(LOG2_LUT, LOG2_LUT[1:]))
+    assert LOG2_LUT[-1] < FP_ONE  # log2(127/64) < 1
+
+
+def test_dec_div_is_exact_floor(spark):
+    """dec_div == true mathematical floor on 38-digit operands -- including
+    the HALF_UP overshoot cases plain floor(a / b) gets wrong."""
+    cases = [
+        (10**25 - 1, 3),
+        (10**25, 10**12 + 7),
+        # adversarial: remainder within 5e-7 of the divisor (frac rounds
+        # up at scale 6, so floor(round(q)) would overshoot by one)
+        (4 * 10**13 - 1, 2 * 10**13),
+        (10**20 * (10**7 - 1) + 10**20 - 1, 10**20),
+    ]
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in cases], "a string, b string"
+    )
+    out = df.select(
+        dec_div(
+            F.col("a").cast("decimal(38,0)"), F.col("b").cast("decimal(38,0)")
+        ).alias("q")
+    ).collect()
+    for r, (a, b) in zip(out, cases):
+        assert int(r["q"]) == a // b, (a, b, r["q"])
+
+
+# ------------------------------------------------------------- BM25 search
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple cherry"),
+        (2, "banana banana banana cherry"),
+        (3, "durian elderberry fig grape"),
+        (4, "apple apple apple apple apple apple apple apple"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_rare_term_outranks_common(tiny_corpus):
+    """durian appears in exactly one doc: searching it must rank doc 3
+    first with a positive score, and no other doc may appear."""
+    out = bm25_search(tiny_corpus, [("q", "durian")]).collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(3, 1)]
+    assert out[0]["score_fp"] > 0
+
+
+def test_bm25_tf_saturation_and_length_norm(tiny_corpus):
+    """'apple' ranks doc 4 (tf=8) > doc 0 (tf=2) > doc 1 (tf=1), but
+    SUBLINEARLY: 4x the tf (and 2.7x the length) buys doc 4 less than
+    1.2x doc 0's score (hand-computed: 1.758 vs 1.495 in idf units) --
+    k1 saturation plus the b=0.75 length penalty."""
+    out = bm25_search(tiny_corpus, [("q", "apple")]).collect()
+    scores = {r["doc_id"]: r["score_fp"] for r in out}
+    assert set(scores) == {0, 1, 4}
+    assert scores[4] > scores[0] > scores[1]
+    assert scores[4] < 2 * scores[0], "tf must saturate, not scale linearly"
+
+
+def test_bm25_multi_term_sums(tiny_corpus):
+    """A doc matching both query terms must outrank docs matching one
+    (here doc 2 has banana+cherry; docs 0/1/4 match a single term)."""
+    out = bm25_search(tiny_corpus, [("q", "banana cherry")]).collect()
+    best = min(out, key=lambda r: r["rank"])
+    assert best["doc_id"] == 2
+
+
+def test_bm25_plan_broadcasts_and_no_python(spark):
+    df = registry.q_bm25_search(spark, SF_DIR)
+    assert uses_broadcast_join(df), "query terms / df stats must broadcast"
+    assert python_udf_count(df) == 0, "BM25 must stay JVM-side"
+
+
+# -------------------------------------------------------- bigram surprisal
+
+def test_doc_bigrams_edges(spark):
+    rows = [(0, "a b c"), (1, "solo"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["w1"], r["w2"]) for r in doc_bigrams(df).collect()}
+    assert out == {(0, "a", "b"), (0, "b", "c")}
+
+
+def test_surprisal_common_below_rare(spark):
+    """Docs made of the corpus's dominant bigram score lower mean
+    surprisal than a doc of one-off bigrams -- the property the
+    perplexity filter exists for."""
+    rows = [(i, "the cat sat here") for i in range(8)]
+    rows.append((100, "zephyr quark vortex nimbus"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert out[0]["mean_micro_bits"] < out[100]["mean_micro_bits"]
+    # all eight template docs identical
+    assert len({out[i]["total_micro_bits"] for i in range(8)}) == 1
+    # surprisal is a sum of positive terms (c1 + V > c12 + 1 always:
+    # c1 >= c12 and V >= 2 for any corpus with a bigram)
+    assert all(r["total_micro_bits"] > 0 for r in out.values())
+
+
+def test_surprisal_mean_is_floor_of_total(spark):
+    rows = [(0, "u v w x y"), (1, "u v u v")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in bigram_surprisal(df).collect():
+        assert r["mean_micro_bits"] == r["total_micro_bits"] // r["n_bigrams"]
+
+
+def test_surprisal_no_python(spark):
+    df = registry.q_bigram_surprisal(spark, SF_DIR)
+    assert python_udf_count(df) == 0, "surprisal must stay JVM-side"
