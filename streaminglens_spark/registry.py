@@ -3890,3 +3890,69 @@ def _bigram_surprisal_oracle() -> str:
 
 LOCAL_ORACLE["q_bm25_search"] = _bm25_oracle()
 LOCAL_ORACLE["q_bigram_surprisal"] = _bigram_surprisal_oracle()
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing minimizer fingerprints (r5 continued): the MOSS
+    substring-robust document sketch, map-only.  LOCAL_ORACLE; r6
+    rotation candidate."""
+    from .functions.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+# char-fold hash of a 3-gram string expression (the q_simhash oracle
+# idiom applied to the gram concat) -- reused by the winnowing oracle
+def _fold3_sql(s: str) -> str:
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length({s}) + 1),
+                   c -> CAST(ascii(substr({s}, CAST(c AS INT), 1)) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 2147483647)"""
+
+
+# winnowing oracle: windows computed the OPPOSITE way (per-position SQL
+# window functions over exploded gram rows vs the Spark plan's array
+# slices); k=3, w=4 literals
+LOCAL_ORACLE["q_winnow"] = f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, g.i AS pos,
+                   {_fold3_sql("(l[g.i] || ' ' || l[g.i + 1] || ' ' || l[g.i + 2])")} AS h
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 2)) AS g(i)
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+            FROM grams GROUP BY 1
+        ),
+        wins AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+            FROM grams
+        ),
+        sel AS (
+            SELECT w.doc_id, w.wmin AS mz
+            FROM wins w JOIN stats s USING (doc_id)
+            WHERE s.ng >= 4 AND w.pos <= s.ng - 3
+            UNION
+            SELECT g.doc_id, MIN(g.h) AS mz
+            FROM grams g JOIN stats s USING (doc_id)
+            WHERE s.ng < 4 GROUP BY g.doc_id
+        ),
+        fp AS (
+            SELECT doc_id, list_sort(list(DISTINCT mz)) AS mins
+            FROM sel GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.ng, 0) AS n_grams,
+               CAST(COALESCE(len(f.mins), 0) AS BIGINT) AS n_minimizers,
+               CASE WHEN f.doc_id IS NOT NULL THEN
+                   md5(array_to_string(
+                       list_transform(f.mins, x -> CAST(x AS VARCHAR)), '-'))
+               END AS fp_md5
+        FROM documents d
+        LEFT JOIN stats s USING (doc_id)
+        LEFT JOIN fp f USING (doc_id)"""
