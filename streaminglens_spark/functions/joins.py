@@ -184,3 +184,45 @@ def events_in_batches(events: DataFrame, bounds: DataFrame) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-safe shuffle equi-join (round-5 continued extension): the
+    standard SALTING rewrite for the case AQE's skew-join split cannot
+    cover -- a hot key whose rows overflow ANY single partition (at 100 TB
+    a handful of event types / null-ish defaults routinely hold >> one
+    executor's share; hash-partitioning ``big`` by the join key then
+    funnels those rows into one task).
+
+    Rewrite: ``big`` gets a deterministic per-row salt in ``[0, n_salts)``
+    (xxhash64 of ``salt_src`` -- a row-unique column if the caller has
+    one -- else of the whole row struct); ``small`` is replicated
+    ``n_salts`` times via one explode; the join key becomes
+    ``(key, salt)``, so a hot key's rows spread over ``n_salts`` tasks
+    while every big row still meets every matching small row exactly once
+    -- the result is ROW-FOR-ROW equal to the plain inner join, duplicate
+    keys on either side included (pinned by the parity test).
+
+    The small side carries a ``shuffle_hash`` hint: salting is only
+    reached when the small side is too big to broadcast (a broadcast join
+    has no shuffle and therefore no skew; Spark would otherwise broadcast
+    a tiny fixture dim and silently bypass the path under test).  Cost
+    model: replicates ``small`` ``n_salts`` times -- pick ``n_salts``
+    around hot-key-rows / target-partition-rows, and keep
+    ``n_salts * |small|`` well under the big side's shuffle volume."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt_src is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.xxhash64(F.struct(*big.columns)), F.lit(n_salts))
+    b = big.withColumn("_salt", salt.cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).hint("shuffle_hash")
+    return b.join(s, keys + ["_salt"]).drop("_salt")

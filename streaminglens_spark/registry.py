@@ -3956,3 +3956,96 @@ LOCAL_ORACLE["q_winnow"] = f"""
         FROM documents d
         LEFT JOIN stats s USING (doc_id)
         LEFT JOIN fp f USING (doc_id)"""
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (r5 continued): events joined to a
+    per-type dim on the (hot, low-cardinality) event_type key with the
+    key salted across 8 shards; output is the plain-join aggregate, so
+    the oracle checks the rewrite is result-invariant.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.joins import salted_join
+    from .operators.windows import _ev
+
+    e = _ev(load_table(spark, sf_dir, "events")).select(
+        "event_id", "event_type", F.col("cents")
+    )
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(e, dim, "event_type", n_salts=8, salt_src="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("cents") * F.col("weight")).cast("long").alias("weighted_cents"),
+    )
+
+
+LOCAL_ORACLE["q_salted_join"] = """
+        WITH e AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        dim AS (
+            SELECT DISTINCT event_type,
+                   CAST(length(event_type) AS BIGINT) AS weight
+            FROM events
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(e.cents * d.weight) AS BIGINT) AS weighted_cents
+        FROM e JOIN dim d USING (event_type)
+        GROUP BY 1"""
+
+
+def q_zorder(spark, sf_dir):
+    """Z-order layout statistics (r5 continued): Morton-interleave
+    (user_id, event-minute) over events, per-shard bounding boxes -- the
+    min/max skipping index a Z-ordered write produces.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.zorder import zorder_stats
+    from .operators.windows import _ev
+
+    e = _ev(load_table(spark, sf_dir, "events")).select(
+        (F.col("user_id") % 65536).alias("x"),
+        (F.expr("ms div 60000") % 65536).alias("y"),
+    )
+    return zorder_stats(e, "x", "y")
+
+
+def _zorder_oracle() -> str:
+    from .functions.zorder import BUCKET_BITS, zvalue_sql
+
+    width = (1 << (2 * BUCKET_BITS)) // 16
+    scale = 1 << BUCKET_BITS
+    return f"""
+        WITH e AS (
+            SELECT user_id % 65536 AS x,
+                   (epoch_ms(ts) // 60000) % 65536 AS y
+            FROM events
+        ),
+        bxt AS (
+            SELECT x, ((ROW_NUMBER() OVER (ORDER BY x) - 1) * {scale})
+                       // (COUNT(*) OVER ()) AS b_x
+            FROM (SELECT DISTINCT x FROM e)
+        ),
+        byt AS (
+            SELECT y, ((ROW_NUMBER() OVER (ORDER BY y) - 1) * {scale})
+                       // (COUNT(*) OVER ()) AS b_y
+            FROM (SELECT DISTINCT y FROM e)
+        ),
+        z AS (
+            SELECT e.x, e.y, {zvalue_sql('b_x', 'b_y')} AS zv
+            FROM e JOIN bxt USING (x) JOIN byt USING (y)
+        )
+        SELECT CAST(zv // {width} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(x) AS BIGINT) AS min_x,
+               CAST(MAX(x) AS BIGINT) AS max_x,
+               CAST(MIN(y) AS BIGINT) AS min_y,
+               CAST(MAX(y) AS BIGINT) AS max_y
+        FROM z GROUP BY 1"""
+
+
+LOCAL_ORACLE["q_zorder"] = _zorder_oracle()
