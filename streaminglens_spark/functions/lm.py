@@ -99,3 +99,89 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
             F.expr("sum(s) div count(1)").cast("long").alias("mean_micro_bits"),
         )
     )
+
+
+def ppl_band_filter(
+    documents: DataFrame,
+    lo_pm: int = 50,
+    hi_pm: int = 950,
+    p_bits: int = 7,
+) -> DataFrame:
+    """The CCNet keep-the-middle decision: filter documents by their
+    surprisal PERCENTILE BAND -- the bottom tail is templates/boilerplate
+    the model has memorized, the top tail is noise/OCR garbage/wrong
+    language; training data wants the middle.
+
+    Thresholds come from the HDR log-bucket sketch over the per-doc mean
+    surprisal (``functions/sketch.hdr_quantiles``'s bucketing): bucket
+    edges are integer shifts, rank selection is the integer permille
+    test, so the KEPT SET is a deterministic engine-exact function of the
+    corpus -- no float percentile, no sampling.  ``t_lo``/``t_hi`` are
+    the upper bounds of the first buckets reaching ``lo_pm``/``hi_pm``
+    permille; keep = ``t_lo <= mean < t_hi`` (relative threshold error
+    <= 2^-p_bits, the HDR contract).
+
+    Scale shape: scoring is ``bigram_surprisal``'s plan; bucketing is one
+    additive groupBy on bucket edges; the cumulative window runs over the
+    BUCKET table only (O(p_bits * 64) rows -- the bounded-single-partition
+    idiom q_profile_events/q_sla_recommend already use); the two
+    thresholds broadcast back.  Docs with no bigrams have no defined
+    surprisal and are absent (same contract as ``bigram_surprisal``).
+    Returns (doc_id, mean_micro_bits, keep)."""
+    from pyspark.sql import Window
+
+    fine_max = 1 << p_bits
+    scores = bigram_surprisal(documents).select("doc_id", "mean_micro_bits")
+    x = F.col("mean_micro_bits")
+    b = (
+        scores.withColumn(
+            "eb",
+            F.when(
+                x >= fine_max,
+                F.length(F.conv(x.cast("string"), 10, 2)) - 1,
+            ),
+        )
+        .withColumn(
+            "lo",
+            F.when(x < fine_max, x)
+            .otherwise(
+                F.expr(
+                    f"shiftleft(shiftright(mean_micro_bits, eb - {p_bits}),"
+                    f" eb - {p_bits})"
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "w",
+            F.when(x < fine_max, F.lit(1))
+            .otherwise(F.expr(f"shiftleft(cast(1 as bigint), eb - {p_bits})"))
+            .cast("long"),
+        )
+    )
+    buckets = b.groupBy("lo", "w").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = buckets.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+
+    def pick(pm: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("cum") * 1000 >= F.lit(pm) * F.col("n"),
+                F.col("lo") + F.col("w"),
+            )
+        )
+
+    th = cum.agg(
+        pick(lo_pm).cast("long").alias("t_lo"),
+        pick(hi_pm).cast("long").alias("t_hi"),
+    )
+    return scores.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "mean_micro_bits",
+        ((x >= F.col("t_lo")) & (x < F.col("t_hi"))).alias("keep"),
+    )

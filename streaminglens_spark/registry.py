@@ -4049,3 +4049,106 @@ def _zorder_oracle() -> str:
 
 
 LOCAL_ORACLE["q_zorder"] = _zorder_oracle()
+
+
+def q_ppl_filter(spark, sf_dir):
+    """Perplexity-band keep-the-middle filter (r5 continued): surprisal
+    percentile band via the HDR integer sketch -- the deterministic
+    CCNet decision step.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.lm import ppl_band_filter
+
+    return ppl_band_filter(_docs(spark, sf_dir))
+
+
+def _ppl_filter_oracle() -> str:
+    p = 7
+    fine_max = 1 << p
+    eb = f"(length(printf('%b', x)) - 1 - {p})"
+    return f"""
+        WITH scores AS (
+            SELECT doc_id, mean_micro_bits FROM ({_bigram_surprisal_oracle()})
+        ),
+        v AS (SELECT mean_micro_bits AS x FROM scores),
+        b AS (
+            SELECT CASE WHEN x < {fine_max} THEN x
+                        ELSE (x >> {eb}) << {eb} END AS lo,
+                   CASE WHEN x < {fine_max} THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << {eb} END AS w
+            FROM v
+        ),
+        g AS (SELECT lo, w, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        cum AS (
+            SELECT lo, w, c,
+                   SUM(c) OVER (ORDER BY lo ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER () AS n
+            FROM g
+        ),
+        th AS (
+            SELECT CAST(MIN(CASE WHEN cum * 1000 >= 50 * n
+                                 THEN lo + w END) AS BIGINT) AS t_lo,
+                   CAST(MIN(CASE WHEN cum * 1000 >= 950 * n
+                                 THEN lo + w END) AS BIGINT) AS t_hi
+            FROM cum
+        )
+        SELECT s.doc_id, s.mean_micro_bits,
+               (s.mean_micro_bits >= th.t_lo
+                AND s.mean_micro_bits < th.t_hi) AS keep
+        FROM scores s CROSS JOIN th"""
+
+
+LOCAL_ORACLE["q_ppl_filter"] = _ppl_filter_oracle()
+
+
+# corpus-diff fixture derivation: the "new" snapshot drops every doc_id
+# divisible by 11, appends a deterministic suffix to every remaining
+# doc_id divisible by 7, and adds fresh docs (id + 500000) for ids
+# divisible by 13 -- all three transition kinds exercised from one corpus
+DIFF_DROP_MOD = 11
+DIFF_EDIT_MOD = 7
+DIFF_ADD_MOD = 13
+DIFF_ADD_SHIFT = 500000
+DIFF_SUFFIX = " snapshot edit marker"
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (r5 continued): full-outer md5 join between
+    two snapshots, per-doc added/removed/changed/unchanged verdicts.
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.snapshot import corpus_diff
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = old.filter(F.col("doc_id") % DIFF_DROP_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(DIFF_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.filter(F.col("doc_id") % DIFF_ADD_MOD == 0).select(
+        (F.col("doc_id") + DIFF_ADD_SHIFT).alias("doc_id"), "text"
+    )
+    return corpus_diff(old, kept.unionByName(added))
+
+
+LOCAL_ORACLE["q_corpus_diff"] = f"""
+        WITH old AS (SELECT doc_id, text FROM documents),
+        new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                        THEN text || '{DIFF_SUFFIX}' ELSE text END AS text
+            FROM documents WHERE doc_id % {DIFF_DROP_MOD} != 0
+            UNION ALL
+            SELECT doc_id + {DIFF_ADD_SHIFT}, text
+            FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+        ),
+        o AS (SELECT doc_id, md5(text) AS old_md5 FROM old),
+        n AS (SELECT doc_id, md5(text) AS new_md5 FROM new)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_md5 != n.new_md5 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               o.old_md5, n.new_md5
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
