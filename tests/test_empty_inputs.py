@@ -82,7 +82,34 @@ CASES = [
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     ),
+    # r5 continued: retrieval / layout / governance operators
+    ("bigram_surprisal", "functions.lm", "doc_id long, text string"),
+    ("ppl_band_filter", "functions.lm", "doc_id long, text string"),
+    ("winnow_fingerprints", "functions.winnow", "doc_id long, text string"),
+    ("winnow_pairs", "functions.winnow", "doc_id long, text string"),
 ]
+
+
+def test_multi_arg_operators_empty_safe(spark):
+    """Same contract for the operators that take a second input: empty
+    corpus in, empty (schema-bearing) result out."""
+    from streaminglens_spark.functions.joins import salted_join
+    from streaminglens_spark.functions.search import bm25_search
+    from streaminglens_spark.functions.snapshot import corpus_diff
+    from streaminglens_spark.functions.zorder import zorder_stats
+
+    docs = _empty(spark, "doc_id long, text string")
+    out = bm25_search(docs, [("q1", "anything")])
+    assert out.count() == 0 and len(out.columns) == 4
+    ev = _empty(spark, "rid long, x long, y long")
+    out = zorder_stats(ev, "x", "y")
+    assert out.count() == 0 and len(out.columns) == 6
+    big = _empty(spark, "rid long, k string, v long")
+    small = _empty(spark, "k string, w long")
+    out = salted_join(big, small, "k", n_salts=4, salt_src="rid")
+    assert out.count() == 0
+    out = corpus_diff(docs, docs)
+    assert out.count() == 0 and len(out.columns) == 4
 
 
 def test_funnel_empty_reports_zero_per_step(spark):

@@ -162,3 +162,54 @@ def test_surprisal_mean_is_floor_of_total(spark):
 def test_surprisal_no_python(spark):
     df = registry.q_bigram_surprisal(spark, SF_DIR)
     assert python_udf_count(df) == 0, "surprisal must stay JVM-side"
+
+
+# ----------------------------------------------------- incremental builds
+
+def test_postings_union_of_disjoint_batches(spark):
+    """The inverted index is incrementally maintainable: postings built
+    per ingest batch (disjoint doc_ids) union to exactly the full-corpus
+    postings -- tf is per-doc and dl windows only the doc's own rows."""
+    from streaminglens_spark.functions.search import build_postings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    full = {tuple(r) for r in build_postings(docs).collect()}
+    merged = {
+        tuple(r)
+        for r in build_postings(h1).unionByName(build_postings(h2)).collect()
+    }
+    assert merged == full
+
+
+def test_bigram_counts_merge_additively(spark):
+    """Bigram model counts are additive: summing per-shard c12 tables
+    and re-deriving c1 reproduces the full-corpus model -- the property
+    that makes the LM trainable incrementally (per day / per shard)."""
+    from streaminglens_spark.functions.lm import bigram_counts, doc_bigrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    full = {tuple(r) for r in bigram_counts(docs).collect()}
+
+    def c12(d):
+        return doc_bigrams(d).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c12")
+        )
+
+    merged_c12 = (
+        c12(h1).unionByName(c12(h2))
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").cast("long").alias("c12"))
+    )
+    merged_c1 = merged_c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    merged = {tuple(r) for r in merged_c12.join(merged_c1, "w1").collect()}
+    assert merged == full

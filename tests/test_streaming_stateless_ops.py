@@ -273,3 +273,18 @@ def test_probe_video_streams_bit_equal(spark, tmp_path):
         ("doc_id",),
     )
     assert got == want
+
+
+def test_winnow_fingerprints_streams_bit_equal(spark, tmp_path):
+    """Winnowing extraction is a pure projection: streams unchanged,
+    zero state, per-batch output bit-equal to batch (r5 continued)."""
+    from streaminglens_spark.functions.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.limit(60).collect()]
+    static_df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {tuple(r) for r in winnow_fingerprints(static_df).collect()}
+    got = _run_stream(
+        winnow_fingerprints(_doc_stream(spark, tmp_path, rows)), ("doc_id",)
+    )
+    assert got == want
