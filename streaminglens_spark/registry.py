@@ -4152,3 +4152,105 @@ LOCAL_ORACLE["q_corpus_diff"] = f"""
                     ELSE 'unchanged' END AS status,
                o.old_md5, n.new_md5
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+
+def q_bm25_eval(spark, sf_dir):
+    """BM25 self-retrieval evaluation (r5 continued): snippet queries
+    must find their source doc -- phrase-aware unigram+bigram index,
+    top-1 20/20 on the fixture (unigram-only: 2/20; the harness measures
+    term-space adequacy).  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.search import bm25_self_retrieval
+
+    return bm25_self_retrieval(_docs(spark, sf_dir))
+
+
+def _bm25_eval_oracle() -> str:
+    from .functions.intlog import log2_fp_sql
+    from .functions.search import PROBE_MOD, SNIPPET_LEN, SNIPPET_START
+
+    def terms(t: str) -> str:
+        l = f"string_split({t}, ' ')"
+        return (
+            f"list_concat({l}, list_transform("
+            f"generate_series(1, len({l}) - 1),"
+            f" i -> {l}[i] || '_' || {l}[i + 1]))"
+        )
+
+    idf = (
+        f"({log2_fp_sql('2 * s.n_docs + 2')} - {log2_fp_sql('2 * f.df + 1')})"
+    )
+    last = SNIPPET_START + SNIPPET_LEN - 1
+    return f"""
+        WITH probes AS (
+            SELECT CAST(doc_id AS VARCHAR) AS query_id,
+                   array_to_string(list_slice(string_split(text, ' '),
+                       {SNIPPET_START}, {last}), ' ') AS qtext
+            FROM documents
+            WHERE doc_id % {PROBE_MOD} = 0
+              AND len(string_split(text, ' ')) >= {last}
+        ),
+        qterms AS (
+            SELECT DISTINCT query_id, term FROM (
+                SELECT query_id, unnest({terms('qtext')}) AS term
+                FROM probes
+            )
+        ),
+        toks AS (
+            SELECT doc_id, unnest({terms('text')}) AS term FROM documents
+        ),
+        postings AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+               FROM postings GROUP BY 1),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({terms('text')})) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        dfs AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM postings
+            WHERE term IN (SELECT DISTINCT term FROM qterms)
+            GROUP BY term
+        ),
+        scored AS (
+            SELECT qt.query_id, p.doc_id,
+                   ({idf}::HUGEINT * 22 * p.tf * s.n_tokens)
+                   // (10::HUGEINT * p.tf * s.n_tokens
+                       + 3::HUGEINT * s.n_tokens
+                       + 9::HUGEINT * d.dl * s.n_docs) AS term_score
+            FROM postings p
+            JOIN dfs f USING (term)
+            JOIN qterms qt USING (term)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        doc_scores AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(term_score) AS BIGINT) AS score_fp
+            FROM scored GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_fp DESC, doc_id ASC) AS rank
+            FROM doc_scores
+        ),
+        hits AS (
+            SELECT
+                CAST(SUM(CASE WHEN query_id = CAST(doc_id AS VARCHAR)
+                              AND rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS top1_hits,
+                CAST(SUM(CASE WHEN query_id = CAST(doc_id AS VARCHAR)
+                              AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS top10_hits
+            FROM ranked WHERE rank <= 10
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+               top1_hits, top10_hits
+        FROM hits"""
+
+
+LOCAL_ORACLE["q_bm25_eval"] = _bm25_eval_oracle()
