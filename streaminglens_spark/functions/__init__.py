@@ -18,7 +18,13 @@ from .multimodal import (
     media_meta,
     resize_meta,
 )
-from .joins import asof_join, events_asof_orders, events_in_batches, interval_join
+from .joins import (
+    asof_join,
+    events_asof_orders,
+    events_in_batches,
+    interval_join,
+    salted_join,
+)
 from .kll import kll_merge_quantiles, kll_quantiles, kll_sketch_shards
 from .relational import pricing_summary, region_volume, top_customers
 from .sketch import hist_quantiles, hll_distinct, hll_distinct_windowed, kmv_distinct
@@ -33,14 +39,29 @@ from .similarity import (
     recall_at_k,
     semantic_dedup_pairs,
 )
+from .intlog import dec_div, log2_fp
+from .lm import bigram_counts, bigram_surprisal, ppl_band_filter
+from .search import bm25_search, bm25_search_df, bm25_self_retrieval, build_postings
+from .snapshot import corpus_diff, corpus_diff_summary
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
+from .winnow import winnow_fingerprints, winnow_pairs
+from .zorder import zorder_stats, zvalue
 
 __all__ = [
     "ann_lsh_topk",
     "asof_join",
     "attach_blob",
+    "bigram_counts",
+    "bigram_surprisal",
     "blob_meta",
+    "bm25_search",
+    "bm25_search_df",
+    "bm25_self_retrieval",
+    "build_postings",
+    "corpus_diff",
+    "corpus_diff_summary",
     "cosine_topk",
+    "dec_div",
     "decode_image",
     "dedup_exact",
     "doc_fingerprint",
@@ -53,27 +74,34 @@ __all__ = [
     "hll_distinct",
     "hll_distinct_windowed",
     "interval_join",
+    "ivf_centroids",
+    "ivf_topk",
     "kll_merge_quantiles",
     "kll_quantiles",
     "kll_sketch_shards",
-    "kmv_distinct",
-    "ivf_centroids",
-    "ivf_topk",
     "kmeans_fit",
+    "kmv_distinct",
     "lang_id",
+    "log2_fp",
     "lsh_bucket",
     "media_meta",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "ppl_band_filter",
     "pricing_summary",
     "quality_score",
     "recall_at_k",
-    "semantic_dedup_pairs",
     "region_volume",
     "resize_meta",
+    "salted_join",
+    "semantic_dedup_pairs",
     "simhash",
     "simhash_pairs",
     "text_stats",
     "token_count",
     "top_customers",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "zorder_stats",
+    "zvalue",
 ]
