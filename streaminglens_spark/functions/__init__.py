@@ -42,6 +42,8 @@ from .similarity import (
 from .intlog import dec_div, log2_fp
 from .lm import bigram_counts, bigram_surprisal, ppl_band_filter
 from .search import bm25_search, bm25_search_df, bm25_self_retrieval, build_postings
+from .profile import key_skew_stats
+from .sampling import negative_samples
 from .snapshot import corpus_diff, corpus_diff_summary
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
 from .winnow import winnow_fingerprints, winnow_pairs
@@ -76,6 +78,7 @@ __all__ = [
     "interval_join",
     "ivf_centroids",
     "ivf_topk",
+    "key_skew_stats",
     "kll_merge_quantiles",
     "kll_quantiles",
     "kll_sketch_shards",
@@ -86,6 +89,7 @@ __all__ = [
     "lsh_bucket",
     "media_meta",
     "minhash_lsh_pairs",
+    "negative_samples",
     "ngram_jaccard_pairs",
     "ppl_band_filter",
     "pricing_summary",

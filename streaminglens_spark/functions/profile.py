@@ -42,3 +42,37 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+def key_skew_stats(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Join-key skew diagnosis (round-5 continued extension): the
+    measurement that decides between a plain shuffle join, AQE's skew
+    split, and the ``salted_join`` rewrite -- "how hot is the hottest
+    key?" answered BEFORE the 100 TB shuffle is launched, from one cheap
+    aggregation over the key column.
+
+    Returns the top-``k`` keys by frequency: (rank, key_value, cnt,
+    permille) where permille = ``cnt * 1000 div total`` (exact integer;
+    a key at >= ~50 permille of a trillion-row table cannot fit one
+    partition and needs salting).  Spark shape: one groupBy(key).count
+    with map-side combine, distributed TakeOrdered for the top-k (never
+    a global sort -- the ranking window runs over the k survivors only,
+    the ``vocab_topk`` idiom), total via a broadcast 1-row aggregate."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("_total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key_value").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key_value").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "key_value",
+            "cnt",
+            F.expr("cnt * 1000 div _total").cast("long").alias("permille"),
+        )
+    )

@@ -236,3 +236,74 @@ def assign_split_by_group(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+# odd step constants for deterministic negative drawing (independent of
+# the affine position hash); n_neg <= len(NEG_STEPS)
+NEG_STEPS = (
+    2_246_822_519, 3_266_489_917, 668_265_263, 374_761_393,
+    2_654_435_769, 1_540_483_477, 2_047_483_649, 40_503,
+)
+
+
+def negative_samples(
+    df: DataFrame, key: str = "vec_id", label: str = "label", n_neg: int = 4
+) -> DataFrame:
+    """Deterministic cross-label negative sampling (round-5 continued
+    extension): the contrastive-training data prep step -- for every
+    anchor row, ``n_neg`` pseudo-random OTHER-label rows, reproducible
+    across runs/partitionings/engines (no RNG state, the
+    ``corpus_shuffle`` determinism contract).
+
+    Scheme: rows get dense hash-order positions (``corpus_shuffle`` --
+    two-pass row-id assignment, no global sort); negative ``j`` of the
+    anchor at position ``p`` is the row at position ``(p + step_j) % n``
+    with ``step_j = 1 + (NEG_STEPS[j] % (n - 1))`` (nonzero mod n, so an
+    anchor never draws itself).  Candidates sharing the anchor's label
+    are FILTERED (the cross-label hard constraint), so with ``L``
+    roughly-balanced labels the expected yield is ``n_neg * (1 - 1/L)``
+    per anchor -- documented, not resampled: a re-draw loop would make
+    the output depend on iteration order.  Hash-order positions make
+    each draw label-agnostic, so the filter loss concentrates nowhere.
+
+    Spark shape: position assignment is assign_row_ids' declarative
+    two-pass; the draw is a map-only modular projection + one explode;
+    resolution is an equi-join on position (hash-partitioned); nothing
+    global.  Returns (anchor_id, j, neg_id, anchor_label, neg_label).
+    Corpora with < 2 rows yield no pairs."""
+    pos = corpus_shuffle(df.select(key), key=key).select(
+        key, F.col("shuffle_pos").alias("_pos")
+    )
+    base = df.select(key, label).join(pos, key)
+    n_tbl = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    steps = F.array(*[F.lit(int(s)).cast("long") for s in NEG_STEPS[:n_neg]])
+    anchors = (
+        base.crossJoin(F.broadcast(n_tbl))
+        .filter(F.col("_n") >= 2)
+        .select(
+            F.col(key).alias("anchor_id"),
+            F.col(label).alias("anchor_label"),
+            "_pos",
+            "_n",
+            F.posexplode(steps).alias("j", "_step"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("j").cast("long").alias("j"),
+            (
+                (F.col("_pos") + 1 + F.col("_step") % (F.col("_n") - 1))
+                % F.col("_n")
+            ).alias("_tgt"),
+        )
+    )
+    cand = base.select(
+        F.col("_pos").alias("_tgt"),
+        F.col(key).alias("neg_id"),
+        F.col(label).alias("neg_label"),
+    )
+    return (
+        anchors.join(cand, "_tgt")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select("anchor_id", "j", "neg_id", "anchor_label", "neg_label")
+    )

@@ -4254,3 +4254,73 @@ def _bm25_eval_oracle() -> str:
 
 
 LOCAL_ORACLE["q_bm25_eval"] = _bm25_eval_oracle()
+
+
+def q_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis (r5 continued): top-k key frequencies +
+    exact permille share over events.user_id -- the measurement that
+    picks plain join vs AQE split vs salted_join.  LOCAL_ORACLE; r6
+    rotation candidate."""
+    from .functions.profile import key_skew_stats
+
+    return key_skew_stats(load_table(spark, sf_dir, "events"), "user_id")
+
+
+LOCAL_ORACLE["q_key_skew"] = """
+        WITH counts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key_value,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+        ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key_value ASC)
+                        AS BIGINT) AS rank,
+                   key_value, cnt,
+                   CAST((cnt * 1000) // t.total AS BIGINT) AS permille
+            FROM counts CROSS JOIN tot t
+        )
+        SELECT rank, key_value, cnt, permille
+        FROM ranked WHERE rank <= 10"""
+
+
+def q_negative_samples(spark, sf_dir):
+    """Deterministic cross-label negative sampling (r5 continued): the
+    contrastive-training pair generator over embeddings.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.sampling import negative_samples
+
+    return negative_samples(_emb(spark, sf_dir))
+
+
+def _negative_samples_oracle() -> str:
+    from .functions.sampling import NEG_STEPS
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    steps = ", ".join(
+        f"({j}, {int(s)})" for j, s in enumerate(NEG_STEPS[:4])
+    )
+    return f"""
+        WITH pos AS (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ({HASH_A} * vec_id + {HASH_B}) % {HASH_P}
+                   ) - 1 AS p
+            FROM embeddings
+        ),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        steps(j, step) AS (VALUES {steps}),
+        anchors AS (
+            SELECT pos.vec_id AS anchor_id, pos.label AS anchor_label,
+                   CAST(steps.j AS BIGINT) AS j,
+                   (pos.p + 1 + (steps.step % (nt.n - 1))) % nt.n AS tgt
+            FROM pos CROSS JOIN nt CROSS JOIN steps
+            WHERE nt.n >= 2
+        )
+        SELECT a.anchor_id, a.j, c.vec_id AS neg_id,
+               a.anchor_label, c.label AS neg_label
+        FROM anchors a JOIN pos c ON c.p = a.tgt
+        WHERE c.label != a.anchor_label"""
+
+
+LOCAL_ORACLE["q_negative_samples"] = _negative_samples_oracle()
