@@ -42,6 +42,7 @@ from .similarity import (
 from .intlog import dec_div, log2_fp
 from .lm import bigram_counts, bigram_surprisal, ppl_band_filter
 from .search import bm25_search, bm25_search_df, bm25_self_retrieval, build_postings
+from .advisor import partition_advisor, watermark_advisor
 from .profile import key_skew_stats
 from .sampling import negative_samples
 from .snapshot import corpus_diff, corpus_diff_summary
@@ -91,6 +92,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "negative_samples",
     "ngram_jaccard_pairs",
+    "partition_advisor",
     "ppl_band_filter",
     "pricing_summary",
     "quality_score",
@@ -104,6 +106,7 @@ __all__ = [
     "text_stats",
     "token_count",
     "top_customers",
+    "watermark_advisor",
     "winnow_fingerprints",
     "winnow_pairs",
     "zorder_stats",

@@ -4324,3 +4324,71 @@ def _negative_samples_oracle() -> str:
 
 
 LOCAL_ORACLE["q_negative_samples"] = _negative_samples_oracle()
+
+
+def q_partition_advisor(spark, sf_dir):
+    """Partition-sizing advisor (r5 continued): shuffle-partition and
+    output-file recommendations from measured payload bytes -- the
+    reference's recommendation idea applied to the corpus-job knobs.
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.advisor import partition_advisor
+
+    return partition_advisor(_docs(spark, sf_dir))
+
+
+def q_watermark_advisor(spark, sf_dir):
+    """Watermark-delay advisor (r5 continued): per-candidate-delay
+    dropped-event counts from measured per-user out-of-orderness.
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.advisor import watermark_advisor
+
+    return watermark_advisor(load_table(spark, sf_dir, "events"))
+
+
+def _advisor_oracles() -> dict[str, str]:
+    from .functions.advisor import (
+        TARGET_FILE_BYTES,
+        TARGET_PARTITION_BYTES,
+        WATERMARK_DELAYS_MS,
+    )
+
+    tp, tf = TARGET_PARTITION_BYTES, TARGET_FILE_BYTES
+    delays = ", ".join(f"({int(d)})" for d in WATERMARK_DELAYS_MS)
+    return {
+        "q_partition_advisor": f"""
+        WITH agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(strlen(text)), 0) AS BIGINT)
+                       AS data_bytes
+            FROM documents
+        )
+        SELECT n_rows, data_bytes,
+               GREATEST(1, (data_bytes + {tp} - 1) // {tp})
+                   AS rec_shuffle_partitions,
+               GREATEST(1, (data_bytes + {tf} - 1) // {tf})
+                   AS rec_output_files,
+               n_rows // GREATEST(1, (data_bytes + {tp} - 1) // {tp})
+                   AS rows_per_partition
+        FROM agg""",
+        "q_watermark_advisor": f"""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+        ),
+        l AS (
+            SELECT MAX(ms) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) - ms AS late_by
+            FROM e
+        ),
+        d(delay_ms) AS (VALUES {delays})
+        SELECT CAST(d.delay_ms AS BIGINT) AS delay_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN l.late_by > d.delay_ms
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST((SUM(CASE WHEN l.late_by > d.delay_ms THEN 1 ELSE 0 END)
+                     * 1000) // COUNT(*) AS BIGINT) AS permille
+        FROM l CROSS JOIN d
+        GROUP BY 1""",
+    }
+
+
+LOCAL_ORACLE.update(_advisor_oracles())
