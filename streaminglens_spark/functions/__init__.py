@@ -45,6 +45,7 @@ from .search import bm25_search, bm25_search_df, bm25_self_retrieval, build_post
 from .advisor import partition_advisor, watermark_advisor
 from .profile import key_skew_stats
 from .sampling import negative_samples
+from .sequences import rolling_user_features, user_event_sequences
 from .snapshot import corpus_diff, corpus_diff_summary
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
 from .winnow import winnow_fingerprints, winnow_pairs
@@ -99,6 +100,7 @@ __all__ = [
     "recall_at_k",
     "region_volume",
     "resize_meta",
+    "rolling_user_features",
     "salted_join",
     "semantic_dedup_pairs",
     "simhash",
@@ -106,6 +108,7 @@ __all__ = [
     "text_stats",
     "token_count",
     "top_customers",
+    "user_event_sequences",
     "watermark_advisor",
     "winnow_fingerprints",
     "winnow_pairs",

@@ -4392,3 +4392,68 @@ def _advisor_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_advisor_oracles())
+
+
+def q_user_sequences(spark, sf_dir):
+    """Per-user behavioral sequence examples (r5 continued): ordered
+    event-type sequences with order-covering digests.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.sequences import user_event_sequences
+
+    return user_event_sequences(load_table(spark, sf_dir, "events"))
+
+
+def q_user_features(spark, sf_dir):
+    """Leakage-safe rolling features per event (r5 continued): previous-n
+    frame, the current event never sees itself.  LOCAL_ORACLE; r6
+    rotation candidate."""
+    from .functions.sequences import rolling_user_features
+
+    return rolling_user_features(load_table(spark, sf_dir, "events"))
+
+
+def _sequences_oracles() -> dict[str, str]:
+    from .functions.sequences import ROLL_N, SEQ_MAX_LEN
+
+    return {
+        "q_user_sequences": f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+            FROM events
+        ),
+        seqs AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   list_slice(
+                       list(event_type ORDER BY ms, event_id),
+                       1, {SEQ_MAX_LEN}) AS seq,
+                   CAST(MIN(ms) AS BIGINT) AS first_ms,
+                   CAST(MAX(ms) AS BIGINT) AS last_ms
+            FROM e GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(len(seq) AS BIGINT) AS seq_len,
+               md5(array_to_string(seq, '|')) AS seq_md5,
+               first_ms, last_ms
+        FROM seqs""",
+        "q_user_features": f"""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                    ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS prev_n,
+               CAST(COALESCE(SUM(cents) OVER (PARTITION BY user_id
+                    ORDER BY ms, event_id
+                    ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev_cents,
+               CAST(ms - LAG(ms) OVER (PARTITION BY user_id
+                    ORDER BY ms, event_id) AS BIGINT) AS ms_since_prev
+        FROM e""",
+    }
+
+
+LOCAL_ORACLE.update(_sequences_oracles())
