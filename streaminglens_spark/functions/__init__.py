@@ -46,7 +46,7 @@ from .advisor import partition_advisor, watermark_advisor
 from .profile import key_skew_stats
 from .sampling import negative_samples
 from .sequences import rolling_user_features, user_event_sequences
-from .snapshot import corpus_diff, corpus_diff_summary
+from .snapshot import corpus_diff, corpus_diff_summary, source_overlap_matrix
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
 from .winnow import winnow_fingerprints, winnow_pairs
 from .zorder import zorder_stats, zvalue
@@ -105,6 +105,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "simhash",
     "simhash_pairs",
+    "source_overlap_matrix",
     "text_stats",
     "token_count",
     "top_customers",

@@ -46,3 +46,71 @@ def corpus_diff_summary(old: DataFrame, new: DataFrame) -> DataFrame:
     return corpus_diff(old, new).groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+OVERLAP_N = 3  # tokens per overlap shingle
+
+
+def source_overlap_matrix(documents: DataFrame, n: int = OVERLAP_N) -> DataFrame:
+    """Cross-source n-gram overlap audit (round-5 continued extension):
+    the pairwise generalization of benchmark decontamination -- before
+    mixing sources (or trusting a train/eval split), measure how much
+    verbatim n-gram material every PAIR of sources shares.  High overlap
+    between a training source and an eval source is contamination; high
+    overlap between two training sources inflates effective epochs.
+
+    Returns one row per unordered source pair (src_a < src_b):
+    (src_a, src_b, grams_a, grams_b, shared, jaccard_permille) over
+    DISTINCT token n-grams, all exact integers.
+
+    Spark shape: one explode to (source, gram) + distinct (shuffle 1,
+    the gram-vocabulary reduction -- everything after operates on
+    distinct grams, not instances); the pair join is a self-equi-join ON
+    GRAM (shuffle 2; a gram shared by k sources emits C(k,2) pairs --
+    bounded by sources^2, not corpus size); per-source totals broadcast
+    back.  Jaccard = shared / (a + b - shared), in exact permille."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = (
+        documents.select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    totals = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = sg.select("gram", F.col("source").alias("src_a"))
+    b = sg.select("gram", F.col("source").alias("src_b"))
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "grams_a",
+            "grams_b",
+            "shared",
+            F.expr("shared * 1000 div (grams_a + grams_b - shared)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )

@@ -4457,3 +4457,41 @@ def _sequences_oracles() -> dict[str, str]:
 
 
 LOCAL_ORACLE.update(_sequences_oracles())
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap matrix (r5 continued): pairwise
+    contamination/redundancy audit over distinct token 3-grams.
+    LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.snapshot import source_overlap_matrix
+
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+LOCAL_ORACLE["q_source_overlap"] = """
+        WITH arr AS (
+            SELECT source, string_split(text, ' ') AS l FROM documents
+        ),
+        sg AS (
+            SELECT DISTINCT source,
+                   l[g.i] || ' ' || l[g.i + 1] || ' ' || l[g.i + 2] AS gram
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 2)) AS g(i)
+        ),
+        totals AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM sg GROUP BY 1
+        ),
+        shared AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT s.src_a, s.src_b,
+               ta.n_grams AS grams_a, tb.n_grams AS grams_b, s.shared,
+               CAST((s.shared * 1000)
+                    // (ta.n_grams + tb.n_grams - s.shared) AS BIGINT)
+                   AS jaccard_permille
+        FROM shared s
+        JOIN totals ta ON ta.source = s.src_a
+        JOIN totals tb ON tb.source = s.src_b"""

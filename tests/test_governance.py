@@ -77,3 +77,36 @@ def test_corpus_diff_fixture_has_all_transitions(spark):
     n_old = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     n_non_added = out.filter(F.col("status") != "added").count()
     assert n_non_added == n_old
+
+
+def test_source_overlap_golden(spark):
+    """Two sources sharing one exact 3-gram, a third sharing nothing."""
+    from streaminglens_spark.functions.snapshot import source_overlap_matrix
+
+    rows = [
+        (0, "alpha beta gamma delta", "s1"),
+        (1, "x alpha beta gamma y", "s2"),
+        (2, "p q r s t u", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r for r in source_overlap_matrix(df).collect()}
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    # s1 grams: {alpha beta gamma, beta gamma delta}; s2 grams:
+    # {x alpha beta, alpha beta gamma, beta gamma y} -> one shared gram
+    assert r["shared"] == 1
+    assert r["grams_a"] == 2 and r["grams_b"] == 3
+    assert r["jaccard_permille"] == 1000 // 4  # 1 / (2 + 3 - 1)
+
+
+def test_source_overlap_symmetric_jaccard(spark):
+    from streaminglens_spark.functions.snapshot import source_overlap_matrix
+
+    rows = [
+        (0, "a b c d e", "s1"),
+        (1, "a b c d e", "s2"),  # identical text -> jaccard 1000
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = source_overlap_matrix(df).collect()[0]
+    assert r["jaccard_permille"] == 1000
+    assert r["shared"] == r["grams_a"] == r["grams_b"] == 3
