@@ -40,7 +40,7 @@ from .similarity import (
     semantic_dedup_pairs,
 )
 from .intlog import dec_div, log2_fp
-from .lm import bigram_counts, bigram_surprisal, ppl_band_filter
+from .lm import bigram_counts, bigram_surprisal, pmi_collocations, ppl_band_filter
 from .search import bm25_search, bm25_search_df, bm25_self_retrieval, build_postings
 from .advisor import partition_advisor, watermark_advisor
 from .profile import key_skew_stats
@@ -94,6 +94,7 @@ __all__ = [
     "negative_samples",
     "ngram_jaccard_pairs",
     "partition_advisor",
+    "pmi_collocations",
     "ppl_band_filter",
     "pricing_summary",
     "quality_score",

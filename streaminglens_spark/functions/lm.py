@@ -200,3 +200,62 @@ def ppl_band_filter(
         "mean_micro_bits",
         ((x >= F.col("t_lo")) & (x < F.col("t_hi"))).alias("keep"),
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (round-5
+    continued extension): the classic "which word pairs belong together"
+    corpus analysis (tokenizer-vocabulary candidates, multi-word entity
+    mining, stop-pair detection).
+
+    PMI(w1, w2) = log2( p(w1 w2) / (p(w1) p(w2)) )
+                = log2(c12) + log2(T) - log2(c1) - log2(c2)
+
+    with exact bigram counts ``c12``, left/right context counts
+    ``c1``/``c2`` and total bigrams ``T`` -- evaluated as a SUM of four
+    ``log2_fp`` terms, each int64-safe individually (no ``c12 * T``
+    product that could overflow at corpus scale), total quantization
+    error <= 4 * 0.0224 bits.  ``min_count`` suppresses the classic
+    PMI pathology (hapax pairs scoring highest); top-``k`` by
+    (pmi desc, w1, w2) via distributed TakeOrdered -- the ranking
+    window runs over the k survivors only (``vocab_topk`` idiom).
+
+    Returns (rank, w1, w2, c12, pmi_micro_bits)."""
+    from pyspark.sql import Window
+
+    dbc = doc_bigrams(documents).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = dbc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = dbc.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = dbc.agg(F.sum("c12").cast("long").alias("t"))
+    pmi = (
+        log2_fp(F.col("c12"))
+        + log2_fp(F.col("t"))
+        - log2_fp(F.col("c1"))
+        - log2_fp(F.col("c2"))
+    )
+    scored = (
+        dbc.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi_micro_bits"))
+    )
+    top = scored.orderBy(
+        F.col("pmi_micro_bits").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("pmi_micro_bits").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "w1", "w2", "c12", "pmi_micro_bits"
+    )

@@ -4495,3 +4495,57 @@ LOCAL_ORACLE["q_source_overlap"] = """
         FROM shared s
         JOIN totals ta ON ta.source = s.src_a
         JOIN totals tb ON tb.source = s.src_b"""
+
+
+def q_pmi(spark, sf_dir):
+    """PMI collocation extraction (r5 continued): top-k word pairs by
+    integer fixed-point pointwise mutual information.  LOCAL_ORACLE;
+    r6 rotation candidate."""
+    from .functions.lm import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
+def _pmi_oracle() -> str:
+    from .functions.intlog import log2_fp_sql
+    from .functions.lm import PMI_MIN_COUNT, PMI_TOP_K
+
+    pmi = (
+        f"({log2_fp_sql('m.c12')} + {log2_fp_sql('t.t')}"
+        f" - {log2_fp_sql('c1.c1')} - {log2_fp_sql('c2.c2')})"
+    )
+    return f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ),
+        big AS (
+            SELECT l[g.i] AS w1, l[g.i + 1] AS w2
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+        ),
+        m AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM big GROUP BY 1, 2
+        ),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM m GROUP BY 1),
+        c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM m GROUP BY 1),
+        t AS (SELECT CAST(SUM(c12) AS BIGINT) AS t FROM m),
+        scored AS (
+            SELECT m.w1, m.w2, m.c12, {pmi} AS pmi_micro_bits
+            FROM m
+            JOIN c1 USING (w1)
+            JOIN c2 USING (w2)
+            CROSS JOIN t
+            WHERE m.c12 >= {PMI_MIN_COUNT}
+        ),
+        ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY pmi_micro_bits DESC, w1 ASC, w2 ASC)
+                       AS BIGINT) AS rank,
+                   w1, w2, c12, pmi_micro_bits
+            FROM scored
+        )
+        SELECT rank, w1, w2, c12, pmi_micro_bits
+        FROM ranked WHERE rank <= {PMI_TOP_K}"""
+
+
+LOCAL_ORACLE["q_pmi"] = _pmi_oracle()

@@ -274,3 +274,56 @@ def test_bigram_postings_term_count(spark):
     # 4 unigram instances + 3 bigram instances = dl 7
     assert set(rows) == {"a", "b", "c", "a_b", "b_c", "c_a"}
     assert rows["a"]["tf"] == 2 and rows["a"]["dl"] == 7
+
+
+# ------------------------------------------------------- PMI collocations
+
+def test_pmi_planted_collocation_wins(spark):
+    """'new york' always co-occurs while the filler words around it
+    appear in VARYING orders (so filler bigrams are frequent as
+    unigrams but rare as pairs): the collocation must rank first, and
+    rare pairs fall to min_count.  (An all-identical corpus is
+    degenerate -- every adjacent pair ties at maximal PMI.)"""
+    from streaminglens_spark.functions.lm import pmi_collocations
+
+    filler = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    rows = []
+    for i in range(20):
+        words = [filler[(i + j * j) % 8] for j in range(8)]
+        rows.append((i, " ".join(words[:4]) + " new york " + " ".join(words[4:])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, k=10).collect()
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    assert out[0]["c12"] == 20
+    for r in out[1:]:
+        assert r["pmi_micro_bits"] < out[0]["pmi_micro_bits"]
+        assert r["c12"] >= 5  # min_count honored
+
+
+def test_pmi_values_match_math(spark):
+    """The fixed-point PMI tracks log2(c12*T/(c1*c2)) within the
+    composed quantization bound (4 terms x 0.0225 bits)."""
+    import math
+
+    from streaminglens_spark.functions.lm import pmi_collocations
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = pmi_collocations(docs, min_count=5, k=20).collect()
+    assert rows
+    # recompute exact counts in python for the checked pairs
+    from collections import Counter
+
+    c12, c1, c2 = Counter(), Counter(), Counter()
+    for r in docs.collect():
+        toks = r["text"].split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+            c2[b] += 1
+    t = sum(c12.values())
+    for r in rows:
+        pair = (r["w1"], r["w2"])
+        want = math.log2(c12[pair] * t / (c1[r["w1"]] * c2[r["w2"]]))
+        assert abs(r["pmi_micro_bits"] / 1e6 - want) < 4 * 0.0225, (pair, want)
