@@ -46,7 +46,12 @@ from .advisor import partition_advisor, watermark_advisor
 from .profile import key_skew_stats
 from .sampling import negative_samples
 from .sequences import rolling_user_features, user_event_sequences
-from .snapshot import corpus_diff, corpus_diff_summary, source_overlap_matrix
+from .snapshot import (
+    corpus_diff,
+    corpus_diff_summary,
+    source_overlap_matrix,
+    vocab_drift,
+)
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
 from .winnow import winnow_fingerprints, winnow_pairs
 from .zorder import zorder_stats, zvalue
@@ -111,6 +116,7 @@ __all__ = [
     "token_count",
     "top_customers",
     "user_event_sequences",
+    "vocab_drift",
     "watermark_advisor",
     "winnow_fingerprints",
     "winnow_pairs",

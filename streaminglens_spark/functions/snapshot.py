@@ -114,3 +114,92 @@ def source_overlap_matrix(documents: DataFrame, n: int = OVERLAP_N) -> DataFrame
             .alias("jaccard_permille"),
         )
     )
+
+
+DRIFT_TOP_K = 10
+
+
+def vocab_drift(
+    old: DataFrame, new: DataFrame, k: int = DRIFT_TOP_K
+) -> DataFrame:
+    """Unigram-distribution drift between two corpus snapshots (round-5
+    continued extension): the data-drift monitor that catches what
+    ``corpus_diff`` cannot -- a scraper regression that keeps every
+    doc_id but subtly shifts CONTENT (encoding damage, truncation, a
+    template leaking into every page) moves the token distribution long
+    before anyone reads a document.
+
+    Metric: L1 distance between the snapshots' token distributions,
+    computed EXACTLY by cross-multiplication --
+    ``S = sum_t |c_old(t) * T_new - c_new(t) * T_old|`` and
+    ``L1_permille = 1000 * S div (T_old * T_new)`` (range 0..2000) --
+    in decimal(38,0) via ``dec_div`` (products pass int64 once token
+    totals do).  Returns the top-``k`` moving tokens (rank, token,
+    c_old, c_new, drift_permille) each carrying the corpus-level
+    ``total_l1_permille`` -- the single number a pipeline alerts on.
+
+    Spark shape: two token-count groupBys (map-side combined), one
+    full-outer join on token (vocab-sized), totals broadcast, top-k by
+    distributed TakeOrdered."""
+    from pyspark.sql import Window
+
+    from .intlog import dec, dec_div
+
+    def counts(df, col):
+        return (
+            df.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias(col))
+        )
+
+    co = counts(old, "c_old")
+    cn = counts(new, "c_new")
+    joined = co.join(cn, "token", "full_outer").select(
+        "token",
+        F.coalesce("c_old", F.lit(0)).cast("long").alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
+    )
+    totals = joined.agg(
+        F.sum("c_old").cast("long").alias("t_old"),
+        F.sum("c_new").cast("long").alias("t_new"),
+    )
+    cross = F.abs(
+        dec(F.col("c_old")) * dec(F.col("t_new"))
+        - dec(F.col("c_new")) * dec(F.col("t_old"))
+    )
+    scored = joined.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_old",
+        "c_new",
+        "t_old",
+        "t_new",
+        cross.alias("x"),
+    )
+    total = scored.agg(
+        dec_div(
+            dec(F.lit(1000)) * F.sum("x"),
+            (dec(F.max("t_old")) * dec(F.max("t_new"))),
+        )
+        .cast("long")
+        .alias("total_l1_permille")
+    )
+    per_tok = scored.select(
+        "token",
+        "c_old",
+        "c_new",
+        dec_div(dec(F.lit(1000)) * F.col("x"), dec(F.col("t_old")) * dec(F.col("t_new")))
+        .cast("long")
+        .alias("drift_permille"),
+    )
+    top = per_tok.orderBy(
+        F.col("drift_permille").desc(), F.col("token").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("drift_permille").desc(), F.col("token").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank", "token", "c_old", "c_new", "drift_permille",
+            "total_l1_permille",
+        )
+    )

@@ -4549,3 +4549,94 @@ def _pmi_oracle() -> str:
 
 
 LOCAL_ORACLE["q_pmi"] = _pmi_oracle()
+
+
+def q_vocab_drift(spark, sf_dir):
+    """Unigram-distribution drift between snapshots (r5 continued):
+    exact cross-multiplied L1 permille + top moving tokens, over the
+    corpus-diff fixture derivation.  LOCAL_ORACLE; r6 rotation
+    candidate."""
+    from .functions.snapshot import vocab_drift
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = old.filter(F.col("doc_id") % DIFF_DROP_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(DIFF_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.filter(F.col("doc_id") % DIFF_ADD_MOD == 0).select(
+        (F.col("doc_id") + DIFF_ADD_SHIFT).alias("doc_id"), "text"
+    )
+    return vocab_drift(old, kept.unionByName(added))
+
+
+def _vocab_drift_oracle() -> str:
+    from .functions.snapshot import DRIFT_TOP_K
+
+    return f"""
+        WITH old AS (SELECT doc_id, text FROM documents),
+        new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                        THEN text || '{DIFF_SUFFIX}' ELSE text END AS text
+            FROM documents WHERE doc_id % {DIFF_DROP_MOD} != 0
+            UNION ALL
+            SELECT doc_id + {DIFF_ADD_SHIFT}, text
+            FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+        ),
+        co AS (
+            SELECT unnest(string_split(text, ' ')) AS token,
+                   CAST(1 AS BIGINT) AS one
+            FROM old
+        ),
+        cn AS (
+            SELECT unnest(string_split(text, ' ')) AS token,
+                   CAST(1 AS BIGINT) AS one
+            FROM new
+        ),
+        go AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_old
+               FROM co GROUP BY 1),
+        gn AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_new
+               FROM cn GROUP BY 1),
+        j AS (
+            SELECT COALESCE(go.token, gn.token) AS token,
+                   COALESCE(c_old, 0) AS c_old,
+                   COALESCE(c_new, 0) AS c_new
+            FROM go FULL OUTER JOIN gn ON go.token = gn.token
+        ),
+        t AS (SELECT CAST(SUM(c_old) AS BIGINT) AS t_old,
+                     CAST(SUM(c_new) AS BIGINT) AS t_new FROM j),
+        x AS (
+            SELECT j.token, j.c_old, j.c_new,
+                   abs(j.c_old::HUGEINT * t.t_new
+                       - j.c_new::HUGEINT * t.t_old) AS xv,
+                   t.t_old, t.t_new
+            FROM j CROSS JOIN t
+        ),
+        tot AS (
+            SELECT CAST((1000::HUGEINT * SUM(xv))
+                        // (MAX(t_old)::HUGEINT * MAX(t_new))
+                        AS BIGINT) AS total_l1_permille
+            FROM x
+        ),
+        ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY (1000::HUGEINT * xv)
+                                // (t_old::HUGEINT * t_new) DESC,
+                                token ASC) AS BIGINT) AS rank,
+                   token, c_old, c_new,
+                   CAST((1000::HUGEINT * xv) // (t_old::HUGEINT * t_new)
+                        AS BIGINT) AS drift_permille
+            FROM x
+        )
+        SELECT rank, token, c_old, c_new, drift_permille,
+               tot.total_l1_permille
+        FROM ranked CROSS JOIN tot
+        WHERE rank <= {DRIFT_TOP_K}"""
+
+
+LOCAL_ORACLE["q_vocab_drift"] = _vocab_drift_oracle()

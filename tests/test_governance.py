@@ -110,3 +110,33 @@ def test_source_overlap_symmetric_jaccard(spark):
     r = source_overlap_matrix(df).collect()[0]
     assert r["jaccard_permille"] == 1000
     assert r["shared"] == r["grams_a"] == r["grams_b"] == 3
+
+
+def test_vocab_drift_identical_snapshots_zero(spark):
+    from streaminglens_spark.functions.snapshot import vocab_drift
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    rows = vocab_drift(df, df).collect()
+    assert rows and all(r["total_l1_permille"] == 0 for r in rows)
+    assert all(r["drift_permille"] == 0 for r in rows)
+
+
+def test_vocab_drift_known_shift(spark):
+    """old = {a: 2, b: 2}; new = {a: 4}: |2/4-4/4| + |2/4-0| = 1.0 ->
+    1000 permille; 'b' is the top mover (500 each, tie by token)."""
+    from streaminglens_spark.functions.snapshot import vocab_drift
+
+    old = spark.createDataFrame(
+        [(0, "a b"), (1, "a b")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(0, "a a"), (1, "a a")], "doc_id long, text string"
+    )
+    rows = vocab_drift(old, new).collect()
+    assert rows[0]["total_l1_permille"] == 1000
+    by_tok = {r["token"]: r for r in rows}
+    assert by_tok["a"]["drift_permille"] == 500
+    assert by_tok["b"]["drift_permille"] == 500
+    assert rows[0]["token"] == "a"  # tie broken by token asc
