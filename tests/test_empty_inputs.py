@@ -85,8 +85,23 @@ CASES = [
     # r5 continued: retrieval / layout / governance operators
     ("bigram_surprisal", "functions.lm", "doc_id long, text string"),
     ("ppl_band_filter", "functions.lm", "doc_id long, text string"),
+    ("pmi_collocations", "functions.lm", "doc_id long, text string"),
     ("winnow_fingerprints", "functions.winnow", "doc_id long, text string"),
     ("winnow_pairs", "functions.winnow", "doc_id long, text string"),
+    ("source_overlap_matrix", "functions.snapshot",
+     "doc_id long, text string, source string"),
+    (
+        "user_event_sequences",
+        "functions.sequences",
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ),
+    (
+        "rolling_user_features",
+        "functions.sequences",
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ),
 ]
 
 
@@ -110,6 +125,11 @@ def test_multi_arg_operators_empty_safe(spark):
     assert out.count() == 0
     out = corpus_diff(docs, docs)
     assert out.count() == 0 and len(out.columns) == 4
+    from streaminglens_spark.functions.profile import key_skew_stats
+    from streaminglens_spark.functions.snapshot import vocab_drift
+
+    assert key_skew_stats(big, "k").count() == 0
+    assert vocab_drift(docs, docs).count() == 0
 
 
 def test_funnel_empty_reports_zero_per_step(spark):
