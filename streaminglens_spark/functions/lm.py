@@ -81,10 +81,10 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
     integer floor (total and count are both int64-safe: <= 64 micro-bits
     per bigram times document length).
 
-    Plan (r5 perf pass): the corpus bigram stream is pre-aggregated ONCE
-    to per-(doc, w1, w2) counts ``k`` -- the model aggregation and the
-    scoring join then both read THAT exchange (Spark's shuffle-file reuse
-    gives explode-once for free), and every later stage carries
+    Plan (r5 perf pass): the corpus bigram stream is pre-aggregated to
+    per-(doc, w1, w2) counts ``k`` -- the model aggregation and the
+    scoring join then read the same canonicalized subtree
+    (exchange-reuse eligible), and every later stage carries
     doc-DISTINCT bigrams instead of raw instances (``sum(k * s)`` equals
     the per-instance sum exactly; a repetitive corpus compresses hard).
     The naive shape (instance-level join + second corpus explode for the
