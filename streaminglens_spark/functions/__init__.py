@@ -12,10 +12,12 @@ from .dedup import (
 )
 from .multimodal import (
     attach_blob,
+    attach_jpeg_blob,
     blob_meta,
     decode_image,
     frame_sample,
     media_meta,
+    probe_image,
     resize_meta,
 )
 from .joins import (
@@ -60,6 +62,7 @@ __all__ = [
     "ann_lsh_topk",
     "asof_join",
     "attach_blob",
+    "attach_jpeg_blob",
     "bigram_counts",
     "bigram_surprisal",
     "blob_meta",
@@ -102,6 +105,7 @@ __all__ = [
     "pmi_collocations",
     "ppl_band_filter",
     "pricing_summary",
+    "probe_image",
     "quality_score",
     "recall_at_k",
     "region_volume",

@@ -577,3 +577,96 @@ def probe_video(media: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(probe, VIDEO_PROBED_SCHEMA)
+
+
+IMAGE_JPEG_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary,"
+    " meta map<string, bigint>"
+)
+
+IMAGE_PROBED_SCHEMA = (
+    "doc_id bigint, jfif_major bigint, jfif_minor bigint,"
+    " xdensity bigint, ydensity bigint, width bigint, height bigint,"
+    " n_components bigint, comment_bytes bigint"
+)
+
+
+def attach_jpeg_blob(documents: DataFrame) -> DataFrame:
+    """Derive a real JFIF marker stream from text (the ``attach_mp4_blob``
+    convention for still images): dims/components/density come from
+    deterministic doc_id arithmetic, the COM segment carries the
+    document's bytes -- every probed field is independently computable
+    in SQL without a parser."""
+    from .jpeg import encode_minimal_jpeg
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                width = d % 320 + 16
+                height = d % 240 + 16
+                nc = d % 3 + 1
+                xden = d % 100 + 72
+                comment = text.encode("utf-8")
+                blob = encode_minimal_jpeg(width, height, nc, xden, 72, comment)
+                payloads.append(blob)
+                metas.append({"width": width, "height": height,
+                              "n_bytes": len(blob)})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image_jpeg"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return documents.select("doc_id", "text").filter(
+        F.length("text") > 0
+    ).mapInPandas(encode, IMAGE_JPEG_SCHEMA)
+
+
+def probe_image(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Parse the JFIF marker layer of each payload (``functions/jpeg``):
+    version, densities, frame dims, component count, comment size --
+    the triage pass before any pixel decode.  Arrow-batched
+    ``mapInPandas``; ``strict=True`` fails the job on a malformed
+    stream (never fake metadata), else emits a zeroed 'unparseable'
+    row."""
+    from .jpeg import parse_jpeg
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    p = parse_jpeg(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append((int(doc_id), 0, 0, 0, 0, 0, 0, 0, 0))
+                    continue
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(p["jfif_major"]),
+                        int(p["jfif_minor"]),
+                        int(p["xdensity"]),
+                        int(p["ydensity"]),
+                        int(p["width"]),
+                        int(p["height"]),
+                        int(p["n_components"]),
+                        int(p["comment_bytes"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "jfif_major", "jfif_minor", "xdensity",
+                    "ydensity", "width", "height", "n_components",
+                    "comment_bytes",
+                ],
+            )
+
+    return media.mapInPandas(probe, IMAGE_PROBED_SCHEMA)

@@ -4640,3 +4640,27 @@ def _vocab_drift_oracle() -> str:
 
 
 LOCAL_ORACLE["q_vocab_drift"] = _vocab_drift_oracle()
+
+
+def q_probe_image(spark, sf_dir):
+    """JFIF marker-stream probe (r5 continued): real JPEG container
+    parsing over derived blobs -- completes the image/audio/video probe
+    triad.  LOCAL_ORACLE; r6 rotation candidate."""
+    from .functions.multimodal import attach_jpeg_blob, probe_image
+
+    return probe_image(attach_jpeg_blob(_docs(spark, sf_dir)))
+
+
+# every probed field recomputed from the generating doc_id formula +
+# strlen(text) -- codec-free, so a wrong parser hash-mismatches
+LOCAL_ORACLE["q_probe_image"] = """
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS jfif_major,
+               CAST(2 AS BIGINT) AS jfif_minor,
+               doc_id % 100 + 72 AS xdensity,
+               CAST(72 AS BIGINT) AS ydensity,
+               doc_id % 320 + 16 AS width,
+               doc_id % 240 + 16 AS height,
+               doc_id % 3 + 1 AS n_components,
+               CAST(strlen(text) AS BIGINT) AS comment_bytes
+        FROM documents WHERE length(text) > 0"""
