@@ -42,12 +42,18 @@ from .similarity import (
     semantic_dedup_pairs,
 )
 from .intlog import dec_div, log2_fp
-from .lm import bigram_counts, bigram_surprisal, pmi_collocations, ppl_band_filter
+from .lm import (
+    apply_surprisal,
+    bigram_counts,
+    bigram_surprisal,
+    pmi_collocations,
+    ppl_band_filter,
+)
 from .search import bm25_search, bm25_search_df, bm25_self_retrieval, build_postings
 from .advisor import partition_advisor, watermark_advisor
 from .profile import key_skew_stats
 from .sampling import negative_samples
-from .sequences import rolling_user_features, user_event_sequences
+from .sequences import props_stats, rolling_user_features, user_event_sequences
 from .snapshot import (
     corpus_diff,
     corpus_diff_summary,
@@ -60,6 +66,7 @@ from .zorder import zorder_stats, zvalue
 
 __all__ = [
     "ann_lsh_topk",
+    "apply_surprisal",
     "asof_join",
     "attach_blob",
     "attach_jpeg_blob",
@@ -106,6 +113,7 @@ __all__ = [
     "ppl_band_filter",
     "pricing_summary",
     "probe_image",
+    "props_stats",
     "quality_score",
     "recall_at_k",
     "region_volume",

@@ -259,3 +259,54 @@ def pmi_collocations(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "w1", "w2", "c12", "pmi_micro_bits"
     )
+
+
+def apply_surprisal(new_docs: DataFrame, model: DataFrame) -> DataFrame:
+    """The APPLY side of train-then-apply (the production shape
+    ``bigram_surprisal`` degenerates from): score a NEW batch against a
+    PERSISTED model table (``bigram_counts`` output: w1, w2, c12, c1 --
+    the parquet side table an incremental pipeline reuses, like
+    ``minhash_index``), without touching the training corpus.
+
+    Semantics: identical formula, with one extra case the self-scoring
+    path never hits -- an UNSEEN bigram (absent from the model) backs
+    off to the add-one floor ``log2_fp(c1 + V) - log2_fp(1)`` when its
+    context ``w1`` is known, and to the uniform floor ``log2_fp(V)``
+    when even the context is novel.  V is derived from the model table
+    (its bigram-participating vocabulary).  Returns the
+    ``bigram_surprisal`` schema plus ``n_unseen`` -- the count of
+    out-of-model bigrams, itself a drift signal.
+
+    Scale shape: same joins as self-scoring (left joins so unseen pairs
+    survive), model-side tables are vocab-bounded."""
+    dbc = doc_bigrams(new_docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    c1_tbl = model.select("w1", "c1").distinct()
+    vocab = (
+        model.select(F.col("w1").alias("w"))
+        .unionByName(model.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    joined = (
+        dbc.join(model.select("w1", "w2", "c12"), ["w1", "w2"], "left")
+        .join(c1_tbl, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    s = (
+        F.when(
+            F.col("c1").isNotNull(),
+            log2_fp(F.col("c1") + F.col("v"))
+            - log2_fp(F.coalesce(F.col("c12"), F.lit(0)) + 1),
+        )
+        .otherwise(log2_fp(F.col("v")))
+    )
+    unseen = F.when(F.col("c12").isNull(), F.col("k")).otherwise(F.lit(0))
+    return joined.select("doc_id", "k", s.alias("s"), unseen.alias("u")).groupBy(
+        "doc_id"
+    ).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("s")).cast("long").alias("total_micro_bits"),
+        F.expr("sum(k * s) div sum(k)").cast("long").alias("mean_micro_bits"),
+        F.sum("u").cast("long").alias("n_unseen"),
+    )

@@ -67,3 +67,21 @@ def rolling_user_features(events: DataFrame, n: int = ROLL_N) -> DataFrame:
         .alias("prev_cents"),
         (F.col("ms") - F.lag("ms").over(w)).cast("long").alias("ms_since_prev"),
     )
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured payload extraction (round-5 continued extension):
+    pull the integer ``k`` field out of the JSON ``props`` column with
+    the JVM JSON path functions (no Python, no schema file) and roll it
+    up per event type -- the "get the metrics out of the blob" pass
+    every event pipeline runs over its semi-structured tail.  NULL or
+    non-numeric extractions are counted, not silently dropped.  Returns
+    (event_type, n_events, n_with_k, k_min, k_max, k_sum)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(k).cast("long").alias("n_with_k"),
+        F.min(k).cast("long").alias("k_min"),
+        F.max(k).cast("long").alias("k_max"),
+        F.sum(k).cast("long").alias("k_sum"),
+    )

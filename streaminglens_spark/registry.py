@@ -4664,3 +4664,27 @@ LOCAL_ORACLE["q_probe_image"] = """
                doc_id % 3 + 1 AS n_components,
                CAST(strlen(text) AS BIGINT) AS comment_bytes
         FROM documents WHERE length(text) > 0"""
+
+
+def q_props_stats(spark, sf_dir):
+    """JSON payload extraction + rollup (r5 continued): JVM json-path
+    over events.props, per-type integer stats.  LOCAL_ORACLE; r6
+    rotation candidate."""
+    from .functions.sequences import props_stats
+
+    return props_stats(load_table(spark, sf_dir, "events"))
+
+
+LOCAL_ORACLE["q_props_stats"] = """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(MIN(k) AS BIGINT) AS k_min,
+               CAST(MAX(k) AS BIGINT) AS k_max,
+               CAST(SUM(k) AS BIGINT) AS k_sum
+        FROM e GROUP BY 1"""

@@ -327,3 +327,59 @@ def test_pmi_values_match_math(spark):
         pair = (r["w1"], r["w2"])
         want = math.log2(c12[pair] * t / (c1[r["w1"]] * c2[r["w2"]]))
         assert abs(r["pmi_micro_bits"] / 1e6 - want) < 4 * 0.0225, (pair, want)
+
+
+# ----------------------------------------------------- train-then-apply LM
+
+def test_apply_surprisal_matches_self_scoring_on_seen_data(spark):
+    """Scoring the training corpus against its own persisted model must
+    reproduce bigram_surprisal exactly (plus n_unseen == 0)."""
+    from streaminglens_spark.functions.lm import (
+        apply_surprisal,
+        bigram_counts,
+        bigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model = bigram_counts(docs)
+    applied = {r["doc_id"]: r for r in apply_surprisal(docs, model).collect()}
+    want = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert set(applied) == set(want)
+    for d, r in want.items():
+        a = applied[d]
+        assert a["n_unseen"] == 0
+        assert (a["n_bigrams"], a["total_micro_bits"], a["mean_micro_bits"]) == (
+            r["n_bigrams"], r["total_micro_bits"], r["mean_micro_bits"]
+        )
+
+
+def test_apply_surprisal_unseen_backoff(spark):
+    """Unseen bigrams back off (known context -> add-one floor, novel
+    context -> uniform floor) and are counted in n_unseen; novel text
+    scores strictly higher than in-model text."""
+    from streaminglens_spark.functions.lm import apply_surprisal, bigram_counts
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = bigram_counts(train)
+    new = spark.createDataFrame(
+        [
+            (100, "the cat sat"),        # fully in-model
+            (101, "the zebra runs"),     # known context 'the', unseen pair
+            (102, "qq ww ee"),           # fully novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_surprisal(new, model).collect()}
+    assert out[100]["n_unseen"] == 0
+    assert out[101]["n_unseen"] == 2  # 'the zebra' and 'zebra runs'
+    assert out[102]["n_unseen"] == 2
+    assert (
+        out[100]["mean_micro_bits"]
+        < out[101]["mean_micro_bits"]
+    )
+    assert out[101]["mean_micro_bits"] <= out[102]["mean_micro_bits"] + 10**6

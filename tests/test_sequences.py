@@ -81,3 +81,22 @@ def test_sequence_counts_cover_events(spark):
     out = registry.q_user_sequences(spark, SF_DIR)
     total = out.agg(F.sum("n_events")).first()[0]
     assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_props_stats_counts_missing_and_malformed(spark):
+    from streaminglens_spark.functions.sequences import props_stats
+
+    rows = [
+        (0, None, 1, "a", 0.0, '{"k": 5}'),
+        (1, None, 1, "a", 0.0, '{"other": 1}'),   # no k
+        (2, None, 1, "a", 0.0, "not json"),        # malformed
+        (3, None, 1, "a", 0.0, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = props_stats(df).collect()[0]
+    assert r["n_events"] == 4 and r["n_with_k"] == 2
+    assert (r["k_min"], r["k_max"], r["k_sum"]) == (5, 7, 12)
