@@ -155,7 +155,8 @@ def main() -> None:
     # and run a trivial pandas UDF so the Python worker pool (one proc per
     # core, spawned on first use) is charged to startup, not to whichever
     # query happens to hit Arrow first
-    registry.queries()["q_batch_bounds"](spark, sf_dir).write.format("noop").mode(
+    # getattr, not queries(): the warmup must survive driver-surface rotation
+    registry.q_batch_bounds(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     def _wu(batches):

@@ -4688,3 +4688,39 @@ LOCAL_ORACLE["q_props_stats"] = """
                CAST(MAX(k) AS BIGINT) AS k_max,
                CAST(SUM(k) AS BIGINT) AS k_sum
         FROM e GROUP BY 1"""
+
+
+# Round-5 final rotation (executing the batch COVERAGE.md proposed for
+# r6, one round early so the strongest r5-continued operators get hard
+# driver CORRECTNESS rows THIS round): eight retrieval/governance/layout
+# operators rotate IN; eight four-round-green telemetry slots rotate OUT
+# (each with r1-r4 driver rows of record; every reference operator
+# family stays represented on the surface -- A1/A6/A8/A9/A10/A11/A13
+# analytics, S-ingest via q_executor_metrics' family precedent -- and
+# all rotated-out queries stay hash-checked at sf0.001+sf0.01 on every
+# test run via LOCAL_ORACLE).
+_ROTATED_OUT_R5C = [
+    "q_batch_slice",
+    "q_exec_groups",
+    "q_job_walltime",
+    "q_job_executors",
+    "q_stage_metrics",
+    "q_results_topk",
+    "q_sla_resolve",
+    "q_executor_cores",
+]
+_ROTATED_IN_R5C = [
+    "q_bm25_search",
+    "q_bm25_eval",
+    "q_bigram_surprisal",
+    "q_ppl_filter",
+    "q_winnow",
+    "q_zorder",
+    "q_salted_join",
+    "q_corpus_diff",
+]
+for _name in _ROTATED_OUT_R5C:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R5C:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+assert len(ORACLE) == 50, f"driver surface must stay at 50, got {len(ORACLE)}"
