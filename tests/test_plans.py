@@ -81,6 +81,11 @@ def test_driver_surface_exactly_fifty(spark):
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
     # r5: the recall-contract ANN surface holds the driver ANN slot
     assert "q_ann_topk" in q and "q_ann_lsh" not in q
+    # r5 final rotation: the retrieval/governance batch holds its slots
+    for name in ("q_bm25_search", "q_bm25_eval", "q_bigram_surprisal",
+                 "q_ppl_filter", "q_winnow", "q_zorder", "q_salted_join",
+                 "q_corpus_diff"):
+        assert name in q, f"{name} rotated off the driver surface"
 
 
 def test_ivf_broadcasts_centroids_no_python(spark):
