@@ -14,9 +14,12 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    q = registry.queries()
+    # getattr, not queries(): the set spans driver + LOCAL_ORACLE surfaces
+    # (q_job_walltime/q_results_topk rotated off the driver surface in the
+    # r5 final rotation; invariants hold regardless of which surface a
+    # query sits on)
     return {
-        name: q[name](spark, SF_DIR).collect()
+        name: getattr(registry, name)(spark, SF_DIR).collect()
         for name in (
             "q_islands",
             "q_job_walltime",
