@@ -25,6 +25,41 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _kind(type_str: str) -> str:
+    """Canonicalize a Spark dtype string OR a DuckDB logical-type string
+    to one comparable kind token.
+
+    The driver's order-insensitive value hash is TYPE-sensitive: DuckDB's
+    windowed ``SUM`` yields HUGEINT (Arrow ``decimal128(38,0)``) which
+    hash-differs from Spark's ``int64`` even when every value is equal
+    (the q_pack_sequences red row in CORRECTNESS_r05).  Python-level row
+    comparison masks exactly that class (``Decimal(123) == 123`` is
+    True), so ``compare()`` also checks canonical per-column kinds.
+    """
+    t = type_str.strip().lower()
+    if t.endswith("[]"):  # duckdb list syntax
+        return f"list<{_kind(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{_kind(t[6:-1])}>"
+    if t.startswith("decimal") or t == "hugeint" or t == "uhugeint":
+        return "decimal"
+    mapping = {
+        "bigint": "int64", "long": "int64", "ubigint": "int64",
+        "integer": "int32", "int": "int32", "uinteger": "int32",
+        "smallint": "int16", "usmallint": "int16",
+        "tinyint": "int8", "utinyint": "int8",
+        "double": "float64", "float": "float32", "real": "float32",
+        "boolean": "bool", "bool": "bool",
+        "varchar": "string", "string": "string", "text": "string",
+        "blob": "binary", "binary": "binary", "bytea": "binary",
+        "date": "date",
+        "timestamp": "timestamp", "timestamp_ns": "timestamp",
+        "timestamp_ms": "timestamp", "timestamp_s": "timestamp",
+        "timestamp with time zone": "timestamp", "timestamptz": "timestamp",
+    }
+    return mapping.get(t, t)
+
+
 def _norm(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
@@ -47,6 +82,7 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> di
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
+    d_types = [str(t) for t in rel.types]
     d_rows = rel.fetchall()
 
     result: dict[str, Any] = {
@@ -59,9 +95,25 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> di
     if not result["cols_match"]:
         result["ok"] = False
         return result
+    # Typed check: reproduce the driver's hash type-sensitivity locally
+    # (HUGEINT/decimal drift passes Python == but fails the driver hash).
+    s_kinds = {c: _kind(t) for c, t in spark_df.dtypes}
+    d_kinds = {c: _kind(t) for c, t in zip(d_cols, d_types)}
+    type_diff = {
+        c: (s_kinds[c], d_kinds[c])
+        for c in s_kinds
+        if s_kinds[c] != d_kinds[c]
+    }
+    result["types_match"] = not type_diff
+    if type_diff:
+        result["type_diff"] = type_diff
     a, b = _rows(s_cols, s_rows), _rows(d_cols, d_rows)
     result["values_match"] = a == b
-    result["ok"] = result["values_match"] and len(s_rows) == len(d_rows)
+    result["ok"] = (
+        result["values_match"]
+        and result["types_match"]
+        and len(s_rows) == len(d_rows)
+    )
     if not result["ok"]:
         diff_a = [r for r in a if r not in set(b)][:5]
         diff_b = [r for r in b if r not in set(a)][:5]

@@ -2336,8 +2336,14 @@ def _r4d_extension_oracles() -> dict[str, str]:
             FROM documents
         ),
         off AS (
-            SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-                      - n_tokens AS token_offset
+            -- CAST is load-bearing: a windowed SUM in DuckDB is HUGEINT
+            -- (Arrow decimal128(38,0)); the driver's value hash is
+            -- type-sensitive, so the uncast running sum red-flagged this
+            -- query in CORRECTNESS_r05 even though every value equalled
+            -- Spark's int64.
+            SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY doc_id)
+                      - n_tokens AS BIGINT) AS token_offset
             FROM base
         )
         SELECT doc_id, shard, n_tokens, token_offset,
