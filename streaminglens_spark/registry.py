@@ -3738,7 +3738,10 @@ for _name in _ROTATED_OUT_R5B:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R5B:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
-assert len(ORACLE) == 50, f"driver surface must stay at 50, got {len(ORACLE)}"
+if len(ORACLE) != 50:  # explicit: asserts vanish under python -O
+    raise RuntimeError(
+        f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4729,4 +4732,75 @@ for _name in _ROTATED_OUT_R5C:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R5C:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
-assert len(ORACLE) == 50, f"driver surface must stay at 50, got {len(ORACLE)}"
+
+
+# Round-6 rotation (r5 verdict ask #3, the named priority batch): 21
+# driver-unproven flagship queries rotate IN; out go the 17 five-round-
+# green slots plus four two-round-green sketch/rollup slots.  Family
+# representation stays intact on the surface: telemetry/analysis via the
+# incoming q_sla_recommend / q_duration_anomalies / q_profile_events
+# (oracle_analysis family), dedup via q_dedup_clusters + q_semantic_dedup,
+# embeddings via q_ann_topk / q_ivf_topk / q_pq_*, sketches via
+# q_count_min / q_cms_windowed / q_hdr_quantiles, text via q_pii_redact /
+# q_normalize_text and friends.  Every rotated-out query keeps its r1-r5
+# driver rows of record and stays hash-checked at sf0.001+sf0.01 on every
+# test run (tests/test_oracle_queries.py iterates ORACLE u LOCAL_ORACLE).
+_ROTATED_OUT_R6 = [
+    # five-round-green (r1-r5 driver rows)
+    "q_batch_bounds",
+    "q_islands",
+    "q_critical_path",
+    "q_critical_time",
+    "q_state_classify",
+    "q_max_concurrency",
+    "q_discounted_state",
+    "q_last_gauges",
+    "q_pricing_summary",
+    "q_region_volume",
+    "q_tumbling_agg",
+    "q_session_agg",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_text_stats",
+    "q_decode_image",
+    "q_cosine_topk",
+    # two-round-green (r4-r5 driver rows); successors on surface
+    "q_kmv_distinct",
+    "q_hll_distinct",
+    "q_time_rollup",
+    "q_hist_quantiles",
+]
+_ROTATED_IN_R6 = [
+    "q_corpus_pipeline",
+    "q_hdr_quantiles",
+    "q_funnel",
+    "q_retention",
+    "q_semantic_dedup",
+    "q_pq_topk",
+    "q_pq_rerank",
+    "q_bpe_merges",
+    "q_bpe_segment",
+    "q_vocab_topk",
+    "q_normalize_text",
+    "q_canon_urls",
+    "q_domain_stats",
+    "q_profile_events",
+    "q_duration_anomalies",
+    "q_sla_recommend",
+    "q_user_sequences",
+    "q_source_overlap",
+    "q_vocab_drift",
+    "q_key_skew",
+    "q_pmi",
+]
+for _name in _ROTATED_OUT_R6:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R6:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+# Explicit guard, not `assert` (ADVICE r5: asserts vanish under -O and a
+# 51-query surface silently drops the last query at the driver).
+if len(ORACLE) != 50:
+    raise RuntimeError(
+        f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
+    )

@@ -86,6 +86,11 @@ def test_driver_surface_exactly_fifty(spark):
                  "q_ppl_filter", "q_winnow", "q_zorder", "q_salted_join",
                  "q_corpus_diff"):
         assert name in q, f"{name} rotated off the driver surface"
+    # r6 rotation: the verdict's named 21-query batch holds its slots, and
+    # the r5 red row stays on the surface until it has a green driver row
+    assert "q_pack_sequences" in q
+    for name in registry._ROTATED_IN_R6:
+        assert name in q, f"{name} rotated off the driver surface"
 
 
 def test_ivf_broadcasts_centroids_no_python(spark):
