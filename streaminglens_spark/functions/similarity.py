@@ -633,3 +633,117 @@ def quantized_topk(
         .filter(F.col("_rn") <= k)
         .select("query_vec_id", F.col("vec_id").alias("neighbor_id"), "dot_q8")
     )
+
+
+# ----------------------------------------------------- incremental index
+
+def ann_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-only cell assignment against an EXISTING coarse quantizer:
+    broadcast the (tiny) centroid table, argmax cosine per vector, ties to
+    the lower cell -- the same ranking as ``ivf_topk``'s assignment stage
+    but with no fit and no corpus self-join.  Returns
+    (vec_id, cell, cscore)."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    scored = F.broadcast(centroids).crossJoin(emb).withColumn(
+        "cscore", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell", "cscore")
+    )
+
+
+def ann_index_stats(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-cell baseline stats of an IVF index -- the O(k)-row artifact an
+    incremental pipeline persists next to the centroids (the embedding-side
+    analogue of ``minhash_index``): list size and mean assignment cosine.
+
+    The mean is computed over integer-quantized scores
+    (``round(cscore*1e6)`` summed as BIGINT) so it is exact and
+    order-independent -- same trick as ``ivf_centroids``.  Returns
+    (cell, n_vecs, mean_score)."""
+    a = ann_assign(embeddings, centroids).withColumn(
+        "q", F.round(F.col("cscore") * 1_000_000).cast("long")
+    )
+    return a.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.sum("q") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias("mean_score"),
+    )
+
+
+def ann_increment(
+    new_batch: DataFrame,
+    centroids: DataFrame,
+    baseline: DataFrame,
+    drift_margin: float = 0.05,
+    growth_ratio: int = 3,
+) -> DataFrame:
+    """Incremental embedding-index maintenance (r5 verdict ask #5) -- the
+    ``dedup_against_index`` pattern applied to the IVF quantizer: a NEW
+    batch of vectors is folded into an existing index WITHOUT rescanning
+    the corpus.
+
+    Touches only: the new batch (one map-only assignment pass over a
+    broadcast centroid table), and the persisted O(k)-row per-cell
+    ``baseline`` from ``ann_index_stats``.  At 100 TB the corpus is never
+    re-read; the refit decision is made from sketch-sized state.
+
+    Two refit triggers, because argmax assignment hides score drift (a
+    mismatched vector still picks SOME best cell, so its best-of-k cosine
+    stays near the matched baseline on weakly-clustered data):
+
+    - ``drift_flagged``: the new batch's mean assignment cosine in a cell
+      falls more than ``drift_margin`` below that cell's corpus baseline
+      -- the centroid no longer represents what lands in it;
+    - ``growth_flagged``: the cell's share of new mass exceeds
+      ``growth_ratio`` x its baseline share (integer cross-multiplied,
+      no float shares) -- a distribution shift concentrating vectors
+      into few cells, the signature of out-of-distribution data under
+      argmax assignment.
+
+    Cells receiving no new vectors keep n_new = 0, NULL new_mean, and
+    are never flagged.  Returns (cell, n_corpus, n_new, base_mean,
+    new_mean, drift_flagged, growth_flagged), one row per existing cell;
+    means exact via integer quantization, rounded to 6 for the oracle
+    hash."""
+    inc = (
+        ann_assign(new_batch, centroids)
+        .withColumn("q", F.round(F.col("cscore") * 1_000_000).cast("long"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            (F.sum("q") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias(
+                "new_mean_raw"
+            ),
+        )
+    )
+    joined = baseline.join(inc, "cell", "left").withColumn(
+        "n_new", F.coalesce(F.col("n_new"), F.lit(0).cast("long"))
+    )
+    # totals over the O(k) per-cell table: a global window over k rows,
+    # never over data rows
+    wall = Window.partitionBy()
+    joined = joined.withColumn("tot_corpus", F.sum("n_vecs").over(wall)).withColumn(
+        "tot_new", F.sum("n_new").over(wall)
+    )
+    return joined.select(
+        "cell",
+        F.col("n_vecs").alias("n_corpus"),
+        "n_new",
+        F.round(F.col("mean_score"), 6).alias("base_mean"),
+        F.round(F.col("new_mean_raw"), 6).alias("new_mean"),
+        F.coalesce(
+            F.col("new_mean_raw") < F.col("mean_score") - F.lit(drift_margin),
+            F.lit(False),
+        ).alias("drift_flagged"),
+        # share_new > ratio * share_base, cross-multiplied in BIGINT:
+        # n_new * tot_corpus > ratio * n_vecs * tot_new
+        (
+            (F.col("n_new") * F.col("tot_corpus"))
+            > (F.lit(growth_ratio) * F.col("n_vecs") * F.col("tot_new"))
+        ).alias("growth_flagged"),
+    )

@@ -4804,3 +4804,106 @@ if len(ORACLE) != 50:
     raise RuntimeError(
         f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
     )
+
+
+# --------------------------------------------- r6: incremental ANN index
+
+def q_ann_increment(spark, sf_dir):
+    """Incremental embedding-index maintenance (r5 verdict ask #5): fold a
+    new vector batch (vec_id % 5 == 4, an interleaved 20%) into an IVF
+    index fitted on the other 80% -- map-only assignment against broadcast
+    centroids plus the persisted O(k)-row per-cell baseline; the corpus is
+    never rescanned.  Cells whose new-batch mean assignment cosine drops
+    > 0.05 below baseline are flagged for quantizer refit."""
+    from .functions.similarity import (
+        ann_increment,
+        ann_index_stats,
+        ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    new_batch = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = ivf_centroids(corpus)
+    return ann_increment(new_batch, cents, ann_index_stats(corpus, cents))
+
+
+def _ann_increment_oracle() -> str:
+    dot_vc = """list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65),
+                       i -> n.v[CAST(i AS INT)] * c.cv[CAST(i AS INT)])),
+                   (a, b) -> a + b)"""
+    assign = """SELECT vec_id, cell, cscore FROM (
+                SELECT vec_id, cell, cscore,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, cell) AS rn
+                FROM (
+                    SELECT n.vec_id, c.cell,
+                           {dot} / (n.nrm * c.cnrm) AS cscore
+                    FROM {src} n CROSS JOIN cnormed c
+                )
+            ) WHERE rn = 1"""
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        normed AS (
+            SELECT vec_id, label, v,
+                   sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)),
+                        (a, b) -> a + b)) AS nrm
+            FROM emb
+        ),
+        corpus AS (SELECT * FROM normed WHERE vec_id % 5 != 4),
+        newb   AS (SELECT * FROM normed WHERE vec_id % 5 = 4),
+        dims AS (
+            SELECT label, CAST(t.i - 1 AS INT) AS dim,
+                   CAST(round(v[CAST(t.i AS INT)] * 1000000) AS BIGINT) AS q
+            FROM corpus CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t
+        ),
+        cent AS (
+            SELECT label AS cell, dim,
+                   CAST(SUM(q) AS BIGINT) / 1000000.0 / COUNT(*) AS c
+            FROM dims GROUP BY 1, 2
+        ),
+        cnormed AS (
+            SELECT cell, cv,
+                   sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(cv, x -> x * x)),
+                        (a, b) -> a + b)) AS cnrm
+            FROM (SELECT cell, list(c ORDER BY dim) AS cv FROM cent
+                  GROUP BY cell)
+        ),
+        cassign AS ({assign.format(dot=dot_vc, src="corpus")}),
+        nassign AS ({assign.format(dot=dot_vc, src="newb")}),
+        base AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                   CAST(SUM(CAST(round(cscore * 1000000) AS BIGINT))
+                        AS BIGINT) / 1000000.0 / COUNT(*) AS base_mean_raw
+            FROM cassign GROUP BY 1
+        ),
+        inc AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+                   CAST(SUM(CAST(round(cscore * 1000000) AS BIGINT))
+                        AS BIGINT) / 1000000.0 / COUNT(*) AS new_mean_raw
+            FROM nassign GROUP BY 1
+        ),
+        joined AS (
+            SELECT b.cell, b.n_corpus,
+                   CAST(coalesce(i.n_new, 0) AS BIGINT) AS n_new,
+                   b.base_mean_raw, i.new_mean_raw
+            FROM base b LEFT JOIN inc i USING (cell)
+        )
+        SELECT cell, n_corpus, n_new,
+               round(base_mean_raw, 6) AS base_mean,
+               round(new_mean_raw, 6) AS new_mean,
+               coalesce(new_mean_raw < base_mean_raw - 0.05, FALSE)
+                   AS drift_flagged,
+               (n_new * SUM(n_corpus) OVER ())
+                   > (3 * n_corpus * SUM(n_new) OVER ()) AS growth_flagged
+        FROM joined"""
+
+
+LOCAL_ORACLE["q_ann_increment"] = _ann_increment_oracle()

@@ -1,0 +1,118 @@
+"""Incremental embedding-index maintenance (r5 verdict ask #5).
+
+`q_ann_increment` itself is oracle-hash-checked by test_oracle_queries;
+these tests pin the semantic contracts: sketch-only state sizes, the
+drift trigger firing on a genuinely shifted batch, and assignment
+consistency with the batch index path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.functions.similarity import (
+    ann_assign,
+    ann_increment,
+    ann_index_stats,
+    ivf_centroids,
+)
+from tests.conftest import SF_DIR_001
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+
+
+def test_baseline_is_o_k_rows(spark):
+    """The persisted state is O(cells), never O(corpus)."""
+    emb = _emb(spark)
+    cents = ivf_centroids(emb)
+    stats = ann_index_stats(emb, cents).collect()
+    n_cells = cents.count()
+    assert len(stats) == n_cells
+    assert sum(r.n_vecs for r in stats) == emb.count()
+
+
+def test_no_drift_on_same_distribution_split(spark):
+    """An interleaved split of the SAME corpus must not look like drift.
+    The margin is widened to 0.15 here because the fixture's per-cell
+    new-batch counts are ~10, so split noise alone reaches ~0.09 at
+    sf0.01; at production per-cell counts the default 0.05 margin is the
+    right sensitivity (noise shrinks as 1/sqrt(n))."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = ivf_centroids(corpus)
+    out = ann_increment(
+        new, cents, ann_index_stats(corpus, cents), drift_margin=0.15
+    ).collect()
+    assert out, "expected one row per cell"
+    flagged = [r.cell for r in out if r.drift_flagged]
+    assert flagged == [], f"same-distribution split flagged drift: {flagged}"
+
+
+def test_score_drift_trigger(spark):
+    """Score drift, isolated from the fixture's weak cluster geometry:
+    two orthogonal one-hot centroids with a healthy 0.9 baseline, then a
+    new batch orthogonal to BOTH (cosine 0 to every cell).  Every cell
+    receiving new vectors must be drift_flagged."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 1.0), (1, [0.0, 1.0, 0.0, 0.0], 1.0)],
+        "cell int, cv array<double>, cnrm double",
+    )
+    # unequal baseline shares (10% / 90%): cell 0 receiving 100% of the
+    # new mass is a 10x share jump, comfortably over the 3x growth ratio
+    baseline = spark.createDataFrame(
+        [(0, 2, 0.9), (1, 18, 0.9)],
+        "cell int, n_vecs long, mean_score double",
+    )
+    new = spark.createDataFrame(
+        [(100, [0.0, 0.0, 1.0, 0.0]), (101, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = ann_increment(new, cents, baseline).collect()
+    hit = [r for r in out if r.n_new > 0]
+    assert hit
+    assert all(r.drift_flagged for r in hit), out
+    # ties break to the lower cell: the orthogonal batch piles into cell 0,
+    # so the mass-imbalance trigger fires there too
+    by_cell = {r.cell: r for r in out}
+    assert by_cell[0].n_new == 2 and by_cell[0].growth_flagged
+    assert by_cell[1].n_new == 0 and not by_cell[1].growth_flagged
+    assert by_cell[1].new_mean is None and not by_cell[1].drift_flagged
+
+
+def test_growth_trigger_fires_on_concentrated_batch(spark):
+    """Out-of-distribution data under argmax assignment concentrates into
+    few cells even when best-of-k scores stay unremarkable: a
+    constant-vector batch lands in ONE cell, whose share of new mass
+    (100% vs ~10% baseline) must trip growth_flagged."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    const = emb.filter(F.col("vec_id") % 5 == 4).withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(1.0 AS FLOAT))")
+    )
+    cents = ivf_centroids(corpus)
+    out = ann_increment(const, cents, ann_index_stats(corpus, cents)).collect()
+    landed = [r for r in out if r.n_new > 0]
+    assert len(landed) == 1, "constant batch must land in exactly one cell"
+    assert landed[0].growth_flagged, landed
+    others = [r for r in out if r.n_new == 0]
+    assert not any(r.growth_flagged for r in others)
+
+
+def test_increment_assignment_matches_full_index(spark):
+    """Sketch-only increment must give each new vector the same cell a
+    full index rebuild (same centroids) would -- incremental maintenance
+    cannot silently re-cluster."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = ivf_centroids(corpus)
+    inc = {r.vec_id: r.cell for r in ann_assign(new, cents).collect()}
+    full = {
+        r.vec_id: r.cell
+        for r in ann_assign(emb, cents).collect()
+        if r.vec_id % 5 == 4
+    }
+    assert inc == full
