@@ -65,7 +65,14 @@ HEAVY_R5 = [
     "q_corpus_pipeline",   # fused 5-stage corpus cleanup
 ]
 
-HEADLINE = LEGACY18 + HEAVY_R5
+# r6: the fit-once quantizer pipeline (ann_topk + semantic_dedup sharing
+# ONE kmeans fit) -- its time vs q_ann_topk alone is the measured value
+# of amortizing the fit across consumers.
+HEAVY_R6 = [
+    "q_shared_fit",
+]
+
+HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6
 
 
 def run_suite(

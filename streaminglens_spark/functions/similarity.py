@@ -291,6 +291,7 @@ def ann_topk(
     n_cells: int = 8,
     iters: int = 5,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """THE default ANN surface (r5, r4 verdict #3): IVF-backed re-rank with
     a ``kmeans_fit``-trained coarse quantizer -- probe the query's
@@ -312,8 +313,18 @@ def ann_topk(
     Fully deterministic and oracle-checkable: the kmeans fit is
     bit-reproducible (integer-quantized centroid updates, lowest-vec_id
     init, ties to the lower cell), so the DuckDB oracle unrolls the same
-    ``iters`` Lloyd iterations as CTEs and hash-matches exactly."""
-    cents = kmeans_fit(embeddings, k=n_cells, iters=iters)
+    ``iters`` Lloyd iterations as CTEs and hash-matches exactly.
+
+    Shared-fit path (r5 verdict ask #7): pass ``centroids`` (a fitted
+    ``kmeans_fit`` table, persisted by the caller) to skip the internal
+    fit -- a real pipeline fits the quantizer ONCE and feeds it to every
+    consumer (``ann_topk``, ``semantic_dedup_pairs``, ``ann_increment``);
+    see ``registry.q_shared_fit`` for the fit-once composition."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(embeddings, k=n_cells, iters=iters)
+    )
     return ivf_topk(
         embeddings, n_queries=n_queries, k=k, nprobe=nprobe, centroids=cents
     )

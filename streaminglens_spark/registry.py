@@ -4907,3 +4907,90 @@ def _ann_increment_oracle() -> str:
 
 
 LOCAL_ORACLE["q_ann_increment"] = _ann_increment_oracle()
+
+
+# ------------------------------------------------ r6: shared-quantizer fit
+
+def q_shared_fit(spark, sf_dir):
+    """Fit-once quantizer pipeline (r5 verdict ask #7): ``kmeans_fit``
+    runs ONCE (persisted, k x dim rows), then BOTH consumers -- the ANN
+    search surface and SemDeDup -- reuse the fitted centroids, instead of
+    each refitting the identical 5-iteration Lloyd chain.  At 100 TB the
+    fit is a full corpus scan per iteration, so fit-once halves the most
+    expensive stage of an embedding pipeline.  Output is the tagged union
+    of both consumers (src='ann': top-k neighbors; src='sem': semantic
+    near-dup pairs), which makes the shared fit oracle-checkable in one
+    hash: the DuckDB side unrolls the Lloyd CTEs ONCE and feeds both
+    tails from the same ``assign`` relation."""
+    from .cache import track
+    from .functions.similarity import ann_topk, kmeans_fit, semantic_dedup_pairs
+
+    emb = _emb(spark, sf_dir)
+    cents = track(kmeans_fit(emb, k=8, iters=5))
+    cents.count()  # materialize the fit once; both consumers reuse it
+    ann = ann_topk(emb, centroids=cents).select(
+        F.lit("ann").alias("src"),
+        F.col("query_vec_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine",
+    )
+    sem = semantic_dedup_pairs(emb, threshold=0.3, centroids=cents).select(
+        F.lit("sem").alias("src"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        "cosine",
+    )
+    return ann.unionByName(sem)
+
+
+def _shared_fit_oracle(
+    n_cells: int = 8, iters: int = 5, nprobe: int = 3, n_queries: int = 5,
+    k: int = 10, threshold: float = 0.3,
+) -> str:
+    """One unrolled Lloyd fit, two consumer tails -- the oracle mirror of
+    the fit-once pipeline."""
+    ctes = _kmeans_assign_ctes(n_cells, iters)
+    ctes.append(
+        f"""probes AS (
+            SELECT cell, vec_id AS query_vec_id, v AS qv, nrm AS qn
+            FROM cscored WHERE vec_id < {n_queries} AND crn <= {nprobe}
+        )"""
+    )
+    ctes.append(
+        """cand AS (
+            SELECT p.query_vec_id, a.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> p.qv[CAST(i AS INT)] * a.v[CAST(i AS INT)])),
+                       (x, y) -> x + y) / (p.qn * a.nrm) AS cos_exact
+            FROM probes p JOIN assign a USING (cell)
+            WHERE a.vec_id != p.query_vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT 'ann' AS src, query_vec_id AS id_a, neighbor_id AS id_b,
+               round(cos_exact, 6) AS cosine
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cos_exact DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn <= {k}
+        UNION ALL
+        SELECT 'sem' AS src, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65),
+                       i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])),
+                   (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+        FROM assign a JOIN assign b USING (cell)
+        WHERE a.vec_id < b.vec_id
+          AND round(list_reduce(list_prepend(0.0,
+                  list_transform(range(1, 65),
+                      i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])),
+                  (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= {threshold}"""
+    )
+
+
+LOCAL_ORACLE["q_shared_fit"] = _shared_fit_oracle()

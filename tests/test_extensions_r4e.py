@@ -135,8 +135,11 @@ def test_stream_interval_join_matches_batch_with_bounded_state(spark, tmp_path):
         read_stream(lsrc, "lts"),
         read_stream(rsrc, "rts"),
         horizon_ms=horizon,
-        # generous watermark: correctness equality first; eviction timing
-        # is the engine's contract, bounded-ness is asserted below
+        # generous watermark: THIS test is about correctness equality only
+        # (bounded-ness asserted below).  The eviction contract -- short
+        # watermark, late batch, numRowsRemoved > 0 and shrinking state --
+        # is exercised in tests/test_streaming_sessions.py::
+        # test_stream_interval_join_watermark_evicts_state.
         watermark="365 days",
     )
 
