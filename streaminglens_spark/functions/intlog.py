@@ -104,9 +104,17 @@ def dec(x) -> Column:
 def dec_div(a: Column, b: Column) -> Column:
     """Exact floor division of non-negative ``decimal(38,0)`` columns.
 
-    Contract: ``a, b >= 0``, ``b > 0``, and ``a + b`` fits in 38 digits
-    (so the correction product ``q0 * b`` stays exact).  See the module
-    docstring for why neither ``div`` nor ``floor(a / b)`` is safe."""
+    Contract (ADVICE r5 tightening): ``a, b >= 0``, ``b > 0``, the TRUE
+    QUOTIENT ``a div b`` must be ``< 10^32``, and ``q0 * b`` must fit 38
+    digits (so the correction product stays exact).  The quotient bound
+    is load-bearing, not cosmetic: Spark resolves
+    ``decimal(38,0) / decimal(38,0)`` to ``decimal(38,6)`` -- 32 integer
+    digits -- so a quotient >= 10^32 silently overflows ``a / b`` to NULL
+    even when ``a`` and ``b`` individually fit 38 digits (e.g.
+    ``a = 10^37, b = 2``).  Callers here divide by corpus-sized counts
+    or fixed-point scale factors, keeping quotients far below the bound.
+    See the module docstring for why neither ``div`` nor
+    ``floor(a / b)`` is safe."""
     q0 = F.floor(a / b).cast(_DEC)
     # HALF_UP at scale 6 can overshoot the true quotient by one; one exact
     # multiply-subtract detects it.  It can never undershoot (rounding a

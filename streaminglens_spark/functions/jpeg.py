@@ -37,6 +37,11 @@ def encode_minimal_jpeg(
         raise ValueError("jpeg: dims must fit 16 bits and be positive")
     if not 1 <= n_components <= 4:
         raise ValueError("jpeg: 1..4 components")
+    # COM segment length field is 16-bit and includes its own 2 bytes
+    if len(comment) > 65533:
+        raise ValueError("jpeg: comment exceeds 65533 bytes (COM length field)")
+    if not (0 <= xdensity < 65536 and 0 <= ydensity < 65536):
+        raise ValueError("jpeg: densities must fit 16 bits")
     app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(
         ">HH", xdensity, ydensity
     ) + b"\x00\x00"

@@ -608,7 +608,11 @@ def attach_jpeg_blob(documents: DataFrame) -> DataFrame:
                 height = d % 240 + 16
                 nc = d % 3 + 1
                 xden = d % 100 + 72
-                comment = text.encode("utf-8")
+                # COM payload caps at 65533 (16-bit length field includes
+                # its own 2 bytes): truncate oversize documents instead of
+                # crashing the encode job (ADVICE r5).  The q_probe_image
+                # oracle mirrors this with least(strlen, 65533).
+                comment = text.encode("utf-8")[:65533]
                 blob = encode_minimal_jpeg(width, height, nc, xden, 72, comment)
                 payloads.append(blob)
                 metas.append({"width": width, "height": height,

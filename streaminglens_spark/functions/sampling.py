@@ -266,6 +266,16 @@ def negative_samples(
     the output depend on iteration order.  Hash-order positions make
     each draw label-agnostic, so the filter loss concentrates nowhere.
 
+    Duplicate draws (ADVICE r5): two step offsets can collide mod
+    ``n - 1`` for SMALL corpora -- guaranteed at ``n = 2`` (every step
+    reduces to 1) and likely while ``n - 1`` is within ~an order of
+    magnitude of ``n_neg`` -- emitting (anchor_id, neg_id) pairs that
+    differ only in ``j``.  The NEG_STEPS constants are large
+    coprime-ish odds, so at production corpus sizes (``n`` in the
+    millions+) collisions mod ``n - 1`` are vanishing; consumers that
+    need distinct negatives per anchor at toy scale should
+    ``dropDuplicates(["anchor_id", "neg_id"])``.
+
     Spark shape: position assignment is assign_row_ids' declarative
     two-pass; the draw is a map-only modular projection + one explode;
     resolution is an equi-join on position (hash-partitioned); nothing

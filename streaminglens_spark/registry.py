@@ -4671,7 +4671,7 @@ LOCAL_ORACLE["q_probe_image"] = """
                doc_id % 320 + 16 AS width,
                doc_id % 240 + 16 AS height,
                doc_id % 3 + 1 AS n_components,
-               CAST(strlen(text) AS BIGINT) AS comment_bytes
+               least(CAST(strlen(text) AS BIGINT), 65533) AS comment_bytes
         FROM documents WHERE length(text) > 0"""
 
 
@@ -4686,8 +4686,11 @@ def q_props_stats(spark, sf_dir):
 
 LOCAL_ORACLE["q_props_stats"] = """
         WITH e AS (
+            -- TRY_CAST, not CAST (ADVICE r5): Spark's cast of a
+            -- non-integral extracted string to long yields NULL silently,
+            -- so the oracle must null-on-failure too instead of raising
             SELECT event_type,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
         )
         SELECT event_type,

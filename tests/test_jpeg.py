@@ -127,3 +127,29 @@ def test_stream_vocab_drift_against_baseline(spark, tmp_path):
     assert set(verdicts) == {0, 1}
     assert verdicts[0] < 600, verdicts       # same-vocabulary batch
     assert verdicts[1] > 1500, verdicts      # alien batch near ceiling
+
+
+def test_encode_rejects_oversize_comment_and_density():
+    """ADVICE r5: oversize COM payloads / densities must raise ValueError,
+    not struct.error (COM length field is 16-bit incl. its own 2 bytes)."""
+    with pytest.raises(ValueError, match="comment"):
+        encode_minimal_jpeg(16, 16, 1, 72, 72, b"x" * 65534)
+    # 65533 is the exact cap and must round-trip
+    blob = encode_minimal_jpeg(16, 16, 1, 72, 72, b"x" * 65533)
+    assert parse_jpeg(blob)["comment_bytes"] == 65533
+    with pytest.raises(ValueError, match="densit"):
+        encode_minimal_jpeg(16, 16, 1, 65536, 72, b"")
+    with pytest.raises(ValueError, match="densit"):
+        encode_minimal_jpeg(16, 16, 1, 72, -1, b"")
+
+
+def test_attach_jpeg_blob_truncates_giant_document(spark):
+    """A >=64 KiB document must not crash the encode job: the COM payload
+    truncates at 65533 bytes and the probe reports the capped size."""
+    from streaminglens_spark.functions.multimodal import attach_jpeg_blob, probe_image
+
+    docs = spark.createDataFrame(
+        [(7, "y" * 70_000)], "doc_id long, text string"
+    )
+    row = probe_image(attach_jpeg_blob(docs)).collect()[0]
+    assert row.comment_bytes == 65533
