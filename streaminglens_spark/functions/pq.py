@@ -246,3 +246,105 @@ def pq_topk_rerank(
             F.round("cos_exact", 6).alias("cosine"),
         )
     )
+
+
+# ----------------------------------------------------- incremental index
+
+def pq_encode_with_error(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> DataFrame:
+    """``pq_encode`` plus the per-subvector quantization error (the
+    winning centroid's squared L2 distance) -- the reconstruction-quality
+    signal an incremental pipeline monitors.  Same map-only fold; the
+    finalizer keeps both lanes of the accumulator.  Returns
+    (vec_id, sub, code, err)."""
+    cb_arr = codebooks.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
+    )
+    sv = _subvectors(embeddings, m, sub_dim)
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("inf")).alias("bd"),
+    )
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        d = _l2(F.col("sv"), c["cv"])
+        better = d < acc["bd"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+        )
+
+    best = F.aggregate(F.col("cells"), init, step)
+    return sv.join(F.broadcast(cb_arr), "sub").select(
+        "vec_id",
+        "sub",
+        best["bc"].alias("code"),
+        best["bd"].alias("err"),
+    )
+
+
+def pq_error_stats(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Per-subspace quantization-error baseline -- the O(m)-row artifact
+    persisted next to the codebooks (the PQ analogue of
+    ``ann_index_stats``).  Mean error is exact via integer quantization
+    (``round(err*1e6)`` summed as BIGINT).  Returns
+    (sub, n_vecs, mean_err)."""
+    e = pq_encode_with_error(embeddings, codebooks).withColumn(
+        "q", F.round(F.col("err") * 1_000_000).cast("long")
+    )
+    return e.groupBy("sub").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.sum("q") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias("mean_err"),
+    )
+
+
+def pq_increment(
+    new_batch: DataFrame,
+    codebooks: DataFrame,
+    baseline: DataFrame,
+    err_ratio: float = 1.5,
+) -> DataFrame:
+    """Incremental PQ-index maintenance (the ``ann_increment`` pattern on
+    the product quantizer): encode a NEW batch against the EXISTING
+    codebooks -- ``pq_encode`` is map-only and streaming-legal, so the
+    corpus is never re-read -- and compare its per-subspace mean
+    quantization error to the persisted baseline.  A subspace whose
+    new-batch mean error exceeds ``err_ratio`` x its baseline is flagged:
+    the codebook no longer reconstructs what the pipeline now ingests and
+    ``pq_fit`` should be re-run.
+
+    Unlike cosine-based cell drift, quantization error is an ABSOLUTE
+    quality measure (squared L2 of the residual), so distribution shift
+    is visible even when argmin assignment still picks some nearest
+    centroid per subvector.  Subspaces receiving no new vectors keep
+    n_new = 0, NULL new_err, and are never flagged.  Returns
+    (sub, n_corpus, n_new, base_err, new_err, drift_flagged)."""
+    inc = (
+        pq_encode_with_error(new_batch, codebooks)
+        .withColumn("q", F.round(F.col("err") * 1_000_000).cast("long"))
+        .groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            (F.sum("q") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias(
+                "new_err_raw"
+            ),
+        )
+    )
+    return (
+        baseline.join(inc, "sub", "left")
+        .select(
+            "sub",
+            F.col("n_vecs").alias("n_corpus"),
+            F.coalesce(F.col("n_new"), F.lit(0).cast("long")).alias("n_new"),
+            F.round(F.col("mean_err"), 6).alias("base_err"),
+            F.round(F.col("new_err_raw"), 6).alias("new_err"),
+            F.coalesce(
+                F.col("new_err_raw") > F.col("mean_err") * F.lit(err_ratio),
+                F.lit(False),
+            ).alias("drift_flagged"),
+        )
+    )

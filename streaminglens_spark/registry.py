@@ -4997,3 +4997,143 @@ def _shared_fit_oracle(
 
 
 LOCAL_ORACLE["q_shared_fit"] = _shared_fit_oracle()
+
+
+# ------------------------------------------------- r6: incremental PQ index
+
+def q_pq_increment(spark, sf_dir):
+    """Incremental PQ-index maintenance (the ann_increment pattern on the
+    product quantizer): codebooks fit on the 80% corpus (vec_id % 5 != 4),
+    the interleaved 20% new batch encoded map-only against them, and
+    per-subspace quantization error compared to the persisted baseline --
+    a subspace whose new-batch mean error exceeds 1.5x baseline flags a
+    codebook refit.  The corpus is never re-read on the increment path."""
+    from .cache import track
+    from .functions.pq import pq_error_stats, pq_fit, pq_increment
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    new_batch = emb.filter(F.col("vec_id") % 5 == 4)
+    cb = track(pq_fit(corpus))
+    cb.count()  # one materialization of the Lloyd chain (m*k rows)
+    return pq_increment(new_batch, cb, pq_error_stats(corpus, cb))
+
+
+def _pq_increment_oracle() -> str:
+    """Fit the m codebooks on the corpus split (the q_pq_topk unrolled
+    Lloyd, restricted to vec_id % 5 != 4), then per-subspace mean
+    quantization error for corpus (baseline) and new split."""
+    from .functions.pq import PQ_ITERS, PQ_K, PQ_M, PQ_SUB_DIM
+
+    m, k, sd, iters = PQ_M, PQ_K, PQ_SUB_DIM, PQ_ITERS
+
+    def l2(a: str, b: str) -> str:
+        return f"""list_reduce(list_prepend(0.0,
+                   list_transform(range(1, {sd + 1}),
+                       li -> ({a}[CAST(li AS INT)] - {b}[CAST(li AS INT)])
+                           * ({a}[CAST(li AS INT)] - {b}[CAST(li AS INT)]))),
+                   (lx, ly) -> lx + ly)"""
+
+    ctes = [
+        """emb AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )""",
+        f"""svall AS (
+            SELECT vec_id, CAST(u.s AS INT) AS sub,
+                   list_slice(v, CAST(u.s * {sd} + 1 AS INT),
+                              CAST(u.s * {sd} + {sd} AS INT)) AS svec
+            FROM emb CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s) u
+        )""",
+        "sv AS (SELECT * FROM svall WHERE vec_id % 5 != 4)",
+        "svnew AS (SELECT * FROM svall WHERE vec_id % 5 = 4)",
+        f"""c0 AS (
+            SELECT sub, CAST(rn - 1 AS INT) AS cell, svec AS cv FROM (
+                SELECT sub, svec,
+                       row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+                FROM sv
+            ) WHERE rn <= {k}
+        )""",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""s{t} AS (
+            SELECT a.vec_id, a.sub, a.svec, c.cell,
+                   {l2('a.svec', 'c.cv')} AS d
+            FROM sv a JOIN c{t} c USING (sub)
+        )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+            SELECT sub, cell, svec FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d, cell) AS rn
+                FROM s{t}
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""d{t} AS (
+            SELECT sub, cell, CAST(u.i - 1 AS INT) AS dim,
+                   CAST(round(svec[CAST(u.i AS INT)] * 1000000) AS BIGINT) AS q
+            FROM a{t} CROSS JOIN (SELECT UNNEST(range(1, {sd + 1})) AS i) u
+        )"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+            SELECT sub, cell, dim,
+                   CAST(SUM(q) AS BIGINT) / 1000000.0 / COUNT(*) AS c
+            FROM d{t} GROUP BY 1, 2, 3
+        )"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+            SELECT sub, cell, cv FROM (
+                SELECT sub, cell, list(c ORDER BY dim) AS cv
+                FROM m{t} GROUP BY 1, 2
+            )
+        )"""
+        )
+    # min over cells == the encode fold's winning distance (exact double min)
+    err = (
+        """{name} AS (
+            SELECT a.vec_id, a.sub, MIN({l2}) AS err
+            FROM {src} a JOIN c{it} c USING (sub)
+            GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(err.format(name="cerr", src="sv", it=iters,
+                           l2=l2("a.svec", "c.cv")))
+    ctes.append(err.format(name="nerr", src="svnew", it=iters,
+                           l2=l2("a.svec", "c.cv")))
+    ctes.append(
+        """base AS (
+            SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                   CAST(SUM(CAST(round(err * 1000000) AS BIGINT)) AS BIGINT)
+                       / 1000000.0 / COUNT(*) AS base_err_raw
+            FROM cerr GROUP BY 1
+        )"""
+    )
+    ctes.append(
+        """inc AS (
+            SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_new,
+                   CAST(SUM(CAST(round(err * 1000000) AS BIGINT)) AS BIGINT)
+                       / 1000000.0 / COUNT(*) AS new_err_raw
+            FROM nerr GROUP BY 1
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + """
+        SELECT b.sub, b.n_corpus,
+               CAST(coalesce(i.n_new, 0) AS BIGINT) AS n_new,
+               round(b.base_err_raw, 6) AS base_err,
+               round(i.new_err_raw, 6) AS new_err,
+               coalesce(i.new_err_raw > b.base_err_raw * 1.5, FALSE)
+                   AS drift_flagged
+        FROM base b LEFT JOIN inc i USING (sub)"""
+    )
+
+
+LOCAL_ORACLE["q_pq_increment"] = _pq_increment_oracle()

@@ -116,3 +116,60 @@ def test_increment_assignment_matches_full_index(spark):
         if r.vec_id % 5 == 4
     }
     assert inc == full
+
+
+# ---------------------------------------------------- PQ increment
+
+def test_pq_increment_drift_fires_on_scaled_batch(spark):
+    """Quantization error is ABSOLUTE (squared L2 residual): a 10x-scaled
+    batch encoded against corpus-fit codebooks must blow past the 1.5x
+    error ratio in every subspace, while a same-distribution split stays
+    unflagged at a widened ratio."""
+    from streaminglens_spark.functions.pq import (
+        pq_error_stats,
+        pq_fit,
+        pq_increment,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    cb = pq_fit(corpus).persist()
+    cb.count()
+    baseline = pq_error_stats(corpus, cb)
+    try:
+        same = emb.filter(F.col("vec_id") % 5 == 4)
+        out_same = pq_increment(same, cb, baseline, err_ratio=3.0).collect()
+        assert out_same and not any(r.drift_flagged for r in out_same), out_same
+
+        scaled = same.withColumn(
+            "embedding", F.expr("transform(embedding, x -> x * CAST(10.0 AS FLOAT))")
+        )
+        out_scaled = pq_increment(scaled, cb, baseline).collect()
+        hit = [r for r in out_scaled if r.n_new > 0]
+        assert hit and all(r.drift_flagged for r in hit), out_scaled
+    finally:
+        cb.unpersist()
+
+
+def test_pq_encode_with_error_matches_plain_encode(spark):
+    """The error-carrying encode must emit the identical codes as
+    pq_encode -- the increment path cannot drift from the index format."""
+    from streaminglens_spark.functions.pq import (
+        pq_encode,
+        pq_encode_with_error,
+        pq_fit,
+    )
+
+    emb = _emb(spark).filter(F.col("vec_id") < 100)
+    cb = pq_fit(emb).persist()
+    cb.count()
+    try:
+        plain = {(r.vec_id, r.sub): r.code for r in pq_encode(emb, cb).collect()}
+        withe = {
+            (r.vec_id, r.sub): (r.code, r.err)
+            for r in pq_encode_with_error(emb, cb).collect()
+        }
+        assert plain == {k: v[0] for k, v in withe.items()}
+        assert all(v[1] >= 0.0 for v in withe.values())
+    finally:
+        cb.unpersist()
