@@ -141,3 +141,25 @@ def test_critical_path_single_shuffle(spark):
     )
     df = critical_path_per_job(stages, tasks)
     assert exchange_count(df) == 1, formatted_plan(df)
+
+
+def test_ann_increment_broadcasts_and_stays_jvm(spark):
+    """The increment path must stay map-only over the new batch: centroids
+    broadcast, no Python anywhere, no cartesian product."""
+    df = registry.q_ann_increment(spark, SF_DIR)
+    assert uses_broadcast_join(df), "centroid assignment must broadcast"
+    assert python_udf_count(df) == 0, "increment path must stay JVM-side"
+
+
+def test_pq_increment_broadcasts_and_stays_jvm(spark):
+    df = registry.q_pq_increment(spark, SF_DIR)
+    assert uses_broadcast_join(df), "codebook encode must broadcast"
+    assert python_udf_count(df) == 0, "PQ increment must stay JVM-side"
+
+
+def test_shared_fit_stays_jvm(spark):
+    """Fit-once pipeline: both consumer tails must keep the all-JVM
+    contract of their standalone forms."""
+    df = registry.q_shared_fit(spark, SF_DIR)
+    assert python_udf_count(df) == 0
+    assert uses_broadcast_join(df)
