@@ -758,3 +758,41 @@ def ann_increment(
             > (F.lit(growth_ratio) * F.col("n_vecs") * F.col("tot_new"))
         ).alias("growth_flagged"),
     )
+
+
+def ann_assign_fold(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Streaming-legal ``ann_assign``: the argmax over cells as a
+    sequential FOLD over the (cell-sorted, broadcast) centroid array
+    instead of a row_number window -- a pure projection, so it runs
+    UNCHANGED on a streaming DataFrame (the ``pq_encode`` recipe: fit
+    offline, assign on arrival).  Strictly-greater comparison over the
+    cell-ascending array keeps the FIRST best cell, i.e. identical
+    tie-to-lower-cell semantics -- and identical float comparisons -- to
+    ``ann_assign``'s (cscore DESC, cell ASC) rank; pinned bit-equal by
+    ``tests/test_streaming_stateless_ops.py``.  Returns
+    (vec_id, cell, cscore)."""
+    cents_arr = centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell", "cv", "cnrm"))
+        ).alias("cells")
+    )
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("-inf")).alias("bs"),
+    )
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
+        better = s > acc["bs"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
+        )
+
+    best = F.aggregate(F.col("cells"), init, step)
+    return emb.join(F.broadcast(cents_arr)).select(
+        "vec_id", best["bc"].alias("cell"), best["bs"].alias("cscore")
+    )

@@ -288,3 +288,66 @@ def test_winnow_fingerprints_streams_bit_equal(spark, tmp_path):
         winnow_fingerprints(_doc_stream(spark, tmp_path, rows)), ("doc_id",)
     )
     assert got == want
+
+
+def test_ann_assign_fold_streams_bit_equal(spark, tmp_path):
+    """Incremental IVF maintenance on a live stream: cell assignment as a
+    fold over the broadcast centroid array (no window) runs UNCHANGED on
+    a streaming DataFrame and is bit-equal -- cells AND scores -- to the
+    batch ann_assign window form, including its tie-to-lower-cell rule."""
+    import json as _json
+    import os as _os
+
+    from streaminglens_spark.functions.similarity import (
+        ann_assign,
+        ann_assign_fold,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb).persist()
+    cents.count()
+    try:
+        want = {
+            (r["vec_id"], r["cell"], r["cscore"])
+            for r in ann_assign(emb, cents).collect()
+        }
+        fold_batch = {
+            (r["vec_id"], r["cell"], r["cscore"])
+            for r in ann_assign_fold(emb, cents).collect()
+        }
+        assert fold_batch == want  # window form == fold form, bit-exact
+
+        rows = [
+            {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+            for r in emb.limit(60).collect()
+        ]
+        src = str(tmp_path / "vecs")
+        _os.makedirs(src)
+        for i in range(2):
+            path = _os.path.join(src, f"f{i}.json")
+            with open(path + ".tmp", "w") as f:
+                for r in rows[i * 30 : (i + 1) * 30]:
+                    f.write(_json.dumps(r) + "\n")
+            _os.rename(path + ".tmp", path)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        got = set()
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                got.add((r["vec_id"], r["cell"], r["cscore"]))
+
+        q = ann_assign_fold(stream, cents).writeStream.foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+            assert q.lastProgress["stateOperators"] == []
+        finally:
+            q.stop()
+        ids = {r["vec_id"] for r in rows}
+        assert got == {t for t in want if t[0] in ids}
+    finally:
+        cents.unpersist()
