@@ -1980,7 +1980,8 @@ def _r4_extension_oracles() -> dict[str, str]:
     from .functions.sampling import _threshold
     from .functions.sketch import HASH_A, HASH_B, HASH_P
 
-    pairs_sql = ORACLE["q_minhash_lsh"]
+    # rotation-proof: q_minhash_lsh may live on either surface
+    pairs_sql = ORACLE.get("q_minhash_lsh") or LOCAL_ORACLE["q_minhash_lsh"]
     marker = "SELECT doc_a, doc_b, CAST(1.0 AS DOUBLE) AS jaccard"
     head, tail = pairs_sql.split(marker, 1)
     cluster_sql = (

@@ -10,9 +10,9 @@ import pytest
 
 from streaminglens_spark.functions.similarity import ivf_topk
 from streaminglens_spark.oracle.compare import compare, duckdb_connect
-from streaminglens_spark.registry import ORACLE
+from streaminglens_spark.registry import LOCAL_ORACLE, ORACLE
 
-IVF_SQL = ORACLE["q_ivf_topk"]
+IVF_SQL = {**ORACLE, **LOCAL_ORACLE}["q_ivf_topk"]  # rotation-proof
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
