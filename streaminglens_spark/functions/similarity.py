@@ -796,3 +796,38 @@ def ann_assign_fold(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     return emb.join(F.broadcast(cents_arr)).select(
         "vec_id", best["bc"].alias("cell"), best["bs"].alias("cscore")
     )
+
+
+def ann_stats_shard(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-shard ADDITIVE form of ``ann_index_stats``: (cell, n_vecs,
+    qsum) with qsum = SUM(round(cscore*1e6)) as BIGINT -- counts and
+    integer score sums are additive across arbitrary corpus splits, so a
+    continuously-ingesting pipeline appends one shard per batch (the
+    ``kll_sketch_shards`` / ``boilerplate_index`` pattern) and finalizes
+    with ``merge_ann_stats`` whenever it needs the baseline.  Uses the
+    streaming-legal fold assignment, so the shard builder runs unchanged
+    in foreachBatch."""
+    a = ann_assign_fold(embeddings, centroids).withColumn(
+        "q", F.round(F.col("cscore") * 1_000_000).cast("long")
+    )
+    return a.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("qsum"),
+    )
+
+
+def merge_ann_stats(shards: DataFrame) -> DataFrame:
+    """Fold any number of ``ann_stats_shard`` outputs into the
+    ``ann_index_stats`` baseline shape (cell, n_vecs, mean_score).
+    Integer sums make the merge EXACT: the merged baseline is
+    bit-identical to a one-shot ``ann_index_stats`` over the union
+    (pinned by ``tests/test_ann_increment.py``)."""
+    m = shards.groupBy("cell").agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        F.sum("qsum").cast("long").alias("qsum"),
+    )
+    return m.select(
+        "cell",
+        "n_vecs",
+        (F.col("qsum") / F.lit(1_000_000.0) / F.col("n_vecs")).alias("mean_score"),
+    )

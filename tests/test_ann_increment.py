@@ -173,3 +173,68 @@ def test_pq_encode_with_error_matches_plain_encode(spark):
         assert all(v[1] >= 0.0 for v in withe.values())
     finally:
         cb.unpersist()
+
+
+# ------------------------------------------- additive baseline shards
+
+def test_ann_stats_shards_merge_exactly(spark):
+    """Per-batch additive shards folded with merge_ann_stats must be
+    BIT-identical to the one-shot baseline over the union -- incremental
+    ingest cannot drift the refit decision."""
+    from streaminglens_spark.functions.similarity import (
+        ann_stats_shard,
+        merge_ann_stats,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(emb).persist()
+    cents.count()
+    try:
+        shards = [
+            ann_stats_shard(emb.filter(F.col("vec_id") % 3 == i), cents)
+            for i in range(3)
+        ]
+        allsh = shards[0].unionByName(shards[1]).unionByName(shards[2])
+        merged = {
+            (r.cell, r.n_vecs, r.mean_score)
+            for r in merge_ann_stats(allsh).collect()
+        }
+        oneshot = {
+            (r.cell, r.n_vecs, r.mean_score)
+            for r in ann_index_stats(emb, cents).collect()
+        }
+        assert merged == oneshot
+    finally:
+        cents.unpersist()
+
+
+def test_ann_increment_accepts_merged_baseline(spark):
+    """The sharded baseline drops into ann_increment unchanged: same
+    schema, same verdicts as the one-shot baseline."""
+    from streaminglens_spark.functions.similarity import (
+        ann_stats_shard,
+        merge_ann_stats,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = ivf_centroids(corpus).persist()
+    cents.count()
+    try:
+        sharded = merge_ann_stats(
+            ann_stats_shard(corpus.filter(F.col("vec_id") % 2 == 0), cents)
+            .unionByName(
+                ann_stats_shard(corpus.filter(F.col("vec_id") % 2 == 1), cents)
+            )
+        )
+        a = {tuple(r) for r in ann_increment(new, cents, sharded).collect()}
+        b = {
+            tuple(r)
+            for r in ann_increment(
+                new, cents, ann_index_stats(corpus, cents)
+            ).collect()
+        }
+        assert a == b
+    finally:
+        cents.unpersist()
