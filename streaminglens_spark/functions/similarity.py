@@ -176,7 +176,17 @@ def kmeans_fit(
     Init: the k lowest vec_ids (deterministic; k-means++ would sample).
     Assignment metric: cosine, matching ``ivf_topk``'s probe ranking.
     Ties break toward the lower cell id.  Returns (cell, cv, cnrm) --
-    drop-in for ``ivf_topk(centroids=...)``."""
+    drop-in for ``ivf_topk(centroids=...)``.
+
+    r6 plan fix: the per-iteration assignment is the ``ann_assign_fold``
+    argmax (a strictly-greater fold over the cell-ascending broadcast
+    centroid array) instead of a ``row_number`` window -- the window
+    shuffled n x k scored rows EVERY iteration just to keep rank 1; the
+    fold is a pure projection, leaving the per-dimension ``groupBy`` as
+    the iteration's only exchange.  Scores, tie-breaks, and therefore
+    centroids are bit-identical (the fold/window equality is pinned in
+    ``tests/test_streaming_stateless_ops.py``); the q_ann_topk /
+    q_semantic_dedup / q_shared_fit oracles are untouched."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
@@ -189,15 +199,29 @@ def kmeans_fit(
         .select(F.col("cell").cast("int"), F.col("v").alias("cv"))
         .withColumn("cnrm", _norm(F.col("cv")))
     )
-    for _ in range(iters):
-        scored = F.broadcast(cents).crossJoin(emb).withColumn(
-            "cscore", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("-inf")).alias("bs"),
+    )
+
+    def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
+        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
+        better = s > acc["bs"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cell"))
-        assign = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("cell", "vec_id", "v")
+
+    for _ in range(iters):
+        cents_arr = cents.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias(
+                "cells"
+            )
+        )
+        assign = emb.join(F.broadcast(cents_arr)).select(
+            F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
+            "vec_id",
+            "v",
         )
         dims = assign.select(
             "cell", F.posexplode(F.col("v")).alias("dim", "x")
