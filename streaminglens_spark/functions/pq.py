@@ -93,17 +93,33 @@ def pq_fit(
             "sub", (F.col("_rn") - 1).cast("int").alias("cell"), F.col("sv").alias("cv")
         )
     )
+    # r6 plan fix (the kmeans_fit lesson): per-iteration argmin as the
+    # pq_encode fold over the cell-sorted broadcast codebook array instead
+    # of a row_number window -- the window shuffled n*m*k scored rows every
+    # iteration; the fold is a pure projection with identical strict-<
+    # tie-to-lowest-cell semantics, so centroids are bit-identical and the
+    # q_pq_* oracles are untouched.
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("inf")).alias("bd"),
+    )
+
+    def _argmin_step(acc: F.Column, c: F.Column) -> F.Column:
+        d = _l2(F.col("sv"), c["cv"])
+        better = d < acc["bd"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+        )
+
     for _ in range(iters):
-        scored = sv.join(F.broadcast(cents), "sub").withColumn(
-            "d", _l2(F.col("sv"), F.col("cv"))
+        cb_arr = cents.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
         )
-        aw = Window.partitionBy("vec_id", "sub").orderBy(
-            F.col("d").asc(), F.col("cell").asc()
-        )
-        assign = (
-            scored.withColumn("_rn", F.row_number().over(aw))
-            .filter(F.col("_rn") == 1)
-            .select("sub", "cell", "sv")
+        assign = sv.join(F.broadcast(cb_arr), "sub").select(
+            "sub",
+            F.aggregate(F.col("cells"), init, _argmin_step)["bc"].alias("cell"),
+            "sv",
         )
         dims = assign.select(
             "sub", "cell", F.posexplode("sv").alias("dim", "x")
