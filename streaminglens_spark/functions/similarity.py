@@ -258,31 +258,51 @@ def ivf_topk(
         "nrm", _norm(F.col("v"))
     )
     cents = centroids if centroids is not None else ivf_centroids(embeddings)
-    scored = F.broadcast(cents).crossJoin(emb).withColumn(
+    # cents now feeds TWO consumers (corpus fold + query probes): persist
+    # the k-row table so an expensive upstream fit (kmeans_fit) runs once
+    from ..cache import track
+
+    cents = track(cents)
+    cents.count()
+    # r6 plan fix: the corpus side needs only the ARGMAX cell, so it uses
+    # the fold over the cell-ascending broadcast centroid array (a pure
+    # projection -- the old row_number window shuffled all n x k scored
+    # rows and forced a persisted materialization to dodge the fan-out
+    # recompute race).  Only the n_queries query vectors still rank their
+    # top-nprobe cells, a window over n_queries x k rows.  Scores and
+    # tie-breaks are bit-identical (fold/window equality pinned in
+    # tests/test_streaming_stateless_ops.py); oracles untouched.
+    cents_arr = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias("cells")
+    )
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("-inf")).alias("bs"),
+    )
+
+    def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
+        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
+        better = s > acc["bs"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
+        )
+
+    assign = emb.join(F.broadcast(cents_arr)).select(
+        F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
+        "vec_id",
+        "v",
+        "nrm",
+    )
+    qscored = F.broadcast(cents).crossJoin(
+        emb.filter(F.col("vec_id") < n_queries)
+    ).withColumn(
         "cscore", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cell"))
-    ranked = (
-        scored.withColumn("_crn", F.row_number().over(w))
-        # keep only the rows the fan-out needs, then materialize BEFORE the
-        # assign/probes self-join: both sides would otherwise recompute the
-        # centroid scoring (the cold-cache fan-out race; see minhash) --
-        # measured 6.4 s -> ~1.5 s at sf0.1.  Size is O(corpus + queries
-        # x nprobe) rows, the inverted index itself.
-        .filter(
-            (F.col("_crn") == 1)
-            | ((F.col("vec_id") < n_queries) & (F.col("_crn") <= nprobe))
-        )
-    )
-    # tracked persist (see streaminglens_spark.cache): callers release with
-    # release_caches() after their action; the bench's clearCache also works
-    from ..cache import track
-
-    ranked = track(ranked)
-    ranked.count()
-    assign = ranked.filter(F.col("_crn") == 1).select("cell", "vec_id", "v", "nrm")
     probes = (
-        ranked.filter((F.col("vec_id") < n_queries) & (F.col("_crn") <= nprobe))
+        qscored.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= nprobe)
         .select(
             "cell",
             F.col("vec_id").alias("query_vec_id"),
@@ -397,17 +417,33 @@ def semantic_dedup_pairs(
         if centroids is not None
         else kmeans_fit(embeddings, k=n_cells, iters=iters)
     )
-    scored = F.broadcast(cents).crossJoin(emb).withColumn(
-        "cscore", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    # r6 plan fix (the ivf_topk/kmeans_fit lesson): argmax-only assignment
+    # as the fold over the cell-ascending broadcast centroid array -- no
+    # n x k window shuffle; bit-identical cells.
+    cents_arr = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias("cells")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cell"))
-    assign = (
-        scored.withColumn("_crn", F.row_number().over(w))
-        .filter(F.col("_crn") == 1)
-        .select("cell", "vec_id", "v", "nrm")
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("-inf")).alias("bs"),
+    )
+
+    def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
+        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
+        better = s > acc["bs"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
+        )
+
+    assign = emb.join(F.broadcast(cents_arr)).select(
+        F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
+        "vec_id",
+        "v",
+        "nrm",
     )
     # materialize before the self-join fan-out: both sides would otherwise
-    # recompute the k-means assignment (the ivf_topk / minhash lesson)
+    # recompute the assignment fold (the ivf_topk / minhash lesson)
     from ..cache import track
 
     assign = track(assign)
