@@ -219,6 +219,20 @@ def main() -> None:
         sf1 = _sf1_dir()
         if sf1:
             print(f"# --- sf1 pass ({sf1}) ---", file=sys.stderr)
+            # fresh JVM for the 10x point (r5 verdict ask #8): the sf1
+            # pass no longer pays the preceding suite's session state --
+            # measured same-session 85 s vs clean-session 56 s on the
+            # legacy-18 subtotal, the exact 43->84 s window swing PERF.md
+            # documented.  The sf0.1 numbers (taken FIRST) are unchanged.
+            spark.stop()
+            spark = get_spark("streaminglens-bench-sf1")
+            spark.sparkContext.setLogLevel("ERROR")
+            registry.q_batch_bounds(spark, sf1).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.range(100_000).mapInPandas(_wu, "id long").write.format(
+                "noop"
+            ).mode("overwrite").save()
             t1, tot1, bands1 = run_suite(spark, sf1, runs=2)
             detail["sf1"] = {
                 "value": round(tot1, 3),
