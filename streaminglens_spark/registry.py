@@ -5138,3 +5138,98 @@ def _pq_increment_oracle() -> str:
 
 
 LOCAL_ORACLE["q_pq_increment"] = _pq_increment_oracle()
+
+
+# ---------------------------------------------------------- r7 rotation
+# Final driver-proof batch (r6 verdict ask #1): the 23 registered queries
+# that have never held a driver CORRECTNESS row rotate IN, clearing the
+# rotation debt to zero -- after this batch every registered query has a
+# hard driver row in some round.  23 multi-round-green slots rotate OUT
+# (each with >= 2 green driver rows of record, r5+r6 or earlier; all stay
+# hash-checked at two scale factors on LOCAL_ORACLE every test run).
+# Family representation on the 50-slot surface is preserved:
+#   - dedup: q_semantic_dedup stays; q_chunk_dedup + q_dedup_increment in
+#     (q_simhash_pairs / q_dedup_clusters out, 4 and 2 green rows)
+#   - embeddings/ANN: q_pq_topk/q_pq_rerank stay; q_shared_fit +
+#     q_ann_increment + q_pq_increment in (q_ivf_topk / q_ann_topk /
+#     q_quantized_topk out)
+#   - joins/layout: q_asof_join + q_zorder stay; q_key_skew covers skew
+#     (q_range_join / q_salted_join out)
+#   - retrieval/LM: q_bm25_search + q_ppl_filter + q_winnow stay
+#     (q_bm25_eval / q_bigram_surprisal / q_tfidf_topk out)
+#   - sketches: q_hdr_quantiles stays; q_cms_probe + q_hdr_windowed in
+#     (q_count_min / q_cms_windowed out)
+#   - sampling/ids: q_corpus_shuffle + q_group_split + q_negative_samples
+#     in (q_hash/stratified/mixture_sample, q_pack_sequences -- green r6
+#     after its r5 red -- and q_assign_row_ids out)
+#   - text: q_normalize_text/q_repetition-family covered by
+#     q_quality_classifier + q_props_stats + q_langid_eval in
+#     (q_pii_redact / q_boilerplate / q_decontaminate / q_repetition /
+#     q_random_project out)
+#   - governance: q_source_overlap / q_vocab_drift stay; q_source_manifest
+#     + q_partition_advisor + q_watermark_advisor in (q_corpus_diff out)
+#   - multimodal: q_decode_audio + q_audio_frames + q_probe_image +
+#     q_probe_video + q_resize_image in (first driver exposure)
+#   - events: q_funnel / q_retention / q_user_sequences stay;
+#     q_user_features in
+_ROTATED_OUT_R7 = [
+    "q_simhash_pairs",
+    "q_ivf_topk",
+    "q_ann_topk",
+    "q_range_join",
+    "q_dedup_clusters",
+    "q_tfidf_topk",
+    "q_count_min",
+    "q_quantized_topk",
+    "q_pii_redact",
+    "q_boilerplate",
+    "q_decontaminate",
+    "q_hash_sample",
+    "q_stratified_sample",
+    "q_mixture_sample",
+    "q_cms_windowed",
+    "q_random_project",
+    "q_repetition",
+    "q_pack_sequences",
+    "q_assign_row_ids",
+    "q_bm25_eval",
+    "q_bigram_surprisal",
+    "q_salted_join",
+    "q_corpus_diff",
+]
+_ROTATED_IN_R7 = [
+    "q_ann_increment",
+    "q_pq_increment",
+    "q_shared_fit",
+    "q_audio_frames",
+    "q_chunk_docs",
+    "q_chunk_dedup",
+    "q_cms_probe",
+    "q_corpus_shuffle",
+    "q_decode_audio",
+    "q_dedup_increment",
+    "q_group_split",
+    "q_hdr_windowed",
+    "q_langid_eval",
+    "q_negative_samples",
+    "q_partition_advisor",
+    "q_probe_image",
+    "q_probe_video",
+    "q_props_stats",
+    "q_quality_classifier",
+    "q_resize_image",
+    "q_source_manifest",
+    "q_user_features",
+    "q_watermark_advisor",
+]
+for _name in _ROTATED_OUT_R7:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R7:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+# Explicit guard, not `assert` (asserts vanish under python -O and a
+# 51-query surface silently drops the last query at the driver).
+if len(ORACLE) != 50:
+    raise RuntimeError(
+        f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
+    )

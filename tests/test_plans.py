@@ -72,25 +72,38 @@ def test_cosine_broadcasts_query_side(spark):
 
 def test_driver_surface_exactly_fifty(spark):
     """The grading driver evaluates at most 50 correctness queries in dict
-    order (round-1 dropped the 51st silently): every registered query must
-    keep a driver row, so the surface stays pinned at exactly 50 with
-    q_ann_lsh inside it."""
+    order (round-1 dropped the 51st silently): the surface stays pinned at
+    exactly 50 and carries the r7 rotation batch -- the final 23 queries
+    that never held a driver row -- per the r6 verdict ask #1."""
     q = registry.queries()
     o = registry.oracle_sql()
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
-    # r5: the recall-contract ANN surface holds the driver ANN slot
-    assert "q_ann_topk" in q and "q_ann_lsh" not in q
-    # r5 final rotation: the retrieval/governance batch holds its slots
-    for name in ("q_bm25_search", "q_bm25_eval", "q_bigram_surprisal",
-                 "q_ppl_filter", "q_winnow", "q_zorder", "q_salted_join",
-                 "q_corpus_diff"):
+    # r7 rotation: the last driver-unproven batch holds its slots
+    for name in registry._ROTATED_IN_R7:
         assert name in q, f"{name} rotated off the driver surface"
-    # r6 rotation: the verdict's named 21-query batch holds its slots, and
-    # the r5 red row stays on the surface until it has a green driver row
-    assert "q_pack_sequences" in q
-    for name in registry._ROTATED_IN_R6:
+    # family anchors kept on the surface through the r7 rotation
+    for name in ("q_asof_join", "q_bm25_search", "q_ppl_filter", "q_winnow",
+                 "q_zorder", "q_bloom_prune", "q_semantic_dedup",
+                 "q_pq_topk", "q_hdr_quantiles", "q_key_skew", "q_funnel"):
         assert name in q, f"{name} rotated off the driver surface"
+    # rotated-out queries keep their local double-scale oracle check
+    for name in registry._ROTATED_OUT_R7:
+        assert name in registry.LOCAL_ORACLE, f"{name} lost its local oracle"
+
+
+def test_entry_exposes_exactly_fifty():
+    """The driver-facing ``__spark_entry__.queries()`` must mirror the
+    registry's 50-slot ORACLE surface exactly (the documented contract:
+    the driver evaluates at most 50; the other registered queries are
+    proven on LOCAL_ORACLE locally and via rotation)."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    q = entry.queries()
+    assert len(q) == 50, f"entry surface must be exactly 50, got {len(q)}"
+    assert set(q) == set(entry.oracle_sql())
+    assert set(q) == set(registry.ORACLE)
 
 
 def test_ivf_broadcasts_centroids_no_python(spark):
