@@ -28,7 +28,14 @@ _PERSISTED: list[DataFrame] = []
 def track(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK -- an operator intermediate must not
     silently recompute if it outgrows memory) and register it for
-    ``release_caches()``."""
+    ``release_caches()``.
+
+    Idempotent (ADVICE r6): an already-persisted DataFrame is returned
+    unchanged -- the caller that persisted it owns its lifetime, so it is
+    neither re-persisted (a no-op warning in Spark) nor double-registered
+    in the release bookkeeping."""
+    if df.is_cached:
+        return df
     df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(df)
     return df

@@ -33,6 +33,35 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
+_INTEGRAL_CELL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _cells_array(centroids: DataFrame) -> DataFrame:
+    """One-row DataFrame holding the cell-ascending broadcast array of
+    (cell, cv, cnrm) structs that every argmax fold iterates.
+
+    The cell id is validated and cast to int HERE, once, instead of inside
+    the fold step (ADVICE r6): the fold's inner ``cast('int')`` silently
+    produced NULL cells -- and an empty result -- for an external centroid
+    table with non-integral cell ids (e.g. string labels), where the old
+    window path accepted any orderable cell type.  Non-integral cell
+    columns now raise immediately at plan-build time."""
+    cell_type = dict(centroids.dtypes).get("cell")
+    if cell_type not in _INTEGRAL_CELL_TYPES:
+        raise TypeError(
+            "centroids.cell must be an integral column (tinyint/smallint/"
+            f"int/bigint); got {cell_type!r} -- relabel cells to integers "
+            "before passing them to an argmax-fold consumer"
+        )
+    return centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cell").cast("int").alias("cell"), "cv", "cnrm")
+            )
+        ).alias("cells")
+    )
+
+
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
     """Exact brute-force cosine top-k: query vectors = vec_id < n_queries.
     Returns (query_vec_id, neighbor_id, cosine)."""
@@ -205,19 +234,16 @@ def kmeans_fit(
     )
 
     def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
+        # c["cell"] is already int (validated/cast once in _cells_array)
         s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
         better = s > acc["bs"]
         return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
             F.when(better, s).otherwise(acc["bs"]).alias("bs"),
         )
 
     for _ in range(iters):
-        cents_arr = cents.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias(
-                "cells"
-            )
-        )
+        cents_arr = _cells_array(cents)
         assign = emb.join(F.broadcast(cents_arr)).select(
             F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
             "vec_id",
@@ -258,12 +284,16 @@ def ivf_topk(
         "nrm", _norm(F.col("v"))
     )
     cents = centroids if centroids is not None else ivf_centroids(embeddings)
-    # cents now feeds TWO consumers (corpus fold + query probes): persist
-    # the k-row table so an expensive upstream fit (kmeans_fit) runs once
+    # cents feeds TWO consumers (corpus fold + query probes): persist the
+    # k-row table so an expensive upstream fit (kmeans_fit) runs once.
+    # ADVICE r6: when the caller already persisted the centroids (the
+    # q_shared_fit fit-once path) they own materialization -- skip the
+    # re-track and the extra eager count() job at plan-construction time.
     from ..cache import track
 
-    cents = track(cents)
-    cents.count()
+    if not cents.is_cached:
+        cents = track(cents)
+        cents.count()
     # r6 plan fix: the corpus side needs only the ARGMAX cell, so it uses
     # the fold over the cell-ascending broadcast centroid array (a pure
     # projection -- the old row_number window shuffled all n x k scored
@@ -272,19 +302,18 @@ def ivf_topk(
     # top-nprobe cells, a window over n_queries x k rows.  Scores and
     # tie-breaks are bit-identical (fold/window equality pinned in
     # tests/test_streaming_stateless_ops.py); oracles untouched.
-    cents_arr = cents.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias("cells")
-    )
+    cents_arr = _cells_array(cents)
     init = F.struct(
         F.lit(-1).cast("int").alias("bc"),
         F.lit(float("-inf")).alias("bs"),
     )
 
     def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
+        # c["cell"] is already int (validated/cast once in _cells_array)
         s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
         better = s > acc["bs"]
         return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
             F.when(better, s).otherwise(acc["bs"]).alias("bs"),
         )
 
@@ -420,19 +449,18 @@ def semantic_dedup_pairs(
     # r6 plan fix (the ivf_topk/kmeans_fit lesson): argmax-only assignment
     # as the fold over the cell-ascending broadcast centroid array -- no
     # n x k window shuffle; bit-identical cells.
-    cents_arr = cents.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias("cells")
-    )
+    cents_arr = _cells_array(cents)
     init = F.struct(
         F.lit(-1).cast("int").alias("bc"),
         F.lit(float("-inf")).alias("bs"),
     )
 
     def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
+        # c["cell"] is already int (validated/cast once in _cells_array)
         s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
         better = s > acc["bs"]
         return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
             F.when(better, s).otherwise(acc["bs"]).alias("bs"),
         )
 
@@ -777,10 +805,15 @@ def ann_increment(
       argmax assignment.
 
     Cells receiving no new vectors keep n_new = 0, NULL new_mean, and
-    are never flagged.  Returns (cell, n_corpus, n_new, base_mean,
-    new_mean, drift_flagged, growth_flagged), one row per existing cell;
-    means exact via integer quantization, rounded to 6 for the oracle
-    hash."""
+    are never flagged.  The join with the baseline is FULL OUTER
+    (ADVICE r6): a cell that held ZERO corpus vectors but receives new
+    mass appears with n_corpus = 0, NULL base_mean, and growth_flagged
+    TRUE -- an empty cell receiving mass is the strongest refit signal,
+    and the old left join silently dropped it from both the output and
+    tot_new.  Returns (cell, n_corpus, n_new, base_mean, new_mean,
+    drift_flagged, growth_flagged), one row per cell present in either
+    side; means exact via integer quantization, rounded to 6 for the
+    oracle hash."""
     inc = (
         ann_assign(new_batch, centroids)
         .withColumn("q", F.round(F.col("cscore") * 1_000_000).cast("long"))
@@ -792,8 +825,12 @@ def ann_increment(
             ),
         )
     )
-    joined = baseline.join(inc, "cell", "left").withColumn(
-        "n_new", F.coalesce(F.col("n_new"), F.lit(0).cast("long"))
+    joined = (
+        baseline.join(inc, "cell", "full")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0).cast("long")))
+        .withColumn(
+            "n_vecs", F.coalesce(F.col("n_vecs"), F.lit(0).cast("long"))
+        )
     )
     # totals over the O(k) per-cell table: a global window over k rows,
     # never over data rows
@@ -831,11 +868,7 @@ def ann_assign_fold(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     ``ann_assign``'s (cscore DESC, cell ASC) rank; pinned bit-equal by
     ``tests/test_streaming_stateless_ops.py``.  Returns
     (vec_id, cell, cscore)."""
-    cents_arr = centroids.groupBy().agg(
-        F.array_sort(
-            F.collect_list(F.struct("cell", "cv", "cnrm"))
-        ).alias("cells")
-    )
+    cents_arr = _cells_array(centroids)
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
@@ -845,10 +878,11 @@ def ann_assign_fold(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
     def step(acc: F.Column, c: F.Column) -> F.Column:
+        # c["cell"] is already int (validated/cast once in _cells_array)
         s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
         better = s > acc["bs"]
         return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
             F.when(better, s).otherwise(acc["bs"]).alias("bs"),
         )
 

@@ -38,9 +38,11 @@ def _kind(type_str: str) -> str:
     """
     t = type_str.strip().lower()
     if t.endswith("[]"):  # duckdb list syntax
-        return f"list<{_kind(t[:-2])}>"
+        inner = _kind(t[:-2])
+        return None if inner is None else f"list<{inner}>"
     if t.startswith("array<") and t.endswith(">"):
-        return f"list<{_kind(t[6:-1])}>"
+        inner = _kind(t[6:-1])
+        return None if inner is None else f"list<{inner}>"
     if t.startswith("decimal") or t == "hugeint" or t == "uhugeint":
         return "decimal"
     mapping = {
@@ -57,7 +59,12 @@ def _kind(type_str: str) -> str:
         "timestamp_ms": "timestamp", "timestamp_s": "timestamp",
         "timestamp with time zone": "timestamp", "timestamptz": "timestamp",
     }
-    return mapping.get(t, t)
+    # None = unmapped (struct/map/interval/engine-specific spellings):
+    # compare() degrades those columns to a values-only check with a
+    # warning instead of failing on a spelling difference (ADVICE r6 --
+    # Spark 'struct<a:bigint>' vs DuckDB 'STRUCT(a BIGINT)' are the same
+    # logical type).
+    return mapping.get(t)
 
 
 def _norm(v: Any) -> Any:
@@ -65,6 +72,13 @@ def _norm(v: Any) -> Any:
         if math.isnan(v):
             return ("float", "nan")
         return ("float", float(v))
+    # struct values: Spark collects a Row (named tuple), DuckDB a dict --
+    # normalize both to a field-name-sorted tuple so equal structs compare
+    # equal (they reach the values-only path via the unmapped-kind degrade)
+    if hasattr(v, "__fields__"):  # pyspark Row
+        return tuple(_norm(x) for _, x in sorted(zip(v.__fields__, v)))
+    if isinstance(v, dict):
+        return tuple(_norm(x) for _, x in sorted(v.items()))
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v
@@ -97,12 +111,25 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> di
         return result
     # Typed check: reproduce the driver's hash type-sensitivity locally
     # (HUGEINT/decimal drift passes Python == but fails the driver hash).
+    s_types = dict(spark_df.dtypes)
     s_kinds = {c: _kind(t) for c, t in spark_df.dtypes}
     d_kinds = {c: _kind(t) for c, t in zip(d_cols, d_types)}
+    # Columns whose type has no canonical kind on either side (struct/map/
+    # interval/engine-specific spellings) fall back to the values-only
+    # check below, reported as a warning -- a spelling mismatch there is
+    # not evidence of a value mismatch (ADVICE r6).
+    unchecked = sorted(
+        c for c in s_kinds if s_kinds[c] is None or d_kinds.get(c) is None
+    )
+    if unchecked:
+        result["type_unchecked"] = {
+            c: (s_types.get(c), dict(zip(d_cols, d_types)).get(c))
+            for c in unchecked
+        }
     type_diff = {
         c: (s_kinds[c], d_kinds[c])
         for c in s_kinds
-        if s_kinds[c] != d_kinds[c]
+        if c not in unchecked and s_kinds[c] != d_kinds[c]
     }
     result["types_match"] = not type_diff
     if type_diff:

@@ -4895,10 +4895,14 @@ def _ann_increment_oracle() -> str:
             FROM nassign GROUP BY 1
         ),
         joined AS (
-            SELECT b.cell, b.n_corpus,
+            -- FULL join (ADVICE r6): new mass landing in a cell with zero
+            -- corpus vectors must surface (n_corpus = 0, growth TRUE),
+            -- mirroring ann_increment's full-outer semantics
+            SELECT cell,
+                   CAST(coalesce(b.n_corpus, 0) AS BIGINT) AS n_corpus,
                    CAST(coalesce(i.n_new, 0) AS BIGINT) AS n_new,
                    b.base_mean_raw, i.new_mean_raw
-            FROM base b LEFT JOIN inc i USING (cell)
+            FROM base b FULL JOIN inc i USING (cell)
         )
         SELECT cell, n_corpus, n_new,
                round(base_mean_raw, 6) AS base_mean,
