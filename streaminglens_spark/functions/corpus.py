@@ -65,7 +65,12 @@ def corpus_pipeline(
 
     from .text import QC_THRESHOLD_MILLI, qc_score_expr
 
-    cleaned_input = documents.select(
+    from ..plans.shape import scan_parallel
+
+    # r7: the normalize+redact regex chain is CPU-dense and fused into the
+    # scan stage -- run it at full parallelism, not single-split scan
+    # parallelism (no-op on a real multi-split scan)
+    cleaned_input = scan_parallel(documents.select("doc_id", "text")).select(
         "doc_id", redact_expr(normalize_expr(F.col("text"))).alias("text")
     )
     stripped = strip_boilerplate_text(cleaned_input, min_doc_frac)

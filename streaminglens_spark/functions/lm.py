@@ -46,7 +46,15 @@ from .intlog import log2_fp
 def doc_bigrams(documents: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) -- one row per adjacent token pair; single-token
     and empty documents contribute no rows (and are absent from the
-    surprisal output; a doc with no bigrams has no defined cross-entropy)."""
+    surprisal output; a doc with no bigrams has no defined cross-entropy).
+
+    r7: tokenize/explode at full parallelism -- the split + pair-build +
+    explode + map-side partial agg all run in the scan stage, which a
+    single-row-group fixture file serializes onto 1-2 cores (no-op on a
+    real multi-split scan)."""
+    from ..plans.shape import scan_parallel
+
+    documents = scan_parallel(documents.select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     pairs = F.when(
         F.size(toks) >= 2,

@@ -84,7 +84,12 @@ def pq_fit(
     subspaces ride the same shuffles instead of m sequential fits.
     Returns (sub, cell, cv ARRAY<DOUBLE>).  Empty cells drop out
     (standard Lloyd); codes therefore always reference a live centroid."""
-    sv = _subvectors(embeddings, m, sub_dim)
+    # r7: the per-iteration argmin fold is CPU-dense (k x sub_dim MACs per
+    # (vec, sub) row) -- run it at full parallelism, not single-split scan
+    # parallelism (no-op on a real multi-split scan)
+    from ..plans.shape import scan_parallel
+
+    sv = _subvectors(scan_parallel(embeddings), m, sub_dim)
     init_w = Window.partitionBy("sub").orderBy("vec_id")
     cents = (
         sv.withColumn("_rn", F.row_number().over(init_w))
@@ -150,10 +155,14 @@ def pq_encode(
     ``tests/test_streaming_stateless_ops.py``).  Ties keep the first
     (lowest) cell of the cell-sorted array: identical semantics -- and
     identical float comparisons -- to a (d ASC, cell ASC) rank."""
+    from ..plans.shape import scan_parallel
+
     cb_arr = codebooks.groupBy("sub").agg(
         F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
     )
-    sv = _subvectors(embeddings, m, sub_dim)
+    # CPU-dense encode fold: full parallelism (no-op on streaming inputs
+    # and on real multi-split scans)
+    sv = _subvectors(scan_parallel(embeddings), m, sub_dim)
     init = F.struct(
         F.lit(-1).cast("int").alias("bc"),
         F.lit(float("inf")).alias("bd"),

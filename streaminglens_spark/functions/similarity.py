@@ -216,9 +216,15 @@ def kmeans_fit(
     centroids are bit-identical (the fold/window equality is pinned in
     ``tests/test_streaming_stateless_ops.py``); the q_ann_topk /
     q_semantic_dedup / q_shared_fit oracles are untouched."""
+    from ..plans.shape import scan_parallel
+
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
+    # the per-iteration argmax fold is k x dim multiply-adds per row --
+    # CPU-dense, so it must not run at (possibly single-split) scan
+    # parallelism; no-op on a real multi-split scan
+    body = scan_parallel(emb)
     cents = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -244,7 +250,7 @@ def kmeans_fit(
 
     for _ in range(iters):
         cents_arr = _cells_array(cents)
-        assign = emb.join(F.broadcast(cents_arr)).select(
+        assign = body.join(F.broadcast(cents_arr)).select(
             F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
             "vec_id",
             "v",
@@ -302,6 +308,13 @@ def ivf_topk(
     # top-nprobe cells, a window over n_queries x k rows.  Scores and
     # tie-breaks are bit-identical (fold/window equality pinned in
     # tests/test_streaming_stateless_ops.py); oracles untouched.
+    # r7: the corpus-side fold is CPU-dense (k x dim MACs per row) --
+    # guard it against single-split scan parallelism (the sf1 bench
+    # regression: 5.9 s serial -> 1.9 s parallel).  The query side keeps
+    # the ORIGINAL emb so its vec_id filter still pushes to the scan.
+    from ..plans.shape import scan_parallel
+
+    corpus = scan_parallel(emb)
     cents_arr = _cells_array(cents)
     init = F.struct(
         F.lit(-1).cast("int").alias("bc"),
@@ -317,7 +330,7 @@ def ivf_topk(
             F.when(better, s).otherwise(acc["bs"]).alias("bs"),
         )
 
-    assign = emb.join(F.broadcast(cents_arr)).select(
+    assign = corpus.join(F.broadcast(cents_arr)).select(
         F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
         "vec_id",
         "v",
@@ -448,7 +461,11 @@ def semantic_dedup_pairs(
     )
     # r6 plan fix (the ivf_topk/kmeans_fit lesson): argmax-only assignment
     # as the fold over the cell-ascending broadcast centroid array -- no
-    # n x k window shuffle; bit-identical cells.
+    # n x k window shuffle; bit-identical cells.  r7: fold at full
+    # parallelism, not single-split scan parallelism.
+    from ..plans.shape import scan_parallel
+
+    emb = scan_parallel(emb)
     cents_arr = _cells_array(cents)
     init = F.struct(
         F.lit(-1).cast("int").alias("bc"),
@@ -868,9 +885,13 @@ def ann_assign_fold(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     ``ann_assign``'s (cscore DESC, cell ASC) rank; pinned bit-equal by
     ``tests/test_streaming_stateless_ops.py``.  Returns
     (vec_id, cell, cscore)."""
+    from ..plans.shape import scan_parallel
+
     cents_arr = _cells_array(centroids)
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
-        "nrm", _norm(F.col("v"))
+    emb = scan_parallel(
+        embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+            "nrm", _norm(F.col("v"))
+        )
     )
     init = F.struct(
         F.lit(-1).cast("int").alias("bc"),
