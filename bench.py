@@ -72,7 +72,17 @@ HEAVY_R6 = [
     "q_shared_fit",
 ]
 
-HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6
+# r7 (r6 verdict ask #5): the last two heavyweights whose timings lived
+# only in PERF.md prose join the artifact -- BPE training (iterative
+# driver-looped merge discovery; q_bpe_merges wraps bpe_train) and the
+# KLL quantile sketch (two-level applyInPandas build + merge; non-oracle
+# by design, parity-tested in tests/test_kll.py).
+HEAVY_R7 = [
+    "q_bpe_merges",
+    "q_kll_quantiles",
+]
+
+HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7
 
 
 def run_suite(

@@ -931,6 +931,116 @@ def ann_stats_shard(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def ann_vector_shard(new_batch: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-cell ADDITIVE vector-mass shard of a new batch: (cell, n_new,
+    vsum ARRAY<BIGINT>) with vsum[d] = SUM(round(x_d * 1e6)) over the
+    vectors fold-assigned to the cell -- exactly the sufficient statistic
+    a weighted centroid update (mini-batch k-means) needs.  Integer
+    per-dimension sums are additive across arbitrary batch splits and
+    order-independent, so shards from many micro-batches merge by plain
+    SUM (``merge_vector_shards``) and the merged update is bit-identical
+    to a one-shot update over the union.
+
+    One map-only pass over the new batch (broadcast centroids, fold
+    assignment, posexplode, groupBy cell/dim); the corpus is never read."""
+    a = ann_assign_fold(new_batch, centroids).select("vec_id", "cell")
+    emb = new_batch.select("vec_id", _as_double("embedding").alias("v"))
+    dims = (
+        a.join(emb, "vec_id")
+        .select("cell", F.posexplode("v").alias("dim", "x"))
+        .withColumn("q", F.round(F.col("x") * 1_000_000).cast("long"))
+    )
+    per_dim = dims.groupBy("cell", "dim").agg(
+        F.sum("q").cast("long").alias("qs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(
+            F.max("n").cast("long").alias("n_new"),
+            F.array_sort(F.collect_list(F.struct("dim", "qs"))).alias("p"),
+        )
+        .select(
+            "cell",
+            "n_new",
+            F.transform("p", lambda s: s["qs"]).alias("vsum"),
+        )
+    )
+
+
+def merge_vector_shards(shards: DataFrame) -> DataFrame:
+    """Fold any number of ``ann_vector_shard`` outputs into one:
+    element-wise BIGINT sums (``zip_with``) + count sums, so the merge is
+    exact and associative."""
+    sums = (
+        shards.select("cell", F.posexplode("vsum").alias("dim", "qs"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("qs").cast("long").alias("qs"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "qs"))).alias("p"))
+        .select("cell", F.transform("p", lambda s: s["qs"]).alias("vsum"))
+    )
+    counts = shards.groupBy("cell").agg(
+        F.sum("n_new").cast("long").alias("n_new")
+    )
+    return counts.join(sums, "cell").select("cell", "n_new", "vsum")
+
+
+def kmeans_update(
+    centroids: DataFrame, baseline: DataFrame, vector_shard: DataFrame
+) -> DataFrame:
+    """Incremental centroid refit (r6 verdict ask #3): fold new-batch mass
+    into the fitted centroids WITHOUT rescanning the corpus -- the
+    mini-batch k-means weighted-mean update over O(k) rows:
+
+        cv'[d] = (n_base * cv[d] + vsum[d] / 1e6) / (n_base + n_new)
+
+    ``centroids`` is the fitted (cell, cv, cnrm) table, ``baseline`` the
+    persisted per-cell counts (``ann_index_stats`` / ``merge_ann_stats``
+    shape -- only n_vecs is used), ``vector_shard`` the new batch's
+    additive vector-mass shard.  After the LAST Lloyd assignment the
+    centroid IS the mean of its corpus vectors, so n_base * cv recovers
+    their per-dimension sum exactly (up to the engine's own 1e-6
+    quantization) and the update equals a mean over corpus + new vectors
+    at the old assignment -- the standard mini-batch approximation; the
+    drift/growth triggers (``ann_increment``) decide when it has decayed
+    enough to warrant a full refit.
+
+    Cells with no new mass keep their centroid bit-identical (no float
+    round-trip); cells with no baseline mass (empty-cell growth) become
+    the new mass's mean.  All arithmetic integer until the final
+    division, so the update is deterministic and shard-merge-invariant.
+    Returns (cell, cv, cnrm), same shape as ``kmeans_fit`` -- drop-in for
+    every centroid consumer.  Everything here is O(k x dim); the corpus
+    is never touched."""
+    base_n = baseline.select("cell", F.col("n_vecs").cast("long").alias("n_base"))
+    upd = (
+        centroids.select("cell", "cv")
+        .join(base_n, "cell", "left")
+        .join(vector_shard, "cell", "left")
+        .withColumn("n_base", F.coalesce(F.col("n_base"), F.lit(0).cast("long")))
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0).cast("long")))
+    )
+    # integer numerator: n_base * round(cv*1e6) + vsum ; denominator in
+    # micro-units: 1e6 * (n_base + n_new)
+    merged = F.zip_with(
+        F.col("cv"),
+        F.coalesce(
+            F.col("vsum"),
+            F.transform(F.col("cv"), lambda _: F.lit(0).cast("long")),
+        ),
+        lambda c, s: (
+            F.col("n_base") * F.round(c * 1_000_000).cast("long") + s
+        )
+        / (F.lit(1_000_000.0) * (F.col("n_base") + F.col("n_new"))),
+    )
+    out = upd.select(
+        "cell",
+        F.when(F.col("n_new") > 0, merged).otherwise(F.col("cv")).alias("cv"),
+    )
+    return out.withColumn("cnrm", _norm(F.col("cv")))
+
+
 def merge_ann_stats(shards: DataFrame) -> DataFrame:
     """Fold any number of ``ann_stats_shard`` outputs into the
     ``ann_index_stats`` baseline shape (cell, n_vecs, mean_score).

@@ -5237,3 +5237,20 @@ if len(ORACLE) != 50:
     raise RuntimeError(
         f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
     )
+
+
+# ------------------------------------------- r7: bench-only heavyweights
+# (r6 verdict ask #5: the last two PERF-prose-only heavyweights join the
+# bench artifact.  q_bpe_merges already wraps bpe_train; this wraps
+# kll_quantiles, which is non-oracle BY DESIGN -- its independent evidence
+# is bit-parity with the pure-numpy reference in tests/test_kll.py -- so
+# it registers as a bench target, not an ORACLE/LOCAL_ORACLE row.)
+
+def q_kll_quantiles(spark, sf_dir):
+    """KLL rank-error quantiles over events.value per event_type: the
+    mergeable-sketch heavyweight (two-level applyInPandas build + merge).
+    Non-oracle by design; see tests/test_kll.py for the parity, rank-error
+    and repartition-invariance evidence."""
+    from .functions.kll import kll_quantiles
+
+    return kll_quantiles(spark.read.parquet(f"{sf_dir}/events.parquet"))

@@ -1,0 +1,131 @@
+"""Streaming ANN index maintenance end-to-end (r6 verdict ask #4): a real
+file stream of embedding batches through ``ann_maintenance_monitor`` --
+an in-distribution batch publishes clean gauges, an out-of-distribution
+batch fires the drift gauge, state stays bounded at O(cells), and the
+monitor's running merge is bit-consistent with batch-side
+``merge_ann_stats`` over the same shards."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.functions.similarity import (
+    ann_index_stats,
+    ann_stats_shard,
+    kmeans_fit,
+    merge_ann_stats,
+)
+from streaminglens_spark.streaming.annmaint import (
+    ANN_GAUGE_SOURCE,
+    ann_maintenance_monitor,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_ann_maintenance_end_to_end(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    cents = kmeans_fit(corpus, k=4, iters=2).persist()
+    cents.count()
+    baseline = ann_index_stats(corpus, cents)
+
+    # stream source: JSONL files, one micro-batch each
+    src = str(tmp_path / "vecs")
+    os.makedirs(src)
+    rows = corpus.select("vec_id", "label", "embedding").collect()
+
+    def write_file(name, recs):
+        path = os.path.join(src, name)
+        with open(path + ".tmp", "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+        os.rename(path + ".tmp", path)
+
+    # batch 1: the corpus vectors re-arriving (ids offset) -- exactly
+    # in-distribution, per-cell means equal the baseline
+    write_file(
+        "b1.json",
+        [
+            {
+                "vec_id": int(r["vec_id"]) + 10_000,
+                "label": int(r["label"]),
+                "embedding": [float(x) for x in r["embedding"]],
+            }
+            for r in rows[:100]
+        ],
+    )
+
+    published: list[tuple[str, dict]] = []
+    state, body = ann_maintenance_monitor(
+        cents, baseline, gauge_sinks=[lambda s, g: published.append((s, g))]
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id long, label int, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = stream.writeStream.foreachBatch(body).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        assert published, "gauges must publish on the first batch"
+        src_name, g1 = published[-1]
+        assert src_name == ANN_GAUGE_SOURCE
+        assert g1["newVecs"] == 100
+        assert g1["driftCells"] == 0, g1  # same distribution: no drift
+        assert g1["emptyCellHits"] == 0
+
+        # batch 2: out-of-distribution (negated vectors) -- the per-cell
+        # mean assignment cosine collapses, the drift gauge must fire
+        write_file(
+            "b2.json",
+            [
+                {
+                    "vec_id": int(r["vec_id"]) + 20_000,
+                    "label": int(r["label"]),
+                    "embedding": [-float(x) for x in r["embedding"]],
+                }
+                for r in rows[:80]
+            ],
+        )
+        q.processAllAvailable()
+        g2 = published[-1][1]
+        assert g2["newVecs"] == 80
+        assert g2["driftCells"] > 0, g2  # OOD batch flagged
+
+        # state bounded at O(cells): 180 vectors streamed, <= k cells kept
+        assert len(state.cells) <= 4
+        assert g2["trackedCells"] <= 4
+    finally:
+        q.stop()
+
+    # the monitor's running merge == batch-side merge_ann_stats over the
+    # same two shards (integer sums: bit-identical arithmetic)
+    b1 = spark.createDataFrame(
+        [
+            (int(r["vec_id"]) + 10_000, int(r["label"]),
+             [float(x) for x in r["embedding"]])
+            for r in rows[:100]
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (int(r["vec_id"]) + 20_000, int(r["label"]),
+             [-float(x) for x in r["embedding"]])
+            for r in rows[:80]
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    shards = ann_stats_shard(b1, cents).unionByName(ann_stats_shard(b2, cents))
+    want = {
+        int(r["cell"]): (int(r["n_vecs"]), float(r["mean_score"]))
+        for r in merge_ann_stats(shards).collect()
+    }
+    got = {c: (n, m) for c, n, m in state.merged_stats()}
+    cents.unpersist()
+    assert got == want
