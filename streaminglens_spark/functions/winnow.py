@@ -32,7 +32,7 @@ set to multiply-corroborated candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import char_fold_hash
@@ -146,4 +146,94 @@ def winnow_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def positional_grams(
+    documents: DataFrame, k: int = WINNOW_K
+) -> DataFrame:
+    """(doc_id, pos, g): every token-k-gram hash with its 1-based start
+    position -- the positional complement of ``_minimizer_sets`` (which
+    keeps only window minima).  Map-only: gram array + posexplode."""
+
+    def grams_of(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+
+        def gram(i):
+            parts = [F.element_at(toks, i + j) for j in range(k)]
+            return char_fold_hash(F.concat_ws(" ", *parts))
+
+        return F.when(
+            n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    arr = _let(F.split(F.col("text"), " "), grams_of)
+    return (
+        documents.select("doc_id", arr.alias("gs"))
+        .select("doc_id", F.posexplode("gs").alias("p0", "g"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
+    )
+
+
+def shared_spans(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    min_tokens: int = WINNOW_W + WINNOW_K - 1,
+) -> DataFrame:
+    """Span-granular shared-passage extraction (r6 verdict ask #7): the
+    maximal shared token spans behind each ``winnow_pairs`` candidate --
+    the exact-substring step of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" that ``chunk_dedup`` approximates at
+    chunk granularity, computed per corroborated pair instead of over
+    a global suffix array.
+
+    Algorithm (all DataFrame ops): candidate pairs from the winnowing
+    sketch join (cheap, corroborated); for each pair, join doc_a's
+    positional k-grams to doc_b's on the gram hash; a maximal shared
+    span is exactly a maximal DIAGONAL run of matching grams (diag =
+    pa - pb constant, pa consecutive), found with the gaps-and-islands
+    idiom (pa - row_number over the diagonal); a run of ``r`` grams
+    covers ``r + k - 1`` tokens.
+
+    Scale shape: the gram join shuffles by gram hash (hot corpus-wide
+    grams are AQE's skew case, like hot LSH bands); the island window
+    partitions by (pair, diagonal) -- data-parallel, never global.  The
+    winnowing guarantee makes the default ``min_tokens = w + k - 1``
+    exhaustive: every shared span of that length shares >= 1 minimizer,
+    so its pair IS a candidate (``min_shared`` > 1 trades that guarantee
+    for corroboration, documented).
+
+    Returns (doc_a, doc_b, start_a, start_b, n_tokens): 1-based token
+    start positions in each document, maximal spans only."""
+    cand = winnow_pairs(documents, k, w, min_shared).select("doc_a", "doc_b")
+    grams = positional_grams(documents, k)
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    )
+    m = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    spans = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(run))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return spans.select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        (F.col("start_a") - F.col("diag")).cast("long").alias("start_b"),
+        "n_tokens",
     )

@@ -5254,3 +5254,79 @@ def q_kll_quantiles(spark, sf_dir):
     from .functions.kll import kll_quantiles
 
     return kll_quantiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+# --------------------------------------- r7: span-granular substring dedup
+
+def q_shared_spans(spark, sf_dir):
+    """Maximal shared token spans behind winnowing candidate pairs
+    (r6 verdict ask #7): the Lee-et-al exact-substring step at span
+    granularity -- diagonal runs of matching positional k-grams, islands
+    per (pair, diagonal).  Doc slice (doc_id < 1000) keeps the
+    self-similar fixture's output bounded, the q_ngram_jaccard
+    convention.  LOCAL_ORACLE (new this round)."""
+    from .functions.winnow import shared_spans
+
+    return shared_spans(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+
+
+def _shared_spans_oracle() -> str:
+    # same fold-hash idiom as the q_winnow oracle; k=3, w=4, min_shared=2,
+    # min_tokens=6 literals
+    return f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            WHERE doc_id < 1000
+        ),
+        grams AS (
+            SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+                   {_fold3_sql("(l[g.i] || ' ' || l[g.i + 1] || ' ' || l[g.i + 2])")} AS h
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 2)) AS g(i)
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+            FROM grams GROUP BY 1
+        ),
+        wins AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+            FROM grams
+        ),
+        sel AS (
+            SELECT w.doc_id, w.wmin AS mz
+            FROM wins w JOIN stats s USING (doc_id)
+            WHERE s.ng >= 4 AND w.pos <= s.ng - 3
+            UNION
+            SELECT g.doc_id, MIN(g.h) AS mz
+            FROM grams g JOIN stats s USING (doc_id)
+            WHERE s.ng < 4 GROUP BY g.doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        matches AS (
+            SELECT p.doc_a, p.doc_b, ga.pos AS pa, gb.pos AS pb
+            FROM pairs p
+            JOIN grams ga ON ga.doc_id = p.doc_a
+            JOIN grams gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, pa, pa - pb AS diag,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                           ORDER BY pa) AS grp
+            FROM matches
+        )
+        SELECT doc_a, doc_b,
+               CAST(MIN(pa) AS BIGINT) AS start_a,
+               CAST(MIN(pa) - diag AS BIGINT) AS start_b,
+               CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
+        FROM runs
+        GROUP BY doc_a, doc_b, diag, grp
+        HAVING COUNT(*) + 2 >= 6"""
+
+
+LOCAL_ORACLE["q_shared_spans"] = _shared_spans_oracle()

@@ -1,0 +1,79 @@
+"""Span-granular substring dedup (r6 verdict ask #7): planted-passage
+goldens for ``shared_spans`` -- exact start positions and lengths of the
+maximal shared token spans, the winnowing-guarantee exhaustiveness floor,
+and diagonal separation of repeated passages.  Oracle hash-parity at two
+SFs runs in test_oracle_queries (q_shared_spans on LOCAL_ORACLE)."""
+
+from __future__ import annotations
+
+from streaminglens_spark.functions.winnow import shared_spans, winnow_pairs
+
+# deterministic distinct filler vocabulary -- no accidental shared grams
+W = [f"w{i:03d}" for i in range(100)]
+PASSAGE = ["the", "quick", "brown", "fox", "jumps", "over", "a", "lazy", "dog", "today"]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_passage_exact_span(spark):
+    # doc 1: 5 filler + passage(10) + 5 filler -> passage at tokens 6..15
+    # doc 2: 8 filler + passage(10) + 3 filler -> passage at tokens 9..18
+    a = " ".join(W[0:5] + PASSAGE + W[5:10])
+    b = " ".join(W[20:28] + PASSAGE + W[28:31])
+    c = " ".join(W[40:60])  # unrelated
+    df = _docs(spark, [(1, a), (2, b), (3, c)])
+    rows = shared_spans(df).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["start_a"] == 6
+    assert r["start_b"] == 9
+    assert r["n_tokens"] == 10  # the exact planted length: maximal, no more
+
+
+def test_guarantee_floor_six_tokens(spark):
+    # exactly w + k - 1 = 6 shared tokens: the winnowing guarantee says
+    # the pair shares >= 1 minimizer, so with min_shared=1 the span is
+    # found at exactly the detection floor
+    shared6 = PASSAGE[:6]
+    a = " ".join(W[0:4] + shared6 + W[4:8])
+    b = " ".join(W[30:36] + shared6 + W[36:40])
+    df = _docs(spark, [(1, a), (2, b)])
+    rows = shared_spans(df, min_shared=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_tokens"] == 6
+    assert r["start_a"] == 5
+    assert r["start_b"] == 7
+
+
+def test_below_floor_emits_nothing(spark):
+    # 5 shared tokens < the floor: no span even at min_shared=1 with the
+    # default min_tokens (they may share grams, but no qualifying run)
+    shared5 = PASSAGE[:5]
+    a = " ".join(W[0:6] + shared5 + W[6:12])
+    b = " ".join(W[30:36] + shared5 + W[36:42])
+    df = _docs(spark, [(1, a), (2, b)])
+    assert shared_spans(df, min_shared=1).count() == 0
+
+
+def test_repeated_passage_separate_diagonals(spark):
+    # doc 2 contains the passage TWICE: two maximal spans, one per
+    # occurrence (distinct diagonals), same start_a
+    a = " ".join(W[0:3] + PASSAGE + W[3:6])
+    b = " ".join(W[20:24] + PASSAGE + W[24:27] + PASSAGE + W[27:30])
+    df = _docs(spark, [(1, a), (2, b)])
+    rows = sorted(shared_spans(df).collect(), key=lambda r: r["start_b"])
+    assert len(rows) == 2, rows
+    assert [r["start_a"] for r in rows] == [4, 4]
+    assert rows[0]["start_b"] == 5
+    assert rows[1]["start_b"] == 5 + 10 + 3  # after passage + 3 filler
+    assert all(r["n_tokens"] == 10 for r in rows)
+
+
+def test_unrelated_docs_no_pairs_no_spans(spark):
+    df = _docs(spark, [(1, " ".join(W[0:20])), (2, " ".join(W[40:60]))])
+    assert winnow_pairs(df, min_shared=1).count() == 0
+    assert shared_spans(df, min_shared=1).count() == 0
