@@ -31,13 +31,21 @@ from .kll import kll_merge_quantiles, kll_quantiles, kll_sketch_shards
 from .relational import pricing_summary, region_volume, top_customers
 from .sketch import hist_quantiles, hll_distinct, hll_distinct_windowed, kmv_distinct
 from .similarity import (
+    ann_increment,
+    ann_index_stats,
     ann_lsh_topk,
+    ann_stats_shard,
+    ann_topk,
+    ann_vector_shard,
     cosine_topk,
     embed_dedup_pairs,
     ivf_centroids,
     ivf_topk,
     kmeans_fit,
+    kmeans_update,
     lsh_bucket,
+    merge_ann_stats,
+    merge_vector_shards,
     recall_at_k,
     semantic_dedup_pairs,
 )
@@ -61,7 +69,7 @@ from .snapshot import (
     vocab_drift,
 )
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
-from .winnow import winnow_fingerprints, winnow_pairs
+from .winnow import positional_grams, shared_spans, winnow_fingerprints, winnow_pairs
 from .zorder import zorder_stats, zvalue
 
 __all__ = [

@@ -1,6 +1,7 @@
 """Live-mode surface: listeners, analyzer, reporters, telemetry providers,
 stateful streaming operators."""
 
+from .annmaint import AnnMaintenanceState, ann_maintenance_monitor
 from .dedup import loser_ids_of_batch, near_dedup_stream
 from .live import LiveAnalyzer, ProgressCapture, attach, detach, foreach_batch_monitor
 from .reporters import (
@@ -19,6 +20,7 @@ from .stateful import discounted_health_stream
 from .statusapi import StatusApiPoller, status_api_telemetry_provider
 
 __all__ = [
+    "AnnMaintenanceState",
     "JsonFileReporter",
     "LiveAnalyzer",
     "LoggingGaugeSink",
@@ -30,6 +32,7 @@ __all__ = [
     "attach_scheduler",
     "detach",
     "detach_scheduler",
+    "ann_maintenance_monitor",
     "discounted_health_stream",
     "foreach_batch_monitor",
     "load_reporter",
