@@ -373,3 +373,135 @@ def pq_increment(
             ).alias("drift_flagged"),
         )
     )
+
+
+def pq_cell_stats(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> DataFrame:
+    """Per-codeword population: (sub, cell, n_vecs) -- the O(m*k)-row
+    artifact an incremental pipeline persists AT INDEX BUILD TIME next to
+    the codebooks (the PQ analogue of ``ann_index_stats``'s counts).  One
+    encode pass over the corpus; never recomputed on the increment path."""
+    codes = pq_encode(embeddings, codebooks, m, sub_dim)
+    return codes.groupBy("sub", F.col("code").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+def pq_vector_shard(
+    new_batch: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> DataFrame:
+    """Per-codeword ADDITIVE subvector mass of a new batch: (sub, cell,
+    n_new, svsum ARRAY<BIGINT>) with svsum[d] = SUM(round(x_d * 1e6)) over
+    the subvectors argmin-encoded to the codeword -- the sufficient
+    statistic for a weighted codebook update (``pq_update``), exactly the
+    ``ann_vector_shard`` recipe per subspace.  Integer sums are additive
+    across batch splits (``merge_pq_shards``); one map-only encode fold
+    over the new batch, corpus never read."""
+    from ..plans.shape import scan_parallel
+
+    cb_arr = codebooks.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
+    )
+    sv = _subvectors(scan_parallel(new_batch), m, sub_dim)
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("inf")).alias("bd"),
+    )
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        d = _l2(F.col("sv"), c["cv"])
+        better = d < acc["bd"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+        )
+
+    code = F.aggregate(F.col("cells"), init, step, lambda acc: acc["bc"])
+    enc = sv.join(F.broadcast(cb_arr), "sub").select(
+        "sub", code.alias("cell"), "sv"
+    )
+    dims = enc.select(
+        "sub", "cell", F.posexplode("sv").alias("dim", "x")
+    ).withColumn("q", F.round(F.col("x") * 1_000_000).cast("long"))
+    per_dim = dims.groupBy("sub", "cell", "dim").agg(
+        F.sum("q").cast("long").alias("qs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        per_dim.groupBy("sub", "cell")
+        .agg(
+            F.max("n").cast("long").alias("n_new"),
+            F.array_sort(F.collect_list(F.struct("dim", "qs"))).alias("p"),
+        )
+        .select(
+            "sub", "cell", "n_new", F.transform("p", lambda s: s["qs"]).alias("svsum")
+        )
+    )
+
+
+def merge_pq_shards(shards: DataFrame) -> DataFrame:
+    """Fold any number of ``pq_vector_shard`` outputs into one:
+    element-wise BIGINT sums + count sums -- exact and associative."""
+    sums = (
+        shards.select("sub", "cell", F.posexplode("svsum").alias("dim", "qs"))
+        .groupBy("sub", "cell", "dim")
+        .agg(F.sum("qs").cast("long").alias("qs"))
+        .groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "qs"))).alias("p"))
+        .select("sub", "cell", F.transform("p", lambda s: s["qs"]).alias("svsum"))
+    )
+    counts = shards.groupBy("sub", "cell").agg(
+        F.sum("n_new").cast("long").alias("n_new")
+    )
+    return counts.join(sums, ["sub", "cell"]).select(
+        "sub", "cell", "n_new", "svsum"
+    )
+
+
+def pq_update(
+    codebooks: DataFrame, cell_stats: DataFrame, vector_shard: DataFrame
+) -> DataFrame:
+    """Incremental codebook refit (the ``kmeans_update`` recipe per PQ
+    subspace): when ``pq_increment`` flags a subspace, fold the new
+    batch's codeword mass into its codebook via the weighted mean
+
+        cv'[d] = (n_base * cv[d] + svsum[d] / 1e6) / (n_base + n_new)
+
+    over O(m*k) rows -- the corpus is never rescanned.  Codewords with no
+    new mass stay bit-identical (no float round-trip); codewords with no
+    baseline population become the new mass's mean.  All arithmetic
+    integer until the final division.  Returns (sub, cell, cv), the
+    ``pq_fit`` shape -- drop-in for every codebook consumer."""
+    base_n = cell_stats.select(
+        "sub", "cell", F.col("n_vecs").cast("long").alias("n_base")
+    )
+    upd = (
+        codebooks.select("sub", "cell", "cv")
+        .join(base_n, ["sub", "cell"], "left")
+        .join(vector_shard, ["sub", "cell"], "left")
+        .withColumn("n_base", F.coalesce(F.col("n_base"), F.lit(0).cast("long")))
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0).cast("long")))
+    )
+    merged = F.zip_with(
+        F.col("cv"),
+        F.coalesce(
+            F.col("svsum"),
+            F.transform(F.col("cv"), lambda _: F.lit(0).cast("long")),
+        ),
+        lambda c, s: (
+            F.col("n_base") * F.round(c * 1_000_000).cast("long") + s
+        )
+        / (F.lit(1_000_000.0) * (F.col("n_base") + F.col("n_new"))),
+    )
+    return upd.select(
+        "sub",
+        "cell",
+        F.when(F.col("n_new") > 0, merged).otherwise(F.col("cv")).alias("cv"),
+    )

@@ -987,7 +987,10 @@ def merge_vector_shards(shards: DataFrame) -> DataFrame:
 
 
 def kmeans_update(
-    centroids: DataFrame, baseline: DataFrame, vector_shard: DataFrame
+    centroids: DataFrame,
+    baseline: DataFrame,
+    vector_shard: DataFrame,
+    micro: bool = False,
 ) -> DataFrame:
     """Incremental centroid refit (r6 verdict ask #3): fold new-batch mass
     into the fitted centroids WITHOUT rescanning the corpus -- the
@@ -1012,7 +1015,14 @@ def kmeans_update(
     division, so the update is deterministic and shard-merge-invariant.
     Returns (cell, cv, cnrm), same shape as ``kmeans_fit`` -- drop-in for
     every centroid consumer.  Everything here is O(k x dim); the corpus
-    is never touched."""
+    is never touched.
+
+    ``micro=True`` returns (cell, cv_micro ARRAY<BIGINT>) instead: the
+    updated centroid in 1e-6 units via PURE-INTEGER half-away-from-zero
+    division ((2|N| + D) div 2D, sign restored) -- no double rounding
+    anywhere, so the value is engine-bit-exact and serves as the oracle/
+    serialization form (``q_ann_refit``); round(x, 6) on the double form
+    can disagree across engines at representation boundaries."""
     base_n = baseline.select("cell", F.col("n_vecs").cast("long").alias("n_base"))
     upd = (
         centroids.select("cell", "cv")
@@ -1021,14 +1031,50 @@ def kmeans_update(
         .withColumn("n_base", F.coalesce(F.col("n_base"), F.lit(0).cast("long")))
         .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0).cast("long")))
     )
+    zeros = F.transform(F.col("cv"), lambda _: F.lit(0).cast("long"))
+    if micro:
+        # N = n_base * round(cv*1e6) + vsum (BIGINT); D = n_base + n_new;
+        # micro = sign(N) * ((2|N| + D) div (2D)) -- half away from zero,
+        # pure LONG arithmetic end to end (a long `div`, never a double
+        # division of big longs, so no precision cliff at large n_base)
+        rows = (
+            upd.withColumn("vs", F.coalesce(F.col("vsum"), zeros))
+            .select(
+                "cell",
+                "n_base",
+                "n_new",
+                F.posexplode(F.arrays_zip("cv", "vs")).alias("dim", "z"),
+            )
+            .withColumn(
+                "N",
+                F.col("n_base")
+                * F.round(F.col("z.cv") * 1_000_000).cast("long")
+                + F.col("z.vs"),
+            )
+            .withColumn("D", (F.col("n_base") + F.col("n_new")).cast("long"))
+        )
+        half_up = F.expr(
+            "CASE WHEN N < 0 THEN -((2 * -N + D) div (2 * D)) "
+            "ELSE (2 * N + D) div (2 * D) END"
+        ).cast("long")
+        rows = rows.withColumn(
+            "m",
+            F.when(F.col("n_new") > 0, half_up).otherwise(
+                F.round(F.col("z.cv") * 1_000_000).cast("long")
+            ),
+        )
+        return (
+            rows.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+            .select(
+                "cell", F.transform("p", lambda s: s["m"]).alias("cv_micro")
+            )
+        )
     # integer numerator: n_base * round(cv*1e6) + vsum ; denominator in
     # micro-units: 1e6 * (n_base + n_new)
     merged = F.zip_with(
         F.col("cv"),
-        F.coalesce(
-            F.col("vsum"),
-            F.transform(F.col("cv"), lambda _: F.lit(0).cast("long")),
-        ),
+        F.coalesce(F.col("vsum"), zeros),
         lambda c, s: (
             F.col("n_base") * F.round(c * 1_000_000).cast("long") + s
         )

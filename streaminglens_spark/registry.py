@@ -5330,3 +5330,127 @@ def _shared_spans_oracle() -> str:
 
 
 LOCAL_ORACLE["q_shared_spans"] = _shared_spans_oracle()
+
+
+# ------------------------------------------- r7: incremental refit oracle
+
+def q_ann_refit(spark, sf_dir):
+    """Incremental centroid refit end-to-end (r6 verdict ask #3): fit on
+    the 80% corpus split, fold the interleaved 20% new batch in via the
+    additive vector-mass shard + ``kmeans_update`` weighted mean -- the
+    corpus is never rescanned on the refit path.  Output is the updated
+    centroid table itself (cell, cv rounded to 6), so the oracle hash
+    covers the whole chain: Lloyd fit, baseline counts, fold assignment
+    of the new batch, integer mass sums, and the update arithmetic.
+    LOCAL_ORACLE (new this round)."""
+    from .cache import track
+    from .functions.similarity import (
+        ann_index_stats,
+        ann_vector_shard,
+        kmeans_fit,
+        kmeans_update,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    newb = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = track(kmeans_fit(corpus, k=8, iters=5))
+    cents.count()
+    # micro form: BIGINT 1e-6 units via pure-integer half-up division --
+    # engine-bit-exact (round(x, 6) on the double form can differ across
+    # engines at decimal-representation boundaries; observed at sf0.01)
+    return kmeans_update(
+        cents,
+        ann_index_stats(corpus, cents),
+        ann_vector_shard(newb, cents),
+        micro=True,
+    )
+
+
+def _ann_refit_oracle(n_cells: int = 8, iters: int = 5) -> str:
+    """The unrolled Lloyd fit restricted to the 80% split, then the
+    kmeans_update weighted mean replicated bit-exactly: integer numerator
+    (n_base * round(cv*1e6) + vsum), one double division."""
+    dot_vc = """list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> n.v[CAST(i AS INT)] * c.cv[CAST(i AS INT)])),
+                       (a, b) -> a + b)"""
+    ctes = _kmeans_assign_ctes(n_cells, iters)
+    # the fit sees only the corpus split
+    ctes[0] = """emb AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id % 5 != 4
+        )"""
+    ctes.append(
+        """base AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base
+            FROM assign GROUP BY 1
+        )"""
+    )
+    ctes.append(
+        """nnormed AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)),
+                        (a, b) -> a + b)) AS nrm
+            FROM (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id % 5 = 4
+            )
+        )"""
+    )
+    ctes.append(
+        f"""nassign AS (
+            SELECT cell, vec_id, v FROM (
+                SELECT n.vec_id, n.v, c.cell,
+                       row_number() OVER (PARTITION BY n.vec_id
+                                          ORDER BY {dot_vc} / (n.nrm * c.cnrm)
+                                              DESC, c.cell) AS rn
+                FROM nnormed n CROSS JOIN c{iters} c
+            ) WHERE rn = 1
+        )"""
+    )
+    ctes.append(
+        """vsums AS (
+            SELECT cell, CAST(u.i - 1 AS INT) AS dim,
+                   CAST(SUM(CAST(round(v[CAST(u.i AS INT)] * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS vs,
+                   CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM nassign CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) u
+            GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(
+        f"""upd AS (
+            SELECT cell, i,
+                   CASE WHEN n_new IS NULL THEN cq
+                        WHEN nn < 0 THEN -((2 * -nn + dd) // (2 * dd))
+                        ELSE (2 * nn + dd) // (2 * dd)
+                   END AS m
+            FROM (
+                SELECT c.cell, u.i AS i, vs.n_new,
+                       CAST(round(c.cv[CAST(u.i AS INT)] * 1000000)
+                            AS BIGINT) AS cq,
+                       coalesce(b.n_base, 0)
+                           * CAST(round(c.cv[CAST(u.i AS INT)] * 1000000)
+                                  AS BIGINT)
+                           + vs.vs AS nn,
+                       coalesce(b.n_base, 0) + vs.n_new AS dd
+                FROM c{iters} c
+                CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) u
+                LEFT JOIN base b ON b.cell = c.cell
+                LEFT JOIN vsums vs ON vs.cell = c.cell AND vs.dim = u.i - 1
+            )
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + """
+        SELECT cell, list(CAST(m AS BIGINT) ORDER BY i) AS cv_micro
+        FROM upd GROUP BY cell"""
+    )
+
+
+LOCAL_ORACLE["q_ann_refit"] = _ann_refit_oracle()

@@ -132,3 +132,27 @@ def test_recall_within_margin_of_full_refit_on_drifted_corpus(spark):
         df.unpersist()
     assert r_updated >= r_refit - 0.15, (r_updated, r_refit)
     assert r_updated >= 0.5, r_updated
+
+
+def test_micro_form_matches_double_form(spark):
+    """micro=True is the integer serialization of the double update:
+    every micro value is within half a unit of cv * 1e6, and untouched
+    cells are exactly round(cv * 1e6)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    newb = emb.filter(F.col("vec_id") % 5 == 4)
+    from streaminglens_spark.functions.similarity import ann_index_stats
+
+    cents = kmeans_fit(corpus, k=4, iters=2).persist()
+    cents.count()
+    baseline = ann_index_stats(corpus, cents)
+    shard = ann_vector_shard(newb, cents)
+    dbl = {r["cell"]: r["cv"] for r in
+           kmeans_update(cents, baseline, shard).collect()}
+    mic = {r["cell"]: r["cv_micro"] for r in
+           kmeans_update(cents, baseline, shard, micro=True).collect()}
+    cents.unpersist()
+    assert dbl.keys() == mic.keys()
+    for cell in dbl:
+        for d, m in zip(dbl[cell], mic[cell]):
+            assert abs(d * 1_000_000 - m) <= 0.5 + 1e-6, (cell, d, m)
