@@ -41,14 +41,26 @@ BPE_MERGES = 8
 
 def _word_table(documents: DataFrame) -> DataFrame:
     """(ws: array<string> character symbols, cnt): the distinct-word
-    reduction of the corpus."""
-    return (
-        documents.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    reduction of the corpus.  r7: tokenize/explode at full parallelism
+    (the scan-stage guard; no-op on real multi-split scans), and the
+    OUTPUT is repartitioned to cluster width so every training round's
+    pair-explode and merge fold -- which iterate this table, not the
+    corpus -- run on all cores (AQE coalesces the build's shuffle to few
+    partitions because the table is small in BYTES; the loop's cost is
+    per-ROW compute, measured 10 -> 32 partitions on the checkpointed
+    table)."""
+    from ..plans.shape import scan_parallel
+
+    words = (
+        scan_parallel(documents.select("text"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(F.split(F.col("w"), "").alias("ws"), "cnt")
     )
+    sc = documents.sparkSession.sparkContext
+    return words.repartition(sc.defaultParallelism)
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
