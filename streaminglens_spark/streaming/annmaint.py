@@ -147,3 +147,115 @@ def ann_maintenance_monitor(
             batch_df.unpersist()
 
     return state, _body
+
+
+PQ_GAUGE_SOURCE = "spark.streaming.pqMaintenance"
+
+
+class PqMaintenanceState:
+    """O(subspaces) running state for streaming PQ maintenance: per-sub
+    integer (n_vecs, err_qsum) folds plus the fitted error baseline."""
+
+    def __init__(self, baseline_rows, err_ratio: float = 1.5) -> None:
+        # {sub: (n_vecs, mean_err)} -- pq_error_stats shape
+        self.baseline = {
+            int(r["sub"]): (int(r["n_vecs"]), float(r["mean_err"]))
+            for r in baseline_rows
+        }
+        self.err_ratio = err_ratio
+        self.subs: dict[int, list[int]] = {}
+        self.batches = 0
+
+    def fold_shard(self, err_rows) -> dict:
+        """Fold one batch's per-sub (sub, n, qsum) error rows in; return
+        the batch's trigger gauges."""
+        self.batches += 1
+        n_batch = 0  # (vec, sub) rows; vectors = n_batch / #subs seen
+        subs_seen = set()
+        flagged = 0
+        worst_ratio = 0.0
+        for r in err_rows:
+            sub, n, qs = int(r["sub"]), int(r["n"]), int(r["qsum"])
+            n_batch += n
+            subs_seen.add(sub)
+            acc = self.subs.setdefault(sub, [0, 0])
+            acc[0] += n
+            acc[1] += qs
+            base = self.baseline.get(sub)
+            if base is None or base[1] == 0 or n == 0:
+                continue
+            new_err = (qs / 1_000_000.0) / n
+            ratio = new_err / base[1]
+            worst_ratio = max(worst_ratio, ratio)
+            if new_err > base[1] * self.err_ratio:
+                flagged += 1
+        return {
+            # every vector contributes one row per subspace
+            "newVecs": n_batch // len(subs_seen) if subs_seen else 0,
+            "flaggedSubspaces": flagged,
+            "worstErrRatioMilli": int(round(worst_ratio * 1000)),
+            "trackedSubspaces": len(self.subs),
+        }
+
+    def merged_err_stats(self) -> list[tuple[int, int, float]]:
+        """(sub, n_vecs, mean_err) -- bit-identical to a batch-side
+        integer-quantized mean over the same shards."""
+        return [
+            (sub, n, (qs / 1_000_000.0) / n)
+            for sub, (n, qs) in sorted(self.subs.items())
+            if n > 0
+        ]
+
+
+def pq_maintenance_monitor(
+    codebooks,
+    baseline,
+    analyzer=None,
+    gauge_sinks=None,
+    downstream=None,
+    err_ratio: float = 1.5,
+):
+    """Streaming PQ-index maintenance: the ``ann_maintenance_monitor``
+    recipe on the product quantizer.  Per micro-batch: one map-only
+    ``pq_encode_with_error`` pass (streaming-legal fold) rolled up to
+    per-subspace integer error sums, folded into O(subspaces) driver
+    state, compared against the fitted ``pq_error_stats`` baseline with
+    ``pq_increment``'s absolute-error ratio trigger, and published under
+    ``spark.streaming.pqMaintenance`` through the fail-open sink path.
+    A flagged subspace's remedy is ``pq_update`` (incremental) or
+    ``pq_fit`` (full), both offline -- the monitor only decides."""
+    from pyspark.sql import functions as F
+
+    from ..functions.pq import pq_encode_with_error
+
+    state = PqMaintenanceState(baseline.collect(), err_ratio=err_ratio)
+
+    def _body(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            err_rows = (
+                pq_encode_with_error(batch_df, codebooks)
+                .withColumn("q", F.round(F.col("err") * 1_000_000).cast("long"))
+                .groupBy("sub")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("q").cast("long").alias("qsum"),
+                )
+                .collect()
+            )
+            gauges = state.fold_shard(err_rows)
+            gauges["batchId"] = int(batch_id)
+            if analyzer is not None:
+                analyzer.set_extra_gauges(PQ_GAUGE_SOURCE, gauges)
+            for sink in gauge_sinks or []:
+                pub = getattr(sink, "publish", None) or sink
+                try:
+                    pub(PQ_GAUGE_SOURCE, dict(gauges))
+                except Exception:
+                    pass  # fail-open, the analyzer's sink contract
+            if downstream is not None:
+                downstream(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return state, _body

@@ -129,3 +129,113 @@ def test_streaming_ann_maintenance_end_to_end(spark, tmp_path):
     got = {c: (n, m) for c, n, m in state.merged_stats()}
     cents.unpersist()
     assert got == want
+
+
+def test_streaming_pq_maintenance_end_to_end(spark, tmp_path):
+    """PQ analogue: in-distribution batch publishes no flags; an OOD
+    batch (scaled vectors -- absolute quantization error grows) fires the
+    flaggedSubspaces gauge; state bounded at O(subspaces); the running
+    merge matches a batch-side integer-quantized error mean."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.pq import (
+        pq_encode_with_error,
+        pq_error_stats,
+        pq_fit,
+    )
+    from streaminglens_spark.streaming.annmaint import (
+        PQ_GAUGE_SOURCE,
+        pq_maintenance_monitor,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    cb = pq_fit(corpus).persist()
+    cb.count()
+    baseline = pq_error_stats(corpus, cb)
+
+    src = str(tmp_path / "pqvecs")
+    os.makedirs(src)
+    rows = corpus.select("vec_id", "label", "embedding").collect()
+
+    def write_file(name, recs):
+        path = os.path.join(src, name)
+        with open(path + ".tmp", "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+        os.rename(path + ".tmp", path)
+
+    write_file(
+        "b1.json",
+        [
+            {
+                "vec_id": int(r["vec_id"]) + 10_000,
+                "label": int(r["label"]),
+                "embedding": [float(x) for x in r["embedding"]],
+            }
+            for r in rows[:100]
+        ],
+    )
+
+    published: list[tuple[str, dict]] = []
+    state, body = pq_maintenance_monitor(
+        cb, baseline, gauge_sinks=[lambda s, g: published.append((s, g))]
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, label int, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = stream.writeStream.foreachBatch(body).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        src_name, g1 = published[-1]
+        assert src_name == PQ_GAUGE_SOURCE
+        assert g1["newVecs"] == 100
+        assert g1["flaggedSubspaces"] == 0, g1  # same distribution
+
+        # OOD: vectors scaled 5x -- squared-L2 residuals blow past the
+        # 1.5x baseline ratio in every subspace
+        write_file(
+            "b2.json",
+            [
+                {
+                    "vec_id": int(r["vec_id"]) + 20_000,
+                    "label": int(r["label"]),
+                    "embedding": [5.0 * float(x) for x in r["embedding"]],
+                }
+                for r in rows[:60]
+            ],
+        )
+        q.processAllAvailable()
+        g2 = published[-1][1]
+        assert g2["newVecs"] == 60
+        assert g2["flaggedSubspaces"] > 0, g2
+        assert len(state.subs) <= len(state.baseline)
+    finally:
+        q.stop()
+
+    # running merge == batch-side integer-quantized per-sub error mean
+    b1 = spark.createDataFrame(
+        [(int(r["vec_id"]) + 10_000, int(r["label"]),
+          [float(x) for x in r["embedding"]]) for r in rows[:100]],
+        "vec_id long, label int, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [(int(r["vec_id"]) + 20_000, int(r["label"]),
+          [5.0 * float(x) for x in r["embedding"]]) for r in rows[:60]],
+        "vec_id long, label int, embedding array<double>",
+    )
+    want_rows = (
+        pq_encode_with_error(b1.unionByName(b2), cb)
+        .withColumn("q", F.round(F.col("err") * 1_000_000).cast("long"))
+        .groupBy("sub")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("q").cast("long").alias("qs"))
+        .collect()
+    )
+    want = {int(r["sub"]): (int(r["n"]), (int(r["qs"]) / 1_000_000.0) / int(r["n"]))
+            for r in want_rows}
+    got = {s: (n, m) for s, n, m in state.merged_err_stats()}
+    cb.unpersist()
+    assert got == want
