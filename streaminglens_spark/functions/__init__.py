@@ -4,6 +4,7 @@ with a DuckDB-oracle-checked contract (COVERAGE.md maps each to its check)."""
 
 from .dedup import (
     dedup_exact,
+    softdedup_weights,
     dup_corpus,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -69,7 +70,13 @@ from .snapshot import (
     vocab_drift,
 )
 from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_count
-from .winnow import positional_grams, shared_spans, winnow_fingerprints, winnow_pairs
+from .winnow import (
+    duplicated_passages,
+    positional_grams,
+    shared_spans,
+    winnow_fingerprints,
+    winnow_pairs,
+)
 from .zorder import zorder_stats, zvalue
 
 __all__ = [

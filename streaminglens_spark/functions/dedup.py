@@ -764,3 +764,31 @@ def dedup_against_index(
         .filter(F.col("est") >= threshold)
         .select("new_id", "match_id", verdict.alias("verdict"), "est")
     )
+
+
+def softdedup_weights(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Soft dedup (r7): DOWN-WEIGHT duplicates instead of dropping them --
+    the SoftDeDup training-mixture alternative to hard keeper election
+    (dropping all-but-one per cluster discards paraphrase diversity; a
+    1/cluster_size weight keeps every copy visible at the cluster's
+    aggregate sampling mass).
+
+    ``clusters`` is any (doc_id, cluster_id, cluster_size) table
+    (``dedup_clusters`` output -- minhash, simhash or semantic pairs all
+    feed it); docs absent from it are singletons (weight 1.0).  Weights
+    are integer parts-per-million via integer division, so the table is
+    engine-exact and a sampler can consume it with the integer-threshold
+    idiom (``hash_sample``).  Returns (doc_id, cluster_id, cluster_size,
+    weight_ppm); one broadcast-able left join, no shuffle beyond it."""
+    joined = documents.select("doc_id").join(clusters, "doc_id", "left")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        .cast("long")
+        .alias("cluster_id"),
+        size.cast("long").alias("cluster_size"),
+        F.expr(
+            "CAST(1000000 div coalesce(cluster_size, 1) AS BIGINT)"
+        ).alias("weight_ppm"),
+    )

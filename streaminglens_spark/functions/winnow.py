@@ -207,6 +207,34 @@ def shared_spans(
 
     Returns (doc_a, doc_b, start_a, start_b, n_tokens): 1-based token
     start positions in each document, maximal spans only."""
+    spans = (
+        _span_runs(documents, k, w, min_shared)
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return spans.select(
+        "doc_a",
+        "doc_b",
+        "start_a",
+        (F.col("start_a") - F.col("diag")).cast("long").alias("start_b"),
+        "n_tokens",
+    )
+
+
+def _span_runs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+) -> DataFrame:
+    """The matched-gram diagonal runs behind ``shared_spans`` /
+    ``duplicated_passages``: (doc_a, doc_b, diag, grp, pa, g) -- one row
+    per matching gram occurrence, ``grp`` the gaps-and-islands id of its
+    maximal run on the (pair, diagonal)."""
     cand = winnow_pairs(documents, k, w, min_shared).select("doc_a", "doc_b")
     grams = positional_grams(documents, k)
     ga = grams.select(
@@ -221,19 +249,58 @@ def shared_spans(
         .withColumn("diag", F.col("pa") - F.col("pb"))
     )
     run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return m.withColumn("grp", F.col("pa") - F.row_number().over(run))
+
+
+def duplicated_passages(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    min_tokens: int = WINNOW_W + WINNOW_K - 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-passage inventory: which passages repeat
+    across HOW MANY documents -- the training-data-hygiene view on top of
+    the pairwise spans (a passage shared by d docs appears as C(d, 2)
+    pairwise spans; this rolls them up to one row with the distinct-doc
+    count).  The passage identity is the md5 digest of its matched gram
+    hashes in order (the ``winnow_fingerprints`` digest idiom), so the
+    SAME text span digests identically wherever it appears, regardless of
+    position or pairing.
+
+    Returns (passage_digest, n_tokens, n_docs, example_doc): passages of
+    >= ``min_tokens`` tokens appearing in >= ``min_docs`` distinct
+    documents; ``example_doc`` = lowest doc_id containing it.  All
+    aggregation is digest-keyed groupBy -- data-parallel, no global
+    structure (a suffix-array pass would need one)."""
+    runs = _span_runs(documents, k, w, min_shared)
     spans = (
-        m.withColumn("grp", F.col("pa") - F.row_number().over(run))
-        .groupBy("doc_a", "doc_b", "diag", "grp")
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
         .agg(
-            F.min("pa").cast("long").alias("start_a"),
             (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pa", "g"))),
+                        lambda s: s["g"].cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("passage_digest"),
         )
         .filter(F.col("n_tokens") >= min_tokens)
     )
-    return spans.select(
-        "doc_a",
-        "doc_b",
-        "start_a",
-        (F.col("start_a") - F.col("diag")).cast("long").alias("start_b"),
-        "n_tokens",
+    docs = spans.select(
+        "passage_digest", "n_tokens", F.col("doc_a").alias("doc")
+    ).unionByName(
+        spans.select("passage_digest", "n_tokens", F.col("doc_b").alias("doc"))
+    )
+    return (
+        docs.groupBy("passage_digest", "n_tokens")
+        .agg(
+            F.countDistinct("doc").cast("long").alias("n_docs"),
+            F.min("doc").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
     )

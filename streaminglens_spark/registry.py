@@ -5454,3 +5454,122 @@ def _ann_refit_oracle(n_cells: int = 8, iters: int = 5) -> str:
 
 
 LOCAL_ORACLE["q_ann_refit"] = _ann_refit_oracle()
+
+
+# --------------------------------------- r7: duplicated-passage inventory
+
+def q_dup_passages(spark, sf_dir):
+    """Corpus-level duplicated-passage inventory (the roll-up of
+    q_shared_spans): passage identity = md5 of the matched gram-hash run,
+    counted over distinct documents.  Same doc slice as q_shared_spans.
+    LOCAL_ORACLE (new this round)."""
+    from .functions.winnow import duplicated_passages
+
+    return duplicated_passages(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+
+
+def _dup_passages_oracle() -> str:
+    return f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            WHERE doc_id < 1000
+        ),
+        grams AS (
+            SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+                   {_fold3_sql("(l[g.i] || ' ' || l[g.i + 1] || ' ' || l[g.i + 2])")} AS h
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 2)) AS g(i)
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+            FROM grams GROUP BY 1
+        ),
+        wins AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+            FROM grams
+        ),
+        sel AS (
+            SELECT w.doc_id, w.wmin AS mz
+            FROM wins w JOIN stats s USING (doc_id)
+            WHERE s.ng >= 4 AND w.pos <= s.ng - 3
+            UNION
+            SELECT g.doc_id, MIN(g.h) AS mz
+            FROM grams g JOIN stats s USING (doc_id)
+            WHERE s.ng < 4 GROUP BY g.doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        matches AS (
+            SELECT p.doc_a, p.doc_b, ga.pos AS pa, gb.pos AS pb, ga.h
+            FROM pairs p
+            JOIN grams ga ON ga.doc_id = p.doc_a
+            JOIN grams gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, pa, h, pa - pb AS diag,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                           ORDER BY pa) AS grp
+            FROM matches
+        ),
+        spans AS (
+            SELECT doc_a, doc_b,
+                   CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens,
+                   md5(array_to_string(
+                       list_transform(list(h ORDER BY pa),
+                                      x -> CAST(x AS VARCHAR)), '-'))
+                       AS passage_digest
+            FROM runs
+            GROUP BY doc_a, doc_b, diag, grp
+            HAVING COUNT(*) + 2 >= 6
+        ),
+        pdocs AS (
+            SELECT passage_digest, n_tokens, doc_a AS doc FROM spans
+            UNION ALL
+            SELECT passage_digest, n_tokens, doc_b FROM spans
+        )
+        SELECT passage_digest, n_tokens,
+               CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+               CAST(MIN(doc) AS BIGINT) AS example_doc
+        FROM pdocs
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT doc) >= 2"""
+
+
+LOCAL_ORACLE["q_dup_passages"] = _dup_passages_oracle()
+
+
+# ---------------------------------------------------- r7: soft dedup
+
+def q_softdedup(spark, sf_dir):
+    """Soft dedup weights (r7): every document down-weighted by its
+    near-dup cluster size (1e6 // size ppm, singletons 1e6) -- the
+    keep-everything alternative to keeper election, composed from the
+    minhash pair + cluster chain the hard path uses.  LOCAL_ORACLE
+    (new this round)."""
+    from .functions.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        softdedup_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return softdedup_weights(docs, dedup_clusters(minhash_lsh_pairs(docs)))
+
+
+# rotation-proof lookup: the cluster oracle may live on either surface
+_softdedup_clusters_sql = (
+    ORACLE.get("q_dedup_clusters") or LOCAL_ORACLE["q_dedup_clusters"]
+)
+LOCAL_ORACLE["q_softdedup"] = f"""
+        SELECT d.doc_id,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+               CAST(1000000 // coalesce(c.cluster_size, 1) AS BIGINT)
+                   AS weight_ppm
+        FROM documents d
+        LEFT JOIN ({_softdedup_clusters_sql}) c ON c.doc_id = d.doc_id"""

@@ -81,3 +81,39 @@ def test_contract_agrees_on_minhash_fixture(spark):
     finally:
         pairs.unpersist()
         cache.release_caches()
+
+
+def test_softdedup_weights_golden(spark):
+    """Soft dedup: cluster members share 1e6 // size ppm each; docs in no
+    pair are singletons at full weight; every input doc appears exactly
+    once."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.dedup import (
+        dedup_clusters,
+        softdedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # clusters: {1,2,3} and {5,6}; 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in softdedup_weights(docs, dedup_clusters(pairs)).collect()
+    }
+    assert set(out) == set(range(1, 8))
+    for d in (1, 2, 3):
+        assert out[d]["cluster_id"] == 1
+        assert out[d]["cluster_size"] == 3
+        assert out[d]["weight_ppm"] == 333333  # 1e6 // 3
+    for d in (5, 6):
+        assert out[d]["cluster_id"] == 5
+        assert out[d]["weight_ppm"] == 500000
+    for d in (4, 7):
+        assert out[d]["cluster_id"] == d
+        assert out[d]["cluster_size"] == 1
+        assert out[d]["weight_ppm"] == 1_000_000

@@ -77,3 +77,45 @@ def test_unrelated_docs_no_pairs_no_spans(spark):
     df = _docs(spark, [(1, " ".join(W[0:20])), (2, " ".join(W[40:60]))])
     assert winnow_pairs(df, min_shared=1).count() == 0
     assert shared_spans(df, min_shared=1).count() == 0
+
+
+def test_duplicated_passages_rollup(spark):
+    """The same planted passage in THREE docs rolls up to ONE inventory
+    row with n_docs = 3 (pairwise spans would show C(3,2) = 3 rows), and
+    the digest is position-independent."""
+    from streaminglens_spark.functions.winnow import duplicated_passages
+
+    a = " ".join(W[0:5] + PASSAGE + W[5:10])
+    b = " ".join(W[20:28] + PASSAGE + W[28:31])
+    c = " ".join(W[40:42] + PASSAGE + W[42:50])
+    d = " ".join(W[60:80])  # unrelated
+    df = _docs(spark, [(1, a), (2, b), (3, c), (4, d)])
+    rows = duplicated_passages(df).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["n_docs"] == 3
+    assert r["n_tokens"] == 10
+    assert r["example_doc"] == 1
+
+
+def test_duplicated_passages_distinct_passages_distinct_rows(spark):
+    """Two DIFFERENT repeated passages get two inventory rows with
+    different digests."""
+    from streaminglens_spark.functions.winnow import duplicated_passages
+
+    p2 = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    df = _docs(
+        spark,
+        [
+            (1, " ".join(W[0:4] + PASSAGE + W[4:8])),
+            (2, " ".join(W[20:24] + PASSAGE + W[24:28])),
+            (3, " ".join(W[40:44] + p2 + W[44:48])),
+            (4, " ".join(W[60:64] + p2 + W[64:68])),
+        ],
+    )
+    # min_shared=1: the 7-token passage sits at the winnowing guarantee
+    # floor and may contribute only ONE shared minimizer
+    rows = duplicated_passages(df, min_shared=1).collect()
+    assert len(rows) == 2, rows
+    assert len({r["passage_digest"] for r in rows}) == 2
+    assert sorted(r["n_tokens"] for r in rows) == [7, 10]
