@@ -317,3 +317,50 @@ def negative_samples(
         .filter(F.col("neg_label") != F.col("anchor_label"))
         .select("anchor_id", "j", "neg_id", "anchor_label", "neg_label")
     )
+
+
+def token_budget_sample(
+    df: DataFrame, stratum: str, key: str, budgets: dict[str, int]
+) -> DataFrame:
+    """Per-stratum sampling to a TOKEN budget (r7): the mixture primitive
+    when targets are expressed in tokens, not proportions ("200M tokens
+    of code, 50M of forums") -- ``mixture_sample`` reweights by row
+    count, which drifts when strata have different document lengths.
+
+    Within each stratum, documents are taken in affine-hash order over
+    ``key`` (uncorrelated with content, deterministic, the
+    ``hash_sample`` hash) until the cumulative whitespace-token count
+    reaches the stratum's budget; the document that CROSSES the boundary
+    is the last one kept, so every nonzero budget keeps at least one
+    document and the kept set is exactly the smallest hash-prefix
+    reaching the budget.  Strata absent from ``budgets`` are dropped.
+
+    Scale shape: one broadcast join of the O(strata) budget table, one
+    shuffle by stratum for the per-stratum cumulative window
+    (data-parallel across strata; a stratum's rows stay on one reducer --
+    if one stratum dwarfs the cluster, pre-aggregate per (stratum,
+    hash-bucket) and budget the buckets).  Integer tokens and cumulative
+    sums: the kept set is engine-exact.  Returns the sampled rows +
+    (n_tokens, cum_tokens)."""
+    from pyspark.sql import Window
+
+    bud = df.sparkSession.createDataFrame(
+        [(s, int(b)) for s, b in budgets.items()],
+        f"{stratum} string, _budget long",
+    )
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0))
+    h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
+    w = Window.partitionBy(stratum).orderBy(F.col("_h"), F.col(key))
+    out = (
+        df.join(F.broadcast(bud), stratum)
+        .withColumn("_h", h)
+        .withColumn("n_tokens", toks.cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+    )
+    return out.drop("_h", "_budget")

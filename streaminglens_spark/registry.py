@@ -5573,3 +5573,50 @@ LOCAL_ORACLE["q_softdedup"] = f"""
                    AS weight_ppm
         FROM documents d
         LEFT JOIN ({_softdedup_clusters_sql}) c ON c.doc_id = d.doc_id"""
+
+
+# ------------------------------------------- r7: token-budget sampling
+
+TOKEN_BUDGETS = [("src0", 400), ("src1", 700), ("src2", 100000), ("src3", 1)]
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (r7): each source sampled in
+    affine-hash order until its TOKEN budget is reached (src2's budget
+    exceeds its mass = keep all; src3's budget of 1 keeps exactly the
+    first hash-ordered doc).  LOCAL_ORACLE (new this round)."""
+    from .functions.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir), "source", "doc_id", dict(TOKEN_BUDGETS)
+    )
+
+
+def _token_budget_oracle() -> str:
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    vals = ", ".join(f"('{s}', {b})" for s, b in TOKEN_BUDGETS)
+    return f"""
+        WITH bud(source, budget) AS (VALUES {vals}),
+        t AS (
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                   CAST(len(list_filter(string_split(d.text, ' '),
+                                        w -> len(w) > 0)) AS BIGINT)
+                       AS n_tokens,
+                   ({HASH_A} * d.doc_id + {HASH_B}) % {HASH_P} AS h
+            FROM documents d JOIN bud b USING (source)
+        ),
+        c AS (
+            SELECT t.*, b.budget,
+                   SUM(n_tokens) OVER (PARTITION BY t.source
+                                       ORDER BY h, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS cum_tokens
+            FROM t JOIN bud b USING (source)
+        )
+        SELECT doc_id, text, lang, source, n_chars, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < budget"""
+
+
+LOCAL_ORACLE["q_token_budget"] = _token_budget_oracle()

@@ -1,0 +1,68 @@
+"""Token-budget sampling goldens (r7): the kept set is the smallest
+hash-prefix per stratum reaching the budget -- boundary-crossing doc
+kept, budget 1 keeps exactly one doc, absent strata dropped, oversized
+budgets keep everything.  Oracle hash-parity at two SFs runs in
+test_oracle_queries (q_token_budget on LOCAL_ORACLE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.functions.sampling import token_budget_sample
+from streaminglens_spark.functions.sketch import HASH_A, HASH_B, HASH_P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def _hash_order(ids):
+    return sorted(ids, key=lambda i: ((HASH_A * i + HASH_B) % HASH_P, i))
+
+
+def test_budget_boundary_doc_is_kept(spark):
+    # 4 docs of 10 tokens each in one stratum; budget 25 -> the doc that
+    # CROSSES the boundary (cum 30) is kept, the next (cum 40) is not
+    docs = _docs(
+        spark,
+        [(i, " ".join(["w"] * 10), "a") for i in range(4)],
+    )
+    out = token_budget_sample(docs, "source", "doc_id", {"a": 25})
+    rows = sorted(out.collect(), key=lambda r: r["cum_tokens"])
+    assert [r["cum_tokens"] for r in rows] == [10, 20, 30]
+    assert [r["doc_id"] for r in rows] == _hash_order(range(4))[:3]
+
+
+def test_budget_one_keeps_exactly_first(spark):
+    docs = _docs(spark, [(i, "x y z", "a") for i in range(5)])
+    out = token_budget_sample(docs, "source", "doc_id", {"a": 1}).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == _hash_order(range(5))[0]
+
+
+def test_absent_stratum_dropped_oversized_keeps_all(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b", "keepall"), (2, "c d", "keepall"), (3, "e f", "nobudget")],
+    )
+    out = token_budget_sample(
+        docs, "source", "doc_id", {"keepall": 10_000}
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_kept_mass_within_one_doc_of_budget(spark):
+    # invariant: cum_tokens - n_tokens < budget for every kept row, and
+    # the NEXT doc in hash order would exceed it
+    docs = _docs(
+        spark,
+        [(i, " ".join(["t"] * (3 + i % 5)), "s") for i in range(20)],
+    )
+    budget = 40
+    out = token_budget_sample(docs, "source", "doc_id", {"s": budget})
+    rows = out.collect()
+    assert all(r["cum_tokens"] - r["n_tokens"] < budget for r in rows)
+    kept_tokens = max(r["cum_tokens"] for r in rows)
+    assert kept_tokens >= budget  # the boundary doc pushed it over
