@@ -776,9 +776,12 @@ def softdedup_weights(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     ``clusters`` is any (doc_id, cluster_id, cluster_size) table
     (``dedup_clusters`` output -- minhash, simhash or semantic pairs all
     feed it); docs absent from it are singletons (weight 1.0).  Weights
-    are integer parts-per-million via integer division, so the table is
-    engine-exact and a sampler can consume it with the integer-threshold
-    idiom (``hash_sample``).  Returns (doc_id, cluster_id, cluster_size,
+    are integer parts-per-million via integer division, FLOORED AT 1 ppm
+    (r7 review: a cluster larger than 1e6 docs would otherwise integer-
+    divide to weight 0 -- silently dropping it, the exact over-deletion
+    this operator exists to avoid), so the table is engine-exact and a
+    sampler can consume it with the integer-threshold idiom
+    (``hash_sample``).  Returns (doc_id, cluster_id, cluster_size,
     weight_ppm); one broadcast-able left join, no shuffle beyond it."""
     joined = documents.select("doc_id").join(clusters, "doc_id", "left")
     size = F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
@@ -789,6 +792,7 @@ def softdedup_weights(documents: DataFrame, clusters: DataFrame) -> DataFrame:
         .alias("cluster_id"),
         size.cast("long").alias("cluster_size"),
         F.expr(
-            "CAST(1000000 div coalesce(cluster_size, 1) AS BIGINT)"
+            "CAST(greatest(1, 1000000 div coalesce(cluster_size, 1))"
+            " AS BIGINT)"
         ).alias("weight_ppm"),
     )

@@ -71,6 +71,37 @@ def _l2(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _fold_encode(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """THE argmin encode fold, defined once (r7 review: four in-lock-step
+    copies): ``sv`` must carry ``sub`` and ``sv``; every sv column is
+    preserved and (code, err) appended -- the strictly-less fold over the
+    cell-ascending broadcast codebook array, tie to the FIRST (lowest)
+    cell, identical float comparisons to a (d ASC, cell ASC) rank (pinned
+    by ``tests/test_streaming_stateless_ops.py``).  A pure projection
+    after the tiny per-sub broadcast join: map-only, streaming-legal."""
+    cb_arr = codebooks.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
+    )
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("inf")).alias("bd"),
+    )
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        d = _l2(F.col("sv"), c["cv"])
+        better = d < acc["bd"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
+            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+        )
+
+    best = F.aggregate(F.col("cells"), init, step)
+    cols = list(sv.columns)
+    return sv.join(F.broadcast(cb_arr), "sub").select(
+        *cols, best["bc"].alias("code"), best["bd"].alias("err")
+    )
+
+
 def pq_fit(
     embeddings: DataFrame,
     m: int = PQ_M,
@@ -99,32 +130,14 @@ def pq_fit(
         )
     )
     # r6 plan fix (the kmeans_fit lesson): per-iteration argmin as the
-    # pq_encode fold over the cell-sorted broadcast codebook array instead
-    # of a row_number window -- the window shuffled n*m*k scored rows every
-    # iteration; the fold is a pure projection with identical strict-<
-    # tie-to-lowest-cell semantics, so centroids are bit-identical and the
-    # q_pq_* oracles are untouched.
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("inf")).alias("bd"),
-    )
-
-    def _argmin_step(acc: F.Column, c: F.Column) -> F.Column:
-        d = _l2(F.col("sv"), c["cv"])
-        better = d < acc["bd"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
-            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
-        )
-
+    # shared encode fold over the cell-sorted broadcast codebook array
+    # instead of a row_number window -- the window shuffled n*m*k scored
+    # rows every iteration; the fold is a pure projection with identical
+    # strict-< tie-to-lowest-cell semantics, so centroids are bit-identical
+    # and the q_pq_* oracles are untouched.
     for _ in range(iters):
-        cb_arr = cents.groupBy("sub").agg(
-            F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
-        )
-        assign = sv.join(F.broadcast(cb_arr), "sub").select(
-            "sub",
-            F.aggregate(F.col("cells"), init, _argmin_step)["bc"].alias("cell"),
-            "sv",
+        assign = _fold_encode(sv, cents).select(
+            "sub", F.col("code").alias("cell"), "sv"
         )
         dims = assign.select(
             "sub", "cell", F.posexplode("sv").alias("dim", "x")
@@ -157,29 +170,10 @@ def pq_encode(
     identical float comparisons -- to a (d ASC, cell ASC) rank."""
     from ..plans.shape import scan_parallel
 
-    cb_arr = codebooks.groupBy("sub").agg(
-        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
-    )
     # CPU-dense encode fold: full parallelism (no-op on streaming inputs
     # and on real multi-split scans)
     sv = _subvectors(scan_parallel(embeddings), m, sub_dim)
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("inf")).alias("bd"),
-    )
-
-    def step(acc: F.Column, c: F.Column) -> F.Column:
-        d = _l2(F.col("sv"), c["cv"])
-        better = d < acc["bd"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
-            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
-        )
-
-    code = F.aggregate(F.col("cells"), init, step, lambda acc: acc["bc"])
-    return sv.join(F.broadcast(cb_arr), "sub").select(
-        "vec_id", "sub", code.alias("code")
-    )
+    return _fold_encode(sv, codebooks).select("vec_id", "sub", "code")
 
 
 def pq_topk(
@@ -286,30 +280,10 @@ def pq_encode_with_error(
     signal an incremental pipeline monitors.  Same map-only fold; the
     finalizer keeps both lanes of the accumulator.  Returns
     (vec_id, sub, code, err)."""
-    cb_arr = codebooks.groupBy("sub").agg(
-        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
-    )
-    sv = _subvectors(embeddings, m, sub_dim)
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("inf")).alias("bd"),
-    )
+    from ..plans.shape import scan_parallel
 
-    def step(acc: F.Column, c: F.Column) -> F.Column:
-        d = _l2(F.col("sv"), c["cv"])
-        better = d < acc["bd"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
-            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
-        )
-
-    best = F.aggregate(F.col("cells"), init, step)
-    return sv.join(F.broadcast(cb_arr), "sub").select(
-        "vec_id",
-        "sub",
-        best["bc"].alias("code"),
-        best["bd"].alias("err"),
-    )
+    sv = _subvectors(scan_parallel(embeddings), m, sub_dim)
+    return _fold_encode(sv, codebooks).select("vec_id", "sub", "code", "err")
 
 
 def pq_error_stats(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
@@ -406,26 +380,9 @@ def pq_vector_shard(
     over the new batch, corpus never read."""
     from ..plans.shape import scan_parallel
 
-    cb_arr = codebooks.groupBy("sub").agg(
-        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cells")
-    )
     sv = _subvectors(scan_parallel(new_batch), m, sub_dim)
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("inf")).alias("bd"),
-    )
-
-    def step(acc: F.Column, c: F.Column) -> F.Column:
-        d = _l2(F.col("sv"), c["cv"])
-        better = d < acc["bd"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).cast("int").alias("bc"),
-            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
-        )
-
-    code = F.aggregate(F.col("cells"), init, step, lambda acc: acc["bc"])
-    enc = sv.join(F.broadcast(cb_arr), "sub").select(
-        "sub", code.alias("cell"), "sv"
+    enc = _fold_encode(sv, codebooks).select(
+        "sub", F.col("code").alias("cell"), "sv"
     )
     dims = enc.select(
         "sub", "cell", F.posexplode("sv").alias("dim", "x")

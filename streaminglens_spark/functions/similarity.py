@@ -62,6 +62,38 @@ def _cells_array(centroids: DataFrame) -> DataFrame:
     )
 
 
+def _fold_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """THE argmax fold, defined once (r7 review: the identical closure
+    lived in four call sites, each of which had to be edited in lock-step
+    when the fold semantics changed): ``emb`` must carry ``v`` and
+    ``nrm``; every emb column is preserved and (cell, cscore) appended --
+    the strictly-greater fold over the cell-ascending broadcast centroid
+    array, tie to the FIRST (lowest) cell, bit-identical to the
+    (cscore DESC, cell ASC) window rank (pinned by
+    ``tests/test_streaming_stateless_ops.py``).  A pure projection after
+    the one-row broadcast join: map-only, streaming-legal."""
+    cents_arr = _cells_array(centroids)
+    init = F.struct(
+        F.lit(-1).cast("int").alias("bc"),
+        F.lit(float("-inf")).alias("bs"),
+    )
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        # c["cell"] is already int (validated/cast once in _cells_array)
+        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
+        better = s > acc["bs"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
+        )
+
+    best = F.aggregate(F.col("cells"), init, step)
+    cols = list(emb.columns)
+    return emb.join(F.broadcast(cents_arr)).select(
+        *cols, best["bc"].alias("cell"), best["bs"].alias("cscore")
+    )
+
+
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
     """Exact brute-force cosine top-k: query vectors = vec_id < n_queries.
     Returns (query_vec_id, neighbor_id, cosine)."""
@@ -234,27 +266,8 @@ def kmeans_fit(
         .select(F.col("cell").cast("int"), F.col("v").alias("cv"))
         .withColumn("cnrm", _norm(F.col("cv")))
     )
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("-inf")).alias("bs"),
-    )
-
-    def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
-        # c["cell"] is already int (validated/cast once in _cells_array)
-        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
-        better = s > acc["bs"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
-            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
-        )
-
     for _ in range(iters):
-        cents_arr = _cells_array(cents)
-        assign = body.join(F.broadcast(cents_arr)).select(
-            F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
-            "vec_id",
-            "v",
-        )
+        assign = _fold_assign(body, cents).select("cell", "vec_id", "v")
         dims = assign.select(
             "cell", F.posexplode(F.col("v")).alias("dim", "x")
         ).withColumn("q", F.round(F.col("x") * 1_000_000).cast("long"))
@@ -294,12 +307,15 @@ def ivf_topk(
     # k-row table so an expensive upstream fit (kmeans_fit) runs once.
     # ADVICE r6: when the caller already persisted the centroids (the
     # q_shared_fit fit-once path) they own materialization -- skip the
-    # re-track and the extra eager count() job at plan-construction time.
+    # bookkeeping (track is idempotent since r7).  count() ALWAYS runs:
+    # on a materialized cache it is a ~ms cached-scan job, and on a
+    # persisted-but-never-materialized caller table it fills the cache
+    # BEFORE the two consumer subtrees race to compute the fit on
+    # concurrent broadcast threads (r7 review finding).
     from ..cache import track
 
-    if not cents.is_cached:
-        cents = track(cents)
-        cents.count()
+    cents = track(cents)
+    cents.count()
     # r6 plan fix: the corpus side needs only the ARGMAX cell, so it uses
     # the fold over the cell-ascending broadcast centroid array (a pure
     # projection -- the old row_number window shuffled all n x k scored
@@ -315,27 +331,7 @@ def ivf_topk(
     from ..plans.shape import scan_parallel
 
     corpus = scan_parallel(emb)
-    cents_arr = _cells_array(cents)
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("-inf")).alias("bs"),
-    )
-
-    def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
-        # c["cell"] is already int (validated/cast once in _cells_array)
-        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
-        better = s > acc["bs"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
-            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
-        )
-
-    assign = corpus.join(F.broadcast(cents_arr)).select(
-        F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
-        "vec_id",
-        "v",
-        "nrm",
-    )
+    assign = _fold_assign(corpus, cents).select("cell", "vec_id", "v", "nrm")
     qscored = F.broadcast(cents).crossJoin(
         emb.filter(F.col("vec_id") < n_queries)
     ).withColumn(
@@ -466,27 +462,7 @@ def semantic_dedup_pairs(
     from ..plans.shape import scan_parallel
 
     emb = scan_parallel(emb)
-    cents_arr = _cells_array(cents)
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("-inf")).alias("bs"),
-    )
-
-    def _argmax_step(acc: F.Column, c: F.Column) -> F.Column:
-        # c["cell"] is already int (validated/cast once in _cells_array)
-        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
-        better = s > acc["bs"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
-            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
-        )
-
-    assign = emb.join(F.broadcast(cents_arr)).select(
-        F.aggregate(F.col("cells"), init, _argmax_step)["bc"].alias("cell"),
-        "vec_id",
-        "v",
-        "nrm",
-    )
+    assign = _fold_assign(emb, cents).select("cell", "vec_id", "v", "nrm")
     # materialize before the self-join fan-out: both sides would otherwise
     # recompute the assignment fold (the ivf_topk / minhash lesson)
     from ..cache import track
@@ -887,30 +863,12 @@ def ann_assign_fold(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     (vec_id, cell, cscore)."""
     from ..plans.shape import scan_parallel
 
-    cents_arr = _cells_array(centroids)
     emb = scan_parallel(
         embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
             "nrm", _norm(F.col("v"))
         )
     )
-    init = F.struct(
-        F.lit(-1).cast("int").alias("bc"),
-        F.lit(float("-inf")).alias("bs"),
-    )
-
-    def step(acc: F.Column, c: F.Column) -> F.Column:
-        # c["cell"] is already int (validated/cast once in _cells_array)
-        s = _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
-        better = s > acc["bs"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["bc"]).alias("bc"),
-            F.when(better, s).otherwise(acc["bs"]).alias("bs"),
-        )
-
-    best = F.aggregate(F.col("cells"), init, step)
-    return emb.join(F.broadcast(cents_arr)).select(
-        "vec_id", best["bc"].alias("cell"), best["bs"].alias("cscore")
-    )
+    return _fold_assign(emb, centroids).select("vec_id", "cell", "cscore")
 
 
 def ann_stats_shard(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -941,14 +899,20 @@ def ann_vector_shard(new_batch: DataFrame, centroids: DataFrame) -> DataFrame:
     SUM (``merge_vector_shards``) and the merged update is bit-identical
     to a one-shot update over the union.
 
-    One map-only pass over the new batch (broadcast centroids, fold
-    assignment, posexplode, groupBy cell/dim); the corpus is never read."""
-    a = ann_assign_fold(new_batch, centroids).select("vec_id", "cell")
-    emb = new_batch.select("vec_id", _as_double("embedding").alias("v"))
-    dims = (
-        a.join(emb, "vec_id")
-        .select("cell", F.posexplode("v").alias("dim", "x"))
-        .withColumn("q", F.round(F.col("x") * 1_000_000).cast("long"))
+    One GENUINELY map-only pass over the new batch: the fold preserves
+    ``v``, so the cell rides the same row as the vector -- no join back
+    on vec_id (r7 review: the earlier self-join scanned and normalized
+    the batch twice and shuffled it once); the corpus is never read."""
+    from ..plans.shape import scan_parallel
+
+    emb = scan_parallel(
+        new_batch.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+            "nrm", _norm(F.col("v"))
+        )
+    )
+    a = _fold_assign(emb, centroids).select("cell", "v")
+    dims = a.select("cell", F.posexplode("v").alias("dim", "x")).withColumn(
+        "q", F.round(F.col("x") * 1_000_000).cast("long")
     )
     per_dim = dims.groupBy("cell", "dim").agg(
         F.sum("q").cast("long").alias("qs"),

@@ -180,7 +180,7 @@ def shared_spans(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     min_shared: int = 2,
-    min_tokens: int = WINNOW_W + WINNOW_K - 1,
+    min_tokens: int | None = None,
 ) -> DataFrame:
     """Span-granular shared-passage extraction (r6 verdict ask #7): the
     maximal shared token spans behind each ``winnow_pairs`` candidate --
@@ -206,7 +206,12 @@ def shared_spans(
     for corroboration, documented).
 
     Returns (doc_a, doc_b, start_a, start_b, n_tokens): 1-based token
-    start positions in each document, maximal spans only."""
+    start positions in each document, maximal spans only.  ``min_tokens``
+    defaults to the guarantee floor OF THE CALLER'S k AND w (r7 review:
+    a fixed module-constant default silently under-filtered for
+    non-default parameters)."""
+    if min_tokens is None:
+        min_tokens = w + k - 1
     spans = (
         _span_runs(documents, k, w, min_shared)
         .groupBy("doc_a", "doc_b", "diag", "grp")
@@ -257,7 +262,7 @@ def duplicated_passages(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     min_shared: int = 2,
-    min_tokens: int = WINNOW_W + WINNOW_K - 1,
+    min_tokens: int | None = None,
     min_docs: int = 2,
 ) -> DataFrame:
     """Corpus-level duplicated-passage inventory: which passages repeat
@@ -270,10 +275,13 @@ def duplicated_passages(
     position or pairing.
 
     Returns (passage_digest, n_tokens, n_docs, example_doc): passages of
-    >= ``min_tokens`` tokens appearing in >= ``min_docs`` distinct
+    >= ``min_tokens`` tokens (default: the guarantee floor w + k - 1 of
+    the caller's parameters) appearing in >= ``min_docs`` distinct
     documents; ``example_doc`` = lowest doc_id containing it.  All
     aggregation is digest-keyed groupBy -- data-parallel, no global
     structure (a suffix-array pass would need one)."""
+    if min_tokens is None:
+        min_tokens = w + k - 1
     runs = _span_runs(documents, k, w, min_shared)
     spans = (
         runs.groupBy("doc_a", "doc_b", "diag", "grp")

@@ -22,6 +22,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# logical operators that imply an exchange somewhere below: their output
+# already runs at shuffle parallelism, AND probing `.rdd` on such a plan
+# under AQE would EXECUTE the upstream query stages at plan-build time
+# (AdaptiveSparkPlanExec materializes stages to report partitioning) --
+# the real action would then recompute them (r7 review finding).
+_SHUFFLE_NODES = (
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "Distinct",
+    "Deduplicate",
+    "Repartition",
+    "RepartitionByExpression",
+    "Intersect",
+    "Except",
+)
+
+
+def _has_shuffle_below(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return any(f"{node} " in plan or f"{node}\n" in plan for node in _SHUFFLE_NODES)
+
+
 def scan_parallel(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` up to cluster-default parallelism iff its scan
     yields fewer partitions -- use UNDER a compute-dense projection whose
@@ -31,8 +55,15 @@ def scan_parallel(df: DataFrame) -> DataFrame:
     order-independent (integer-quantized sums) and their rankings carry
     total tie-breaks, so row placement never changes values.  Streaming
     DataFrames are returned unchanged (micro-batch sizing governs their
-    parallelism; ``.rdd`` is illegal on them)."""
+    parallelism; ``.rdd`` is illegal on them).  Inputs whose ANALYZED
+    plan already contains a shuffle-inducing operator are also returned
+    unchanged: their output runs at shuffle parallelism anyway, and the
+    ``.rdd`` partition probe on such a plan would execute the upstream
+    AQE query stages at plan-build time only for the action to recompute
+    them."""
     if df.isStreaming:
+        return df
+    if _has_shuffle_below(df):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -5569,8 +5569,8 @@ LOCAL_ORACLE["q_softdedup"] = f"""
         SELECT d.doc_id,
                CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
                CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,
-               CAST(1000000 // coalesce(c.cluster_size, 1) AS BIGINT)
-                   AS weight_ppm
+               CAST(greatest(1, 1000000 // coalesce(c.cluster_size, 1))
+                    AS BIGINT) AS weight_ppm
         FROM documents d
         LEFT JOIN ({_softdedup_clusters_sql}) c ON c.doc_id = d.doc_id"""
 

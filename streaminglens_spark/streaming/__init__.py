@@ -1,7 +1,12 @@
 """Live-mode surface: listeners, analyzer, reporters, telemetry providers,
 stateful streaming operators."""
 
-from .annmaint import AnnMaintenanceState, ann_maintenance_monitor
+from .annmaint import (
+    AnnMaintenanceState,
+    PqMaintenanceState,
+    ann_maintenance_monitor,
+    pq_maintenance_monitor,
+)
 from .dedup import loser_ids_of_batch, near_dedup_stream
 from .live import LiveAnalyzer, ProgressCapture, attach, detach, foreach_batch_monitor
 from .reporters import (
@@ -21,6 +26,7 @@ from .statusapi import StatusApiPoller, status_api_telemetry_provider
 
 __all__ = [
     "AnnMaintenanceState",
+    "PqMaintenanceState",
     "JsonFileReporter",
     "LiveAnalyzer",
     "LoggingGaugeSink",
@@ -33,6 +39,7 @@ __all__ = [
     "detach",
     "detach_scheduler",
     "ann_maintenance_monitor",
+    "pq_maintenance_monitor",
     "discounted_health_stream",
     "foreach_batch_monitor",
     "load_reporter",

@@ -117,3 +117,17 @@ def test_softdedup_weights_golden(spark):
         assert out[d]["cluster_id"] == d
         assert out[d]["cluster_size"] == 1
         assert out[d]["weight_ppm"] == 1_000_000
+
+
+def test_softdedup_weight_floor_never_zero(spark):
+    """A cluster with more than 1e6 members must keep weight 1 ppm, not
+    integer-divide to 0 (which would silently drop the whole cluster)."""
+    from streaminglens_spark.functions.dedup import softdedup_weights
+
+    docs = spark.createDataFrame([(1, "t"), (2, "t")], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1, 3_000_000), (2, 1, 3_000_000)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    out = softdedup_weights(docs, clusters).collect()
+    assert all(r["weight_ppm"] == 1 for r in out)
