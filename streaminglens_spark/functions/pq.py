@@ -423,7 +423,10 @@ def merge_pq_shards(shards: DataFrame) -> DataFrame:
 
 
 def pq_update(
-    codebooks: DataFrame, cell_stats: DataFrame, vector_shard: DataFrame
+    codebooks: DataFrame,
+    cell_stats: DataFrame,
+    vector_shard: DataFrame,
+    micro: bool = False,
 ) -> DataFrame:
     """Incremental codebook refit (the ``kmeans_update`` recipe per PQ
     subspace): when ``pq_increment`` flags a subspace, fold the new
@@ -446,12 +449,50 @@ def pq_update(
         .withColumn("n_base", F.coalesce(F.col("n_base"), F.lit(0).cast("long")))
         .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0).cast("long")))
     )
+    zeros = F.transform(F.col("cv"), lambda _: F.lit(0).cast("long"))
+    if micro:
+        # the kmeans_update micro form per (sub, cell): BIGINT 1e-6 units
+        # via pure-integer half-away-from-zero division -- engine-bit-
+        # exact, the q_pq_refit oracle/serialization form
+        rows = (
+            upd.withColumn("vs", F.coalesce(F.col("svsum"), zeros))
+            .select(
+                "sub",
+                "cell",
+                "n_base",
+                "n_new",
+                F.posexplode(F.arrays_zip("cv", "vs")).alias("dim", "z"),
+            )
+            .withColumn(
+                "N",
+                F.col("n_base")
+                * F.round(F.col("z.cv") * 1_000_000).cast("long")
+                + F.col("z.vs"),
+            )
+            .withColumn("D", (F.col("n_base") + F.col("n_new")).cast("long"))
+        )
+        half_up = F.expr(
+            "CASE WHEN N < 0 THEN -((2 * -N + D) div (2 * D)) "
+            "ELSE (2 * N + D) div (2 * D) END"
+        ).cast("long")
+        rows = rows.withColumn(
+            "m",
+            F.when(F.col("n_new") > 0, half_up).otherwise(
+                F.round(F.col("z.cv") * 1_000_000).cast("long")
+            ),
+        )
+        return (
+            rows.groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+            .select(
+                "sub",
+                "cell",
+                F.transform("p", lambda s: s["m"]).alias("cv_micro"),
+            )
+        )
     merged = F.zip_with(
         F.col("cv"),
-        F.coalesce(
-            F.col("svsum"),
-            F.transform(F.col("cv"), lambda _: F.lit(0).cast("long")),
-        ),
+        F.coalesce(F.col("svsum"), zeros),
         lambda c, s: (
             F.col("n_base") * F.round(c * 1_000_000).cast("long") + s
         )

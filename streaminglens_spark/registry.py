@@ -5024,10 +5024,12 @@ def q_pq_increment(spark, sf_dir):
     return pq_increment(new_batch, cb, pq_error_stats(corpus, cb))
 
 
-def _pq_increment_oracle() -> str:
-    """Fit the m codebooks on the corpus split (the q_pq_topk unrolled
-    Lloyd, restricted to vec_id % 5 != 4), then per-subspace mean
-    quantization error for corpus (baseline) and new split."""
+def _pq_fit_split_ctes():
+    """The PQ Lloyd fit on the 80/20 interleaved split, unrolled as CTEs
+    (emb, svall, sv = corpus, svnew = new batch, c0..c{iters}) -- shared
+    by the q_pq_increment and q_pq_refit oracles.  Returns
+    (ctes, l2, m, k, sd, iters); the final codebook relation is
+    ``c{iters}``."""
     from .functions.pq import PQ_ITERS, PQ_K, PQ_M, PQ_SUB_DIM
 
     m, k, sd, iters = PQ_M, PQ_K, PQ_SUB_DIM, PQ_ITERS
@@ -5099,6 +5101,14 @@ def _pq_increment_oracle() -> str:
             )
         )"""
         )
+    return ctes, l2, m, k, sd, iters
+
+
+def _pq_increment_oracle() -> str:
+    """Fit the m codebooks on the corpus split (the q_pq_topk unrolled
+    Lloyd, restricted to vec_id % 5 != 4), then per-subspace mean
+    quantization error for corpus (baseline) and new split."""
+    ctes, l2, m, k, sd, iters = _pq_fit_split_ctes()
     # min over cells == the encode fold's winning distance (exact double min)
     err = (
         """{name} AS (
@@ -5620,3 +5630,96 @@ def _token_budget_oracle() -> str:
 
 
 LOCAL_ORACLE["q_token_budget"] = _token_budget_oracle()
+
+
+# ------------------------------------------- r7: PQ incremental refit oracle
+
+def q_pq_refit(spark, sf_dir):
+    """Incremental PQ codebook refit end-to-end (the q_ann_refit recipe
+    on the product quantizer): codebooks fit on the 80% split, the
+    interleaved 20% batch folded in via the additive per-codeword
+    subvector mass + ``pq_update`` weighted mean -- corpus never
+    rescanned on the refit path.  Output is the updated codebook in
+    engine-bit-exact integer micro-units (the kmeans_update micro form).
+    LOCAL_ORACLE (new this round)."""
+    from .cache import track
+    from .functions.pq import pq_cell_stats, pq_fit, pq_update, pq_vector_shard
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    newb = emb.filter(F.col("vec_id") % 5 == 4)
+    cb = track(pq_fit(corpus))
+    cb.count()
+    return pq_update(
+        cb, pq_cell_stats(corpus, cb), pq_vector_shard(newb, cb), micro=True
+    )
+
+
+def _pq_refit_oracle() -> str:
+    """The shared PQ Lloyd fit, one final corpus encode (baseline counts),
+    one new-batch encode (per-codeword mass), then the pure-integer
+    half-away-from-zero weighted-mean update."""
+    ctes, l2, m, k, sd, iters = _pq_fit_split_ctes()
+    # final-codebook encode of corpus (baseline counts) and new batch
+    enc = """{name} AS (
+            SELECT sub, cell, svec FROM (
+                SELECT a.sub, a.svec, c.cell,
+                       row_number() OVER (PARTITION BY a.vec_id, a.sub
+                                          ORDER BY {l2}, c.cell) AS rn
+                FROM {src} a JOIN c{it} c USING (sub)
+            ) WHERE rn = 1
+        )"""
+    ctes.append(enc.format(name="cenc", src="sv", it=iters,
+                           l2=l2("a.svec", "c.cv")))
+    ctes.append(enc.format(name="nenc", src="svnew", it=iters,
+                           l2=l2("a.svec", "c.cv")))
+    ctes.append(
+        """base AS (
+            SELECT sub, cell, CAST(COUNT(*) AS BIGINT) AS n_base
+            FROM cenc GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(
+        f"""vsums AS (
+            SELECT sub, cell, CAST(u.i - 1 AS INT) AS dim,
+                   CAST(SUM(CAST(round(svec[CAST(u.i AS INT)] * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS vs,
+                   CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM nenc CROSS JOIN (SELECT UNNEST(range(1, {sd + 1})) AS i) u
+            GROUP BY 1, 2, 3
+        )"""
+    )
+    ctes.append(
+        f"""upd AS (
+            SELECT sub, cell, i,
+                   CASE WHEN n_new IS NULL THEN cq
+                        WHEN nn < 0 THEN -((2 * -nn + dd) // (2 * dd))
+                        ELSE (2 * nn + dd) // (2 * dd)
+                   END AS mval
+            FROM (
+                SELECT c.sub, c.cell, u.i AS i, vs.n_new,
+                       CAST(round(c.cv[CAST(u.i AS INT)] * 1000000)
+                            AS BIGINT) AS cq,
+                       coalesce(b.n_base, 0)
+                           * CAST(round(c.cv[CAST(u.i AS INT)] * 1000000)
+                                  AS BIGINT)
+                           + vs.vs AS nn,
+                       coalesce(b.n_base, 0) + vs.n_new AS dd
+                FROM c{iters} c
+                CROSS JOIN (SELECT UNNEST(range(1, {sd + 1})) AS i) u
+                LEFT JOIN base b ON b.sub = c.sub AND b.cell = c.cell
+                LEFT JOIN vsums vs ON vs.sub = c.sub AND vs.cell = c.cell
+                                   AND vs.dim = u.i - 1
+            )
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + """
+        SELECT sub, cell, list(CAST(mval AS BIGINT) ORDER BY i) AS cv_micro
+        FROM upd GROUP BY sub, cell"""
+    )
+
+
+LOCAL_ORACLE["q_pq_refit"] = _pq_refit_oracle()

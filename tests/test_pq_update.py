@@ -118,3 +118,25 @@ def test_updated_codebooks_reconstruct_drifted_batch_better(spark):
         df.unpersist()
     assert upd < stale, (upd, stale)
     assert upd <= 2.0 * full, (upd, full)
+
+
+def test_micro_form_matches_double_form(spark):
+    """pq_update micro=True is the integer serialization of the double
+    update: within half a micro-unit everywhere, exact on untouched
+    codewords."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    newb = emb.filter(F.col("vec_id") % 5 == 4)
+    cb = pq_fit(corpus).persist()
+    cb.count()
+    stats = pq_cell_stats(corpus, cb)
+    shard = pq_vector_shard(newb, cb)
+    dbl = {(r["sub"], r["cell"]): r["cv"]
+           for r in pq_update(cb, stats, shard).collect()}
+    mic = {(r["sub"], r["cell"]): r["cv_micro"]
+           for r in pq_update(cb, stats, shard, micro=True).collect()}
+    cb.unpersist()
+    assert dbl.keys() == mic.keys()
+    for key in dbl:
+        for d, m in zip(dbl[key], mic[key]):
+            assert abs(d * 1_000_000 - m) <= 0.5 + 1e-6, (key, d, m)
