@@ -167,3 +167,54 @@ def test_operator_is_empty_safe(spark, name, module, schema):
         assert len(out.columns) > 0  # schema survives emptiness
     finally:
         cache.release_caches()
+
+
+def test_r7_operators_empty_safe(spark):
+    """r7 additions: empty-in/empty-out for the span/passage extractors,
+    token-budget sampler, soft dedup, and the incremental-refit chain
+    (empty new batch must leave the index unchanged, not error)."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.dedup import softdedup_weights
+    from streaminglens_spark.functions.pq import (
+        pq_cell_stats,
+        pq_fit,
+        pq_update,
+        pq_vector_shard,
+    )
+    from streaminglens_spark.functions.sampling import token_budget_sample
+    from streaminglens_spark.functions.similarity import (
+        ann_vector_shard,
+        ivf_centroids,
+        kmeans_update,
+        merge_vector_shards,
+    )
+    from streaminglens_spark.functions.winnow import (
+        duplicated_passages,
+        shared_spans,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, source string")
+    assert shared_spans(docs).count() == 0
+    assert duplicated_passages(docs).count() == 0
+    assert token_budget_sample(docs, "source", "doc_id", {"a": 100}).count() == 0
+    clusters = _empty(spark, "doc_id long, cluster_id long, cluster_size long")
+    assert softdedup_weights(docs, clusters).count() == 0
+
+    # refit chain on an EMPTY new batch: shard empty, update == identity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = emb.filter(F.col("vec_id") < 60)
+    empty_batch = emb.filter(F.col("vec_id") < 0)
+    cents = ivf_centroids(small)
+    shard = ann_vector_shard(empty_batch, cents)
+    assert shard.count() == 0
+    assert merge_vector_shards(shard).count() == 0
+    from streaminglens_spark.functions.similarity import ann_index_stats
+
+    updated = kmeans_update(cents, ann_index_stats(small, cents), shard)
+    assert updated.count() == cents.count()
+    cb = pq_fit(small)
+    pq_shard = pq_vector_shard(empty_batch, cb)
+    assert pq_shard.count() == 0
+    upd = pq_update(cb, pq_cell_stats(small, cb), pq_shard)
+    assert upd.count() == cb.count()
