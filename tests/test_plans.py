@@ -176,3 +176,37 @@ def test_shared_fit_stays_jvm(spark):
     df = registry.q_shared_fit(spark, SF_DIR)
     assert python_udf_count(df) == 0
     assert uses_broadcast_join(df)
+
+
+def test_r7_operators_plan_quality(spark):
+    """Plan pins for the r7 additions: zero row-at-a-time Python
+    anywhere; the refit chain broadcasts its O(k)-row tables; the
+    token-budget sampler broadcasts the budget dim."""
+    from streaminglens_spark.plans.audit import (
+        python_udf_count,
+        uses_broadcast_join,
+    )
+
+    for name in ("q_shared_spans", "q_dup_passages", "q_softdedup",
+                 "q_token_budget", "q_ann_refit", "q_pq_refit"):
+        df = getattr(registry, name)(spark, SF_DIR)
+        assert python_udf_count(df) == 0, f"{name} uses row-at-a-time Python"
+    from streaminglens_spark.functions.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = token_budget_sample(docs, "source", "doc_id", {"src0": 100})
+    assert uses_broadcast_join(df), "budget dim must broadcast"
+    from streaminglens_spark.functions.similarity import (
+        ann_vector_shard,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = ivf_centroids(emb)
+    shard = ann_vector_shard(emb, cents)
+    assert uses_broadcast_join(shard), "centroid array must broadcast"
+    plan = __import__(
+        "streaminglens_spark.plans.audit", fromlist=["formatted_plan"]
+    ).formatted_plan(shard)
+    # genuinely map-only up to the cell groupBy: no join back on vec_id
+    assert "SortMergeJoin" not in plan, plan[:400]
