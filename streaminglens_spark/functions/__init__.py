@@ -48,6 +48,7 @@ from .similarity import (
     merge_ann_stats,
     merge_vector_shards,
     recall_at_k,
+    semantic_decontaminate,
     semantic_dedup_pairs,
 )
 from .intlog import dec_div, log2_fp

@@ -1066,3 +1066,49 @@ def merge_ann_stats(shards: DataFrame) -> DataFrame:
         "n_vecs",
         (F.col("qsum") / F.lit(1_000_000.0) / F.col("n_vecs")).alias("mean_score"),
     )
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-space eval decontamination (r7): flag training vectors
+    whose cosine to ANY eval-set vector reaches ``threshold`` -- the
+    semantic complement of the n-gram ``decontaminate`` pass (paraphrased
+    leakage has no shared 8-gram but lights up in embedding space).
+
+    Spark shape: the eval set is small by definition, so it becomes the
+    broadcast "centroid" table of the shared argmax fold -- ONE map-only
+    pass over the corpus computes each vector's nearest eval item and max
+    cosine; no shuffle, no candidate join, streaming-legal (score new
+    batches on arrival).  Ties go to the lowest eval id (the fold
+    contract).  Cosines are rounded to 6 BEFORE the threshold test so the
+    flag is oracle-bit-exact.  Eval ids must fit in int (the fold cell
+    contract); re-key a wider id space first.
+
+    Returns (vec_id, nearest_eval_id, max_eval_cosine, contaminated) for
+    every corpus vector -- keep ``~contaminated`` for the training set,
+    or audit the flagged rows against the eval items they matched."""
+    from ..plans.shape import scan_parallel
+
+    ev = (
+        eval_embeddings.select(
+            F.col("vec_id").cast("int").alias("cell"),
+            _as_double("embedding").alias("cv"),
+        )
+        .withColumn("cnrm", _norm(F.col("cv")))
+    )
+    emb = scan_parallel(
+        embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+            "nrm", _norm(F.col("v"))
+        )
+    )
+    a = _fold_assign(emb, ev)
+    cos6 = F.round(F.col("cscore"), 6)
+    return a.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("nearest_eval_id"),
+        cos6.alias("max_eval_cosine"),
+        (cos6 >= F.lit(threshold)).alias("contaminated"),
+    )

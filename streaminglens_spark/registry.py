@@ -5723,3 +5723,54 @@ def _pq_refit_oracle() -> str:
 
 
 LOCAL_ORACLE["q_pq_refit"] = _pq_refit_oracle()
+
+
+# ------------------------------------- r7: embedding-space decontamination
+
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space eval decontamination (r7): eval set = vec_id < 10,
+    corpus = the rest; every corpus vector scored by max cosine to the
+    broadcast eval set in one map-only fold pass.  LOCAL_ORACLE (new
+    this round)."""
+    from .functions.similarity import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10)
+    )
+
+
+LOCAL_ORACLE["q_semantic_decontam"] = """
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        normed AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)),
+                        (a, b) -> a + b)) AS nrm
+            FROM emb
+        ),
+        ev AS (SELECT * FROM normed WHERE vec_id < 10),
+        corpus AS (SELECT * FROM normed WHERE vec_id >= 10),
+        scored AS (
+            SELECT c.vec_id, e.vec_id AS eval_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> c.v[CAST(i AS INT)] * e.v[CAST(i AS INT)])),
+                       (a, b) -> a + b) / (c.nrm * e.nrm) AS cos
+            FROM corpus c CROSS JOIN ev e
+        ),
+        best AS (
+            SELECT vec_id, eval_id, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cos DESC, eval_id) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               CAST(eval_id AS BIGINT) AS nearest_eval_id,
+               round(cos, 6) AS max_eval_cosine,
+               round(cos, 6) >= 0.45 AS contaminated
+        FROM best"""

@@ -137,3 +137,34 @@ def test_ann_lsh_multiprobe_recall_monotone(spark):
     r2 = recall_at_k(ann_lsh_topk(emb, k=10, n_tables=1, multiprobe=2), exact10)
     assert r0 <= r1 <= r2, (r0, r1, r2)
     assert r2 >= 0.35, r2  # measured 0.50
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A corpus vector identical to an eval vector (cosine 1.0) and a
+    near-copy must flag; an orthogonal vector must not.  Ties go to the
+    lowest eval id."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.similarity import semantic_decontaminate
+
+    d = 8
+    ev = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (d - 1)), (1, [0.0, 1.0] + [0.0] * (d - 2))],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, [1.0] + [0.0] * (d - 1)),        # exact copy of eval 0
+            (101, [0.98, 0.02] + [0.0] * (d - 2)),  # near-copy of eval 0
+            (102, [0.0] * (d - 1) + [1.0]),         # orthogonal to both
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, ev, threshold=0.9).collect()}
+    assert out[100]["contaminated"] is True
+    assert out[100]["nearest_eval_id"] == 0
+    assert out[100]["max_eval_cosine"] == 1.0
+    assert out[101]["contaminated"] is True
+    assert out[102]["contaminated"] is False
+    assert out[102]["max_eval_cosine"] == 0.0
