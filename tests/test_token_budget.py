@@ -66,3 +66,22 @@ def test_kept_mass_within_one_doc_of_budget(spark):
     assert all(r["cum_tokens"] - r["n_tokens"] < budget for r in rows)
     kept_tokens = max(r["cum_tokens"] for r in rows)
     assert kept_tokens >= budget  # the boundary doc pushed it over
+
+
+def test_kept_set_partition_invariant(spark):
+    """The kept set is a pure function of the data (hash order + integer
+    cumsums), independent of physical partitioning."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (2 + i % 7)), f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    budgets = {"s0": 30, "s1": 17, "s2": 1}
+    a = {r["doc_id"] for r in
+         token_budget_sample(docs, "source", "doc_id", budgets).collect()}
+    b = {r["doc_id"] for r in
+         token_budget_sample(docs.repartition(13, "doc_id"), "source",
+                             "doc_id", budgets).collect()}
+    c = {r["doc_id"] for r in
+         token_budget_sample(docs.coalesce(1), "source", "doc_id",
+                             budgets).collect()}
+    assert a == b == c
