@@ -25,6 +25,13 @@ The running state's merged view (``AnnMaintenanceState.merged_stats``)
 is bit-identical to ``merge_ann_stats`` over the same shards (integer
 sums are associative), so a refit decision made from the monitor equals
 one made from the persisted batch artifacts.
+
+Durability: the monitor's dict is DRIVER-SESSION state, not checkpointed
+-- by design.  The durable artifact is the per-batch shard the pipeline
+appends (``ann_stats_shard`` rows via foreachBatch's own sink); after a
+restart the state rebuilds exactly by folding the persisted shards
+(additive integer sums), and the gauges are per-batch signals, not
+accumulations, so no trigger decision is lost.
 """
 
 from __future__ import annotations
