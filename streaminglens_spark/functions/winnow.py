@@ -90,13 +90,24 @@ def _minimizer_sets(
         )
 
     # both the token array and the gram array are let-bound: each is
-    # evaluated once per row no matter how many windows reference it
+    # evaluated once per row no matter how many windows reference it.
+    # r7: the gram-hash + window-min chain is CPU-dense and fused into
+    # the scan stage -- run it at full parallelism (no-op on real
+    # multi-split scans)
+    from ..plans.shape import scan_parallel
+
     res = _let(
         F.split(F.col("text"), " "),
         lambda toks: _let(grams_of(toks), winnowed),
     )
-    return documents.select("doc_id", res.alias("wn")).select(
-        "doc_id", F.col("wn.n_grams").alias("n_grams"), F.col("wn.mins").alias("mins")
+    return (
+        scan_parallel(documents.select("doc_id", "text"))
+        .select("doc_id", res.alias("wn"))
+        .select(
+            "doc_id",
+            F.col("wn.n_grams").alias("n_grams"),
+            F.col("wn.mins").alias("mins"),
+        )
     )
 
 
@@ -167,9 +178,12 @@ def positional_grams(
             n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
         ).otherwise(F.array().cast("array<bigint>"))
 
+    from ..plans.shape import scan_parallel
+
     arr = _let(F.split(F.col("text"), " "), grams_of)
     return (
-        documents.select("doc_id", arr.alias("gs"))
+        scan_parallel(documents.select("doc_id", "text"))
+        .select("doc_id", arr.alias("gs"))
         .select("doc_id", F.posexplode("gs").alias("p0", "g"))
         .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
     )
