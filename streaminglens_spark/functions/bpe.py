@@ -106,8 +106,35 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     ships.  Stops early if no pair occurs at least twice."""
     spark = documents.sparkSession
     words = _word_table(documents).localCheckpoint()
-    merges = []
-    for step_i in range(n_merges):
+    merges = _train_rounds(words, start_step=0, n_rounds=n_merges)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_count long"
+    )
+
+
+def _apply_merge_round(words: DataFrame, a: str, b: str) -> DataFrame:
+    """One merge applied to the word table: the containment-gated fold
+    (a word lacking either symbol cannot contain the pair, and the fold
+    is the IDENTITY on any word without the adjacent pair -- so the gate
+    is output-identical while most of the table skips the O(len) rewrite
+    once merges become rare symbols; measured 49 -> ~25 s for the 8-round
+    sf1 fit)."""
+    has_both = F.array_contains("ws", a) & F.array_contains("ws", b)
+    return words.select(
+        F.when(has_both, _merge_expr(a, b)).otherwise(F.col("ws")).alias("ws"),
+        "cnt",
+    ).localCheckpoint()
+
+
+def _train_rounds(
+    words: DataFrame, start_step: int, n_rounds: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The BPE training loop over an (already checkpointed) word table:
+    per round ONE pair-count shuffle, an O(1)-row TakeOrdered argmax, and
+    the gated merge fold.  Mutates nothing; returns the discovered merge
+    tuples with steps numbered from ``start_step``."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step_i in range(start_step, start_step + n_rounds):
         best = (
             _pair_counts(words)
             .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
@@ -118,19 +145,39 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((step_i, a, b, a + b, c))
-        # gate the fold on cheap containment: a word lacking either
-        # symbol cannot contain the pair, and the fold is the IDENTITY
-        # on any word without the adjacent pair -- so the gate is
-        # output-identical while most of the table skips the O(len)
-        # rewrite once merges become rare symbols (measured 49 -> ~25 s
-        # for the 8-round sf1 fit)
-        has_both = F.array_contains("ws", a) & F.array_contains("ws", b)
-        words = words.select(
-            F.when(has_both, _merge_expr(a, b)).otherwise(F.col("ws")).alias("ws"),
-            "cnt",
-        ).localCheckpoint()
+        words = _apply_merge_round(words, a, b)
+    return merges
+
+
+def bpe_extend(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    n_more: int = BPE_MERGES,
+) -> DataFrame:
+    """Incremental tokenizer maintenance (r7): CONTINUE BPE training from
+    an existing merge table on a (new or grown) corpus snapshot, instead
+    of retraining from scratch -- the ``kmeans_update`` story for the
+    tokenizer family.  The shipped merges are immutable (changing them
+    would re-tokenize everything already trained on); extension appends.
+
+    Pipeline shape: build the snapshot's word table once, REPLAY the
+    existing merges in training order (k containment-gated fold passes
+    over the O(distinct words) table -- the corpus text is read once,
+    never per merge), then run ``n_more`` discovery rounds exactly like
+    ``bpe_train``.  Deterministic continuation invariant (pinned in
+    ``tests/test_bpe_extend.py``): on the SAME corpus,
+    ``bpe_train(docs, k) + bpe_extend(docs, those merges, n)`` equals
+    ``bpe_train(docs, k + n)`` row for row.
+
+    Returns only the NEW merges, steps numbered from ``len(merges)``."""
+    spark = documents.sparkSession
+    words = _word_table(documents).localCheckpoint()
+    for a, b in merges:
+        words = _apply_merge_round(words, a, b)
+    new_merges = _train_rounds(words, start_step=len(merges), n_rounds=n_more)
     return spark.createDataFrame(
-        merges, "step long, left string, right string, merged string, pair_count long"
+        new_merges,
+        "step long, left string, right string, merged string, pair_count long",
     )
 
 
