@@ -4,7 +4,9 @@ stateful streaming operators."""
 from .annmaint import (
     AnnMaintenanceState,
     PqMaintenanceState,
+    RefitMaintenanceState,
     ann_maintenance_monitor,
+    ann_maintenance_monitor_with_refit,
     pq_maintenance_monitor,
 )
 from .dedup import loser_ids_of_batch, near_dedup_stream
@@ -27,6 +29,7 @@ from .statusapi import StatusApiPoller, status_api_telemetry_provider
 __all__ = [
     "AnnMaintenanceState",
     "PqMaintenanceState",
+    "RefitMaintenanceState",
     "JsonFileReporter",
     "LiveAnalyzer",
     "LoggingGaugeSink",
@@ -39,6 +42,7 @@ __all__ = [
     "detach",
     "detach_scheduler",
     "ann_maintenance_monitor",
+    "ann_maintenance_monitor_with_refit",
     "pq_maintenance_monitor",
     "discounted_health_stream",
     "foreach_batch_monitor",

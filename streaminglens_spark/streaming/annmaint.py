@@ -266,3 +266,99 @@ def pq_maintenance_monitor(
             batch_df.unpersist()
 
     return state, _body
+
+
+def ann_maintenance_monitor_with_refit(
+    centroids,
+    baseline,
+    analyzer=None,
+    gauge_sinks=None,
+    downstream=None,
+    drift_margin: float = 0.05,
+    growth_ratio: int = 3,
+):
+    """``ann_maintenance_monitor`` plus the REMEDY in hand: each batch
+    additionally folds its per-cell vector-mass shard
+    (``ann_vector_shard``, O(cells x dim) rows) into driver state, so
+    when the drift/growth gauges fire the caller refits incrementally --
+    ``state.updated_centroids()`` returns the ``kmeans_update`` of the
+    fitted centroids with EVERY streamed vector's mass, without touching
+    the corpus or replaying the stream.
+
+    The folded mass is integer-exact and additive, so
+    ``updated_centroids()`` is bit-identical to batch-side
+    ``kmeans_update`` over ``merge_vector_shards`` of the same batches
+    (pinned in ``tests/test_streaming_annmaint.py``).  State stays
+    O(cells x dim) regardless of stream length.
+
+    Returns (state, foreachBatch_body); state is a
+    ``RefitMaintenanceState`` wrapping the gauge state."""
+    from ..functions.similarity import ann_stats_shard, ann_vector_shard
+
+    state = RefitMaintenanceState(baseline.collect(), centroids, baseline)
+    state.gauge_state._drift_margin = drift_margin
+    state.gauge_state._growth_ratio = growth_ratio
+
+    def _body(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            shard_rows = ann_stats_shard(batch_df, centroids).collect()
+            gauges = state.gauge_state.fold_shard(shard_rows)
+            gauges["batchId"] = int(batch_id)
+            vec_rows = ann_vector_shard(batch_df, centroids).collect()
+            state.fold_vector_shard(vec_rows)
+            if analyzer is not None:
+                analyzer.set_extra_gauges(ANN_GAUGE_SOURCE, gauges)
+            for sink in gauge_sinks or []:
+                pub = getattr(sink, "publish", None) or sink
+                try:
+                    pub(ANN_GAUGE_SOURCE, dict(gauges))
+                except Exception:
+                    pass  # fail-open
+            if downstream is not None:
+                downstream(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return state, _body
+
+
+class RefitMaintenanceState:
+    """Gauge state + accumulated per-cell vector mass + the refit."""
+
+    def __init__(self, baseline_rows, centroids, baseline) -> None:
+        self.gauge_state = AnnMaintenanceState(baseline_rows)
+        self._centroids = centroids
+        self._baseline = baseline
+        # {cell: [n_new, [per-dim micro sums]]} -- O(cells x dim)
+        self.vmass: dict[int, list] = {}
+
+    def fold_vector_shard(self, rows) -> None:
+        for r in rows:
+            cell, n, vsum = int(r["cell"]), int(r["n_new"]), list(r["vsum"])
+            acc = self.vmass.get(cell)
+            if acc is None:
+                self.vmass[cell] = [n, vsum]
+            else:
+                acc[0] += n
+                acc[1] = [x + y for x, y in zip(acc[1], vsum)]
+
+    def merged_vector_shard(self, spark):
+        """The accumulated mass as a ``merge_vector_shards``-shaped
+        DataFrame -- bit-identical to merging the per-batch shards."""
+        rows = [
+            (cell, n, vsum) for cell, (n, vsum) in sorted(self.vmass.items())
+        ]
+        return spark.createDataFrame(
+            rows, "cell int, n_new long, vsum array<long>"
+        )
+
+    def updated_centroids(self, spark):
+        """``kmeans_update`` of the fitted centroids with every streamed
+        vector's mass: the incremental remedy for a fired drift/growth
+        gauge.  O(cells x dim) compute; corpus and stream never re-read."""
+        from ..functions.similarity import kmeans_update
+
+        return kmeans_update(
+            self._centroids, self._baseline, self.merged_vector_shard(spark)
+        )

@@ -239,3 +239,87 @@ def test_streaming_pq_maintenance_end_to_end(spark, tmp_path):
     got = {s: (n, m) for s, n, m in state.merged_err_stats()}
     cb.unpersist()
     assert got == want
+
+
+def test_streaming_refit_monitor_closes_the_loop(spark, tmp_path):
+    """The refit-capable monitor: after streaming an OOD batch that fires
+    the drift gauge, state.updated_centroids() returns the incremental
+    kmeans_update remedy -- bit-identical to batch-side kmeans_update
+    over merge_vector_shards of the same batches, with corpus and stream
+    never re-read."""
+    from streaminglens_spark.functions.similarity import (
+        ann_vector_shard,
+        kmeans_update,
+        merge_vector_shards,
+    )
+    from streaminglens_spark.streaming.annmaint import (
+        ann_maintenance_monitor_with_refit,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 200)
+    cents = kmeans_fit(corpus, k=4, iters=2).persist()
+    cents.count()
+    baseline = ann_index_stats(corpus, cents).persist()
+    baseline.count()
+
+    src = str(tmp_path / "refitvecs")
+    os.makedirs(src)
+    rows = corpus.select("vec_id", "label", "embedding").collect()
+
+    def write_file(name, recs):
+        path = os.path.join(src, name)
+        with open(path + ".tmp", "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+        os.rename(path + ".tmp", path)
+
+    b1 = [
+        {"vec_id": int(r["vec_id"]) + 10_000, "label": int(r["label"]),
+         "embedding": [float(x) for x in r["embedding"]]}
+        for r in rows[:60]
+    ]
+    b2 = [
+        {"vec_id": int(r["vec_id"]) + 20_000, "label": int(r["label"]),
+         "embedding": [-float(x) for x in r["embedding"]]}
+        for r in rows[:50]
+    ]
+    write_file("b1.json", b1)
+
+    published = []
+    state, body = ann_maintenance_monitor_with_refit(
+        cents, baseline, gauge_sinks=[lambda s, g: published.append(g)]
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, label int, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = stream.writeStream.foreachBatch(body).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        write_file("b2.json", b2)
+        q.processAllAvailable()
+        assert published[-1]["driftCells"] > 0  # OOD fired the gauge
+    finally:
+        q.stop()
+
+    # the remedy, computed from O(cells x dim) monitor state only
+    got = {r["cell"]: r["cv"] for r in
+           state.updated_centroids(spark).collect()}
+
+    # batch-side reference over the same two batches
+    def df_of(recs):
+        return spark.createDataFrame(
+            [(r["vec_id"], r["label"], r["embedding"]) for r in recs],
+            "vec_id long, label int, embedding array<double>",
+        )
+
+    shards = ann_vector_shard(df_of(b1), cents).unionByName(
+        ann_vector_shard(df_of(b2), cents)
+    )
+    want = {r["cell"]: r["cv"] for r in
+            kmeans_update(cents, baseline, merge_vector_shards(shards)).collect()}
+    cents.unpersist()
+    baseline.unpersist()
+    assert got == want  # integer mass sums: bit-identical remedy
