@@ -74,6 +74,7 @@ from .text import doc_fingerprint, lang_id, quality_score, text_stats, token_cou
 from .winnow import (
     duplicated_passages,
     positional_grams,
+    remove_shared_spans,
     shared_spans,
     winnow_fingerprints,
     winnow_pairs,

@@ -326,3 +326,92 @@ def duplicated_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def remove_shared_spans(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """The removal step of exact-substring dedup (Lee et al.): every
+    shared span is CUT from the higher-doc_id member of each pair (the
+    lower id keeps its copy -- the ``dedup_clusters`` keeper convention),
+    leaving one surviving occurrence per pairwise relation.
+
+    Pipeline shape: ``shared_spans`` finds the cuts; per loser doc the
+    cut intervals are MERGED (sort by start, previous-running-max end,
+    gaps-and-islands -- overlapping spans from different partners union
+    into one cut) in a window partitioned by doc -- data-parallel; the
+    rebuild is a map-only token filter (``F.filter`` with index against
+    the collected per-doc interval array, O(intervals) per token, both
+    tiny).  Docs with no cuts pass through byte-identical.
+
+    Returns (doc_id, n_tokens, n_removed, clean_md5): the repo's digest
+    convention -- the cleaned text is value-checked via md5 without
+    shipping it; callers wanting the text read ``clean_text`` before the
+    final select by using ``_removed_text`` directly."""
+    if min_tokens is None:
+        min_tokens = w + k - 1
+    spans = shared_spans(documents, k, w, min_shared, min_tokens)
+    out = _removed_text(documents, spans)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+def _removed_text(documents: DataFrame, spans: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text): documents with the
+    loser-side span intervals merged and cut."""
+    cuts = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("n_tokens") - 1).alias("e"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = (
+        cuts.withColumn(
+            "_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "_grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    # RAW split, no empty-token filter: span positions are 1-based indices
+    # into the same tokenization shared_spans/positional_grams use
+    toks = F.split(F.col("text"), " ")
+    in_cut = lambda i: F.exists(  # noqa: E731  (1-based token position)
+        F.col("ivs"), lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"])
+    )
+    kept = F.filter(toks, lambda t, i: ~in_cut(i))
+    n_tok = F.size(toks).cast("long")
+    return (
+        documents.join(grouped, "doc_id", "left")
+        .withColumn(
+            "ivs",
+            F.coalesce(
+                F.col("ivs"),
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
+        )
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            (n_tok - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )

@@ -5774,3 +5774,119 @@ LOCAL_ORACLE["q_semantic_decontam"] = """
                round(cos, 6) AS max_eval_cosine,
                round(cos, 6) >= 0.45 AS contaminated
         FROM best"""
+
+
+# --------------------------------------- r7: exact-substring span removal
+
+def q_span_dedup(spark, sf_dir):
+    """The removal step of exact-substring dedup (the q_shared_spans
+    payoff): every shared span cut from the higher-doc_id pair member,
+    overlapping cuts merged; output is the per-doc digest of the cleaned
+    text (token counts + md5).  Same doc slice as q_shared_spans.
+    LOCAL_ORACLE (new this round)."""
+    from .functions.winnow import remove_shared_spans
+
+    return remove_shared_spans(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+
+
+def _span_dedup_oracle() -> str:
+    # the q_shared_spans CTEs (spans with start_b on the loser side), then
+    # interval merge per loser doc + token rebuild + digest
+    return f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            WHERE doc_id < 1000
+        ),
+        grams AS (
+            SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+                   {_fold3_sql("(l[g.i] || ' ' || l[g.i + 1] || ' ' || l[g.i + 2])")} AS h
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 2)) AS g(i)
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+            FROM grams GROUP BY 1
+        ),
+        wins AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+            FROM grams
+        ),
+        sel AS (
+            SELECT w.doc_id, w.wmin AS mz
+            FROM wins w JOIN stats s USING (doc_id)
+            WHERE s.ng >= 4 AND w.pos <= s.ng - 3
+            UNION
+            SELECT g.doc_id, MIN(g.h) AS mz
+            FROM grams g JOIN stats s USING (doc_id)
+            WHERE s.ng < 4 GROUP BY g.doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        matches AS (
+            SELECT p.doc_a, p.doc_b, ga.pos AS pa, gb.pos AS pb
+            FROM pairs p
+            JOIN grams ga ON ga.doc_id = p.doc_a
+            JOIN grams gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, pa, pa - pb AS diag,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                           ORDER BY pa) AS grp
+            FROM matches
+        ),
+        cuts AS (
+            SELECT doc_b AS doc_id,
+                   CAST(MIN(pa) - diag AS BIGINT) AS s,
+                   CAST(MIN(pa) - diag + COUNT(*) + 1 AS BIGINT) AS e
+            FROM runs
+            GROUP BY doc_a, doc_b, diag, grp
+            HAVING COUNT(*) + 2 >= 6
+        ),
+        marked AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS newgrp
+            FROM cuts
+        ),
+        merged AS (
+            SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+            FROM (
+                SELECT *, SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS grp
+                FROM marked
+            )
+            GROUP BY doc_id, grp
+        ),
+        toks AS (
+            SELECT a.doc_id, CAST(t.i AS BIGINT) AS pos, a.l[t.i] AS tok,
+                   CAST(len(a.l) AS BIGINT) AS n_tokens
+            FROM arr a, LATERAL unnest(generate_series(1, len(a.l))) AS t(i)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok, t.n_tokens
+            FROM toks t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM merged m
+                WHERE m.doc_id = t.doc_id AND t.pos >= m.s AND t.pos <= m.e
+            )
+        )
+        SELECT a.doc_id,
+               CAST(len(a.l) AS BIGINT) AS n_tokens,
+               CAST(len(a.l) - COUNT(k.pos) AS BIGINT) AS n_removed,
+               md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+                   AS clean_md5
+        FROM arr a LEFT JOIN kept k USING (doc_id)
+        GROUP BY a.doc_id, len(a.l)"""
+
+
+LOCAL_ORACLE["q_span_dedup"] = _span_dedup_oracle()

@@ -119,3 +119,51 @@ def test_duplicated_passages_distinct_passages_distinct_rows(spark):
     assert len(rows) == 2, rows
     assert len({r["passage_digest"] for r in rows}) == 2
     assert sorted(r["n_tokens"] for r in rows) == [7, 10]
+
+
+def test_remove_shared_spans_cuts_loser_only(spark):
+    """The planted passage vanishes from the HIGHER doc_id (the loser);
+    the keeper and unrelated docs pass through byte-identical."""
+    from streaminglens_spark.functions.winnow import _removed_text, shared_spans
+
+    a_toks = W[0:5] + PASSAGE + W[5:10]
+    b_toks = W[20:28] + PASSAGE + W[28:31]
+    c_toks = W[40:60]
+    df = _docs(
+        spark,
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks)), (3, " ".join(c_toks))],
+    )
+    spans = shared_spans(df)
+    out = {r["doc_id"]: r for r in _removed_text(df, spans).collect()}
+    # keeper (doc 1) untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == " ".join(a_toks)
+    # loser (doc 2): exactly the 10 passage tokens removed, rest intact
+    assert out[2]["n_removed"] == 10
+    assert out[2]["clean_text"] == " ".join(W[20:28] + W[28:31])
+    # unrelated doc byte-identical
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == " ".join(c_toks)
+
+
+def test_remove_shared_spans_merges_overlapping_cuts(spark):
+    """A loser sharing OVERLAPPING passages with two keepers gets one
+    merged cut, not double-removal."""
+    from streaminglens_spark.functions.winnow import _removed_text, shared_spans
+
+    # doc 3 contains a 14-token run; doc 1 shares its first 10 tokens,
+    # doc 2 shares its last 10 (overlap of 6 in the middle of doc 3)
+    run = PASSAGE + ["extra1", "extra2", "extra3", "extra4"]
+    df = _docs(
+        spark,
+        [
+            (1, " ".join(W[0:4] + run[:10] + W[4:8])),
+            (2, " ".join(W[20:24] + run[4:] + W[24:28])),
+            (3, " ".join(W[40:43] + run + W[43:46])),
+        ],
+    )
+    spans = shared_spans(df, min_shared=1)
+    out = {r["doc_id"]: r for r in _removed_text(df, spans).collect()}
+    # the two cuts in doc 3 (positions 4..13 and 8..17) merge to 4..17
+    assert out[3]["n_removed"] == 14
+    assert out[3]["clean_text"] == " ".join(W[40:43] + W[43:46])
