@@ -8,13 +8,14 @@ SURVEY.md §2 with their DuckDB oracles (see
 THE 50-SLOT CONTRACT: the grading driver evaluates at most 50 correctness
 queries, in dict order (the round-1 run silently dropped the 51st), so
 ``queries()`` exposes exactly the 50-entry ``registry.ORACLE`` surface --
-never the full registry.  The other ~77 registered queries live on
+never the full registry.  The other 85 registered queries live on
 ``registry.LOCAL_ORACLE`` and are hash-checked against their independent
 DuckDB oracles at sf0.001 AND sf0.01 on every test run
 (``tests/test_oracle_queries.py`` iterates ORACLE ∪ LOCAL_ORACLE); the two
 surfaces rotate each round so every query eventually holds a hard driver
-CORRECTNESS row (debt cleared to zero by the r7 batch,
-``registry._ROTATED_IN_R7``).  A driver that ever evaluates more than 50
+CORRECTNESS row (debt cleared to zero by the r8 batch,
+``registry._ROTATED_IN_R8``, which carries the 8 r7-built queries -- the
+last without a driver row).  A driver that ever evaluates more than 50
 must read LOCAL_ORACLE too -- do NOT widen ``queries()`` without removing
 the cap guard (``registry.py`` raises RuntimeError if len(ORACLE) != 50).
 """

@@ -5890,3 +5890,50 @@ def _span_dedup_oracle() -> str:
 
 
 LOCAL_ORACLE["q_span_dedup"] = _span_dedup_oracle()
+
+
+# ---------------------------------------------------- Round-8 rotation
+# (r7 verdict ask #1, executing the rotation plan COVERAGE.md documented):
+# the 8 r7-built queries -- the only registered queries without a hard
+# driver CORRECTNESS row -- rotate IN; 8 double-green r6-batch slots
+# (each holds r6+r7 driver rows) rotate OUT to LOCAL_ORACLE, where they
+# stay hash-checked at sf0.001+sf0.01 on every test run.  Family coverage
+# after the swap: event analytics keeps q_profile_events/q_user_sequences
+# (funnel/retention out), text keeps q_canon_urls + the corpus pipelines
+# (normalize/domain_stats out), BPE keeps q_bpe_merges (segment out),
+# vocab keeps q_vocab_drift (vocab_topk out), anomaly keeps
+# q_sla_recommend (duration_anomalies out), co-occurrence moves to
+# LOCAL_ORACLE (pmi out; the verdict's named candidate).  This block must
+# stay LAST: the r7-built functions register their LOCAL_ORACLE rows
+# above, so the pops only resolve after the whole module body ran.
+_ROTATED_OUT_R8 = [
+    "q_funnel",
+    "q_retention",
+    "q_pmi",
+    "q_normalize_text",
+    "q_bpe_segment",
+    "q_vocab_topk",
+    "q_domain_stats",
+    "q_duration_anomalies",
+]
+_ROTATED_IN_R8 = [
+    "q_shared_spans",
+    "q_span_dedup",
+    "q_dup_passages",
+    "q_softdedup",
+    "q_token_budget",
+    "q_semantic_decontam",
+    "q_ann_refit",
+    "q_pq_refit",
+]
+for _name in _ROTATED_OUT_R8:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R8:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+# Explicit guard, not `assert` (asserts vanish under python -O and a
+# 51-query surface silently drops the last query at the driver).
+if len(ORACLE) != 50:
+    raise RuntimeError(
+        f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
+    )
