@@ -218,3 +218,27 @@ def test_r7_operators_plan_quality(spark):
     ).formatted_plan(shard)
     # genuinely map-only up to the cell groupBy: no join back on vec_id
     assert "SortMergeJoin" not in plan, plan[:400]
+
+
+def test_token_budget_no_full_stratum_row_window(spark):
+    """r7 verdict ask #2 plan pin: token_budget_sample must never run the
+    row-level cumulative window partitioned by the stratum alone (that
+    serializes a whole stratum onto one reducer -- ~20 TB per task on a
+    5-stratum 100 TB corpus).  The two-level form's row window partitions
+    by (stratum, bucket); the only stratum-partitioned window runs over
+    the O(strata x n_buckets) bucket AGGREGATE, ordered by bucket id."""
+    import re
+
+    df = registry.q_token_budget(spark, SF_DIR)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected window specs in the token-budget plan"
+    # the forbidden shape: partition by stratum alone, order by row hash
+    assert not any(
+        re.match(r"windowspecdefinition\(source#\d+, _h#", s) for s in specs
+    ), f"full-stratum row window found: {specs}"
+    # the required shape: the row window is bucket-local
+    assert any(
+        re.match(r"windowspecdefinition\(source#\d+, _b#\d+L, _h#", s)
+        for s in specs
+    ), f"bucket-local row window missing: {specs}"

@@ -85,3 +85,63 @@ def test_kept_set_partition_invariant(spark):
          token_budget_sample(docs.coalesce(1), "source", "doc_id",
                              budgets).collect()}
     assert a == b == c
+
+
+def test_two_level_bit_equal_to_windowed_reference(spark):
+    """r7 verdict ask #2: the production two-level form (per-(stratum,
+    hash-bucket) pre-aggregation + bucket-local row windows) must return
+    the SAME rows -- kept set, n_tokens AND cum_tokens -- as the one-window
+    reference form, at several bucket counts including the degenerate
+    n_buckets=1 (which collapses to one bucket per stratum)."""
+    from streaminglens_spark.functions.sampling import (
+        token_budget_sample_windowed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * (1 + (i * 7) % 11)), f"s{i % 4}")
+            for i in range(300)
+        ]
+        + [(1000, "", "s0")],  # zero-token doc exercises the <-boundary
+        "doc_id long, text string, source string",
+    )
+    budgets = {"s0": 120, "s1": 1, "s2": 10_000, "s3": 37}
+    ref = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_sample_windowed(
+            docs, "source", "doc_id", budgets
+        ).collect()
+    )
+    for nb in (1, 7, 1024):
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in token_budget_sample(
+                docs, "source", "doc_id", budgets, n_buckets=nb
+            ).collect()
+        )
+        assert got == ref, f"n_buckets={nb} diverged from the window form"
+
+
+def test_two_level_bit_equal_on_fixture(spark):
+    """Same bit-equality on the real documents fixture (the q_token_budget
+    configuration), so the driver-facing query is pinned to the reference
+    semantics, not just synthetic rows."""
+    from streaminglens_spark.functions.sampling import (
+        token_budget_sample_windowed,
+    )
+    from streaminglens_spark.registry import TOKEN_BUDGETS, _docs as _fixture
+    from tests.conftest import SF_DIR
+
+    docs = _fixture(spark, SF_DIR)
+    budgets = dict(TOKEN_BUDGETS)
+    ref = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_sample_windowed(
+            docs, "source", "doc_id", budgets
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_sample(docs, "source", "doc_id", budgets).collect()
+    )
+    assert got == ref
