@@ -105,3 +105,94 @@ def corpus_pipeline(
             & (F.col("n_kept") > 0)
         ).alias("final_keep"),
     )
+
+
+def corpus_pipeline_v2(
+    documents: DataFrame,
+    min_doc_frac: float = BOILERPLATE_MIN_DOC_FRAC,
+    k: int | None = None,
+    w: int | None = None,
+    min_shared: int = 2,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """The r8 pipeline (r7 verdict ask #3): ``corpus_pipeline`` with the
+    exact-substring removal pass composed in between the boilerplate strip
+    and the quality gate -- the six-stage chain a pretraining ingest
+    actually runs (Lee et al. run exact-substring dedup AFTER chrome
+    removal so shared chrome doesn't masquerade as shared prose, and
+    BEFORE quality scoring so scores reflect the text that survives):
+
+    1. normalize  2. redact          (map-only, fused into the scan)
+    3. boilerplate strip             (corpus-frequency groupBy + anti-join)
+    4. exact-substring span removal  (``winnow.remove_shared_spans`` over
+       the boilerplate-cleaned text: winnowing candidate pairs, diagonal
+       gram runs, loser-side interval merge, map-only token rebuild)
+    5. quality gate                  (hashed linear score, map-only)
+    6. exact-dedup keeper            (min doc_id per span-cleaned md5)
+
+    The boilerplate-cleaned table feeds FOUR consumers (candidate pairs,
+    both gram sides, the rebuild join), so it is ``track()``-persisted --
+    at 100 TB this is the checkpoint a real ingest writes between major
+    passes anyway; everything downstream is the documented shape of its
+    operator (span stage: gram-hash equi-joins + (pair, diagonal)
+    windows; keeper: md5-partition window).
+
+    Output, one row per input doc: (doc_id, n_lines, n_kept, n_tokens,
+    n_removed, clean_len, clean_md5, score_milli, keep_quality, keep_id,
+    final_keep) -- v1's digest convention with the span stage's token
+    accounting alongside; ``clean_md5``/``clean_len``/score are over the
+    SPAN-CLEANED text.  Every stage is bit-deterministic, so one DuckDB
+    oracle hash covers all six stages end to end
+    (``q_corpus_pipeline_v2``)."""
+    from pyspark.sql import Window
+
+    from .text import QC_THRESHOLD_MILLI, qc_score_expr
+    from .winnow import WINNOW_K, WINNOW_W, _removed_text, shared_spans
+    from ..cache import track
+    from ..plans.shape import scan_parallel
+
+    if k is None:
+        k = WINNOW_K
+    if w is None:
+        w = WINNOW_W
+    cleaned_input = scan_parallel(documents.select("doc_id", "text")).select(
+        "doc_id", redact_expr(normalize_expr(F.col("text"))).alias("text")
+    )
+    stripped = track(
+        strip_boilerplate_text(cleaned_input, min_doc_frac).select(
+            "doc_id", "n_lines", "n_kept", F.col("clean").alias("text")
+        )
+    )
+    stripped.count()
+    spans = shared_spans(stripped, k, w, min_shared, min_tokens)
+    removed = _removed_text(stripped, spans)
+    score = qc_score_expr(F.col("clean_text"))
+    hashed = removed.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_tokens",
+        "n_removed",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        score.alias("score_milli"),
+        (score >= QC_THRESHOLD_MILLI).alias("keep_quality"),
+    )
+    keep_id = F.min("doc_id").over(Window.partitionBy("clean_md5")).cast("long")
+    return hashed.withColumn("keep_id", keep_id).select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_tokens",
+        "n_removed",
+        "clean_len",
+        "clean_md5",
+        "score_milli",
+        "keep_quality",
+        "keep_id",
+        (
+            F.col("keep_quality")
+            & (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("n_kept") > 0)
+        ).alias("final_keep"),
+    )

@@ -365,8 +365,10 @@ def remove_shared_spans(
 
 
 def _removed_text(documents: DataFrame, spans: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_removed, clean_text): documents with the
-    loser-side span intervals merged and cut."""
+    """(doc_id, *extras, n_tokens, n_removed, clean_text): documents with
+    the loser-side span intervals merged and cut.  Non-(doc_id, text)
+    columns of ``documents`` pass through untouched (corpus_pipeline_v2
+    carries n_lines/n_kept alongside the rebuilt text)."""
     cuts = spans.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
@@ -399,6 +401,7 @@ def _removed_text(documents: DataFrame, spans: DataFrame) -> DataFrame:
     )
     kept = F.filter(toks, lambda t, i: ~in_cut(i))
     n_tok = F.size(toks).cast("long")
+    extras = [c for c in documents.columns if c not in ("doc_id", "text")]
     return (
         documents.join(grouped, "doc_id", "left")
         .withColumn(
@@ -410,6 +413,7 @@ def _removed_text(documents: DataFrame, spans: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
+            *extras,
             n_tok.alias("n_tokens"),
             (n_tok - F.size(kept)).cast("long").alias("n_removed"),
             F.array_join(kept, " ").alias("clean_text"),

@@ -3065,30 +3065,57 @@ LOCAL_ORACLE.update(_url_oracles())
 LOCAL_ORACLE["q_semantic_dedup"] = _semantic_dedup_oracle()
 
 
-def _corpus_pipeline_oracle() -> str:
-    """r5: the five pipeline stages recomputed as CTEs over the same
-    three injections -- one hash covers normalization, redaction,
-    corpus-frequency boilerplate removal, reassembly, quality scoring
-    and keeper election end to end."""
+def _qc_fold_sql(expr: str) -> str:
+    """The byte-fold hash of the quality classifier, as DuckDB SQL."""
+    return f"""list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length({expr}) + 1),
+                       ci -> CAST(ascii(substr({expr}, CAST(ci AS INT), 1))
+                            AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+
+def _qc_score_ctes(src: str, col: str) -> str:
+    """feats/scored CTE text of the quality classifier over ``src.col``
+    (shared by the v1 and v2 corpus-pipeline oracles)."""
+    from .functions.text import QC_DIM, qc_weights
+
+    w_list = "[" + ", ".join(str(x) for x in qc_weights()) + "]"
+    fold = _qc_fold_sql
+    return f"""
+        t AS (SELECT doc_id, string_split({col}, ' ') AS toks FROM {src}),
+        feats AS (
+            SELECT doc_id,
+                   list_concat(
+                       list_transform(toks, tok -> {fold('tok')} % {QC_DIM}),
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> {fold("(toks[CAST(i AS INT)] || '_' || toks[CAST(i + 1 AS INT)])")} % {QC_DIM})
+                       ELSE [] END
+                   ) AS fs
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(fs,
+                            b -> CAST(({w_list})[CAST(b + 1 AS INT)] AS BIGINT))),
+                        (a, x) -> a + x) AS BIGINT) AS score_milli
+            FROM feats
+        )"""
+
+
+def _corpus_prefix_ctes(where: str = "") -> str:
+    """CTE text of the corpus-pipeline stages 1-3 (the three deterministic
+    injections, normalize, redact, boilerplate strip, ending at ``spine``
+    with (doc_id, n_lines, n_kept, clean)) -- shared by the v1 and v2
+    pipeline oracles; ``where`` optionally slices the input docs."""
     from .functions.text import (
         BOILERPLATE_MIN_DOC_FRAC,
         PII_EMAIL_RE,
         PII_IP_RE,
         PII_PHONE_RE,
-        QC_DIM,
-        QC_THRESHOLD_MILLI,
-        qc_weights,
     )
-
-    w_list = "[" + ", ".join(str(x) for x in qc_weights()) + "]"
-
-    def fold(expr: str) -> str:
-        return f"""list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length({expr}) + 1),
-                           ci -> CAST(ascii(substr({expr}, CAST(ci AS INT), 1))
-                                AS BIGINT))),
-                   (acc, c) -> (acc * 31 + c) % 2147483647)"""
 
     normalize = (
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -3122,6 +3149,7 @@ def _corpus_pipeline_oracle() -> str:
                  ELSE '' END
               AS text
             FROM documents
+            {where}
         ),
         dz AS (
             SELECT doc_id,
@@ -3174,27 +3202,19 @@ def _corpus_pipeline_oracle() -> str:
                    COALESCE(b.n_kept, 0) AS n_kept,
                    COALESCE(b.clean, '') AS clean
             FROM red r LEFT JOIN rebuilt b USING (doc_id)
-        ),
-        t AS (SELECT doc_id, string_split(clean, ' ') AS toks FROM spine),
-        feats AS (
-            SELECT doc_id,
-                   list_concat(
-                       list_transform(toks, tok -> {fold('tok')} % {QC_DIM}),
-                       CASE WHEN len(toks) >= 2 THEN
-                           list_transform(range(1, len(toks)),
-                               i -> {fold("(toks[CAST(i AS INT)] || '_' || toks[CAST(i + 1 AS INT)])")} % {QC_DIM})
-                       ELSE [] END
-                   ) AS fs
-            FROM t
-        ),
-        scored AS (
-            SELECT doc_id,
-                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(fs,
-                            b -> CAST(({w_list})[CAST(b + 1 AS INT)] AS BIGINT))),
-                        (a, x) -> a + x) AS BIGINT) AS score_milli
-            FROM feats
-        ),
+        )"""
+
+
+def _corpus_pipeline_oracle() -> str:
+    """r5: the five pipeline stages recomputed as CTEs over the same
+    three injections -- one hash covers normalization, redaction,
+    corpus-frequency boilerplate removal, reassembly, quality scoring
+    and keeper election end to end."""
+    from .functions.text import QC_THRESHOLD_MILLI
+
+    return f"""
+        {_corpus_prefix_ctes()},
+        {_qc_score_ctes('spine', 'clean')},
         hashed AS (
             SELECT doc_id, n_lines, n_kept,
                    CAST(length(clean) AS BIGINT) AS clean_len,
@@ -5937,3 +5957,156 @@ if len(ORACLE) != 50:
     raise RuntimeError(
         f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
     )
+
+
+# --------------------------------- r8: six-stage corpus pipeline (ask #3)
+
+def q_corpus_pipeline_v2(spark, sf_dir):
+    """The six-stage cleanup pipeline (r8): normalize -> redact ->
+    boilerplate strip -> exact-substring span removal -> quality gate ->
+    exact-dedup keeper as one plan, over the same three deterministic
+    injections as q_corpus_pipeline.  Doc slice (doc_id < 1000) bounds
+    the span stage on the self-similar fixture, the q_span_dedup
+    convention (full table at sf<=0.01).  One oracle hash covers all six
+    stages.  LOCAL_ORACLE (new this round); r9 rotation candidate."""
+    from .functions.corpus import corpus_pipeline_v2
+    from .functions.text import boilerplate_corpus, dirty_corpus, pii_corpus
+
+    return corpus_pipeline_v2(
+        boilerplate_corpus(
+            dirty_corpus(
+                pii_corpus(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+            )
+        )
+    )
+
+
+def _corpus_pipeline_v2_oracle() -> str:
+    """The v1 prefix CTEs (through the boilerplate spine), the
+    q_span_dedup span CTEs re-rooted on the spine's cleaned text, then
+    quality scoring + keeper election over the SPAN-CLEANED text --
+    every literal (k=3 grams, w=4 windows, 6-token floor, >=2 shared
+    minimizers) matches the Spark defaults."""
+    from .functions.text import QC_THRESHOLD_MILLI
+
+    return f"""
+        {_corpus_prefix_ctes("WHERE doc_id < 1000")},
+        arr AS (
+            SELECT doc_id, string_split(clean, ' ') AS l FROM spine
+        ),
+        grams AS (
+            SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+                   {_fold3_sql("(l[g.i] || ' ' || l[g.i + 1] || ' ' || l[g.i + 2])")} AS h
+            FROM arr, LATERAL unnest(generate_series(1, len(l) - 2)) AS g(i)
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+            FROM grams GROUP BY 1
+        ),
+        wins AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+            FROM grams
+        ),
+        sel AS (
+            SELECT w.doc_id, w.wmin AS mz
+            FROM wins w JOIN stats s USING (doc_id)
+            WHERE s.ng >= 4 AND w.pos <= s.ng - 3
+            UNION
+            SELECT g.doc_id, MIN(g.h) AS mz
+            FROM grams g JOIN stats s USING (doc_id)
+            WHERE s.ng < 4 GROUP BY g.doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        matches AS (
+            SELECT p.doc_a, p.doc_b, ga.pos AS pa, gb.pos AS pb
+            FROM pairs p
+            JOIN grams ga ON ga.doc_id = p.doc_a
+            JOIN grams gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, pa, pa - pb AS diag,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                           ORDER BY pa) AS grp
+            FROM matches
+        ),
+        cuts AS (
+            SELECT doc_b AS doc_id,
+                   CAST(MIN(pa) - diag AS BIGINT) AS s,
+                   CAST(MIN(pa) - diag + COUNT(*) + 1 AS BIGINT) AS e
+            FROM runs
+            GROUP BY doc_a, doc_b, diag, grp
+            HAVING COUNT(*) + 2 >= 6
+        ),
+        marked AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS newgrp
+            FROM cuts
+        ),
+        merged AS (
+            SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+            FROM (
+                SELECT *, SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS grp
+                FROM marked
+            )
+            GROUP BY doc_id, grp
+        ),
+        toks2 AS (
+            SELECT a.doc_id, CAST(t.i AS BIGINT) AS pos, a.l[t.i] AS tok,
+                   CAST(len(a.l) AS BIGINT) AS n_tokens
+            FROM arr a, LATERAL unnest(generate_series(1, len(a.l))) AS t(i)
+        ),
+        kept2 AS (
+            SELECT t.doc_id, t.pos, t.tok, t.n_tokens
+            FROM toks2 t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM merged m
+                WHERE m.doc_id = t.doc_id AND t.pos >= m.s AND t.pos <= m.e
+            )
+        ),
+        clean2 AS (
+            SELECT a.doc_id,
+                   CAST(len(a.l) AS BIGINT) AS n_tokens,
+                   CAST(len(a.l) - COUNT(k.pos) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+                       AS clean
+            FROM arr a LEFT JOIN kept2 k USING (doc_id)
+            GROUP BY a.doc_id, len(a.l)
+        ),
+        {_qc_score_ctes('clean2', 'clean')},
+        hashed AS (
+            SELECT c.doc_id, s.n_lines, s.n_kept, c.n_tokens, c.n_removed,
+                   CAST(length(c.clean) AS BIGINT) AS clean_len,
+                   md5(c.clean) AS clean_md5
+            FROM clean2 c JOIN spine s USING (doc_id)
+        ),
+        keepers AS (
+            SELECT clean_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM hashed GROUP BY clean_md5
+        )
+        SELECT h.doc_id, h.n_lines, h.n_kept, h.n_tokens, h.n_removed,
+               h.clean_len, h.clean_md5,
+               s.score_milli,
+               s.score_milli >= {QC_THRESHOLD_MILLI} AS keep_quality,
+               k.keep_id,
+               (s.score_milli >= {QC_THRESHOLD_MILLI})
+                 AND (h.doc_id = k.keep_id) AND (h.n_kept > 0) AS final_keep
+        FROM hashed h
+        JOIN keepers k USING (clean_md5)
+        JOIN scored s USING (doc_id)"""
+
+
+LOCAL_ORACLE["q_corpus_pipeline_v2"] = _corpus_pipeline_v2_oracle()

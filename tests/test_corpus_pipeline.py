@@ -100,3 +100,73 @@ def test_fused_plan_shuffle_bound(spark):
     assert plan.count("Exchange SinglePartition") <= 1
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+# ------------------------------------------- v2: span stage composed in
+
+
+def test_v2_span_stage_cuts_only_the_loser(spark):
+    """A 16-token passage (long enough for >=2 shared winnowing
+    minimizers, the min_shared=2 candidate bar) shared INSIDE two otherwise-distinct lines
+    (so the boilerplate pass can't touch it) is cut from the higher
+    doc_id only; the keeper's text and the bystander doc pass through
+    with zero tokens removed."""
+    from streaminglens_spark.functions.corpus import corpus_pipeline_v2
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lam mu nu xi omicron pi")
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one two three " + shared),
+            (2, shared + " suffix four five six"),
+            (3, "totally unrelated words with no overlap at all"),
+        ]
+        + [(10 + i, f"filler doc number {i} keeps the line frequencies low")
+           for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in corpus_pipeline_v2(docs, min_doc_frac=0.5).collect()}
+    assert rows[1]["n_removed"] == 0
+    assert rows[3]["n_removed"] == 0
+    assert rows[2]["n_removed"] == 16  # the shared span, exactly
+    # accounting holds: clean_len shrank on the loser only
+    assert rows[2]["clean_len"] < rows[1]["clean_len"]
+
+
+def test_v2_no_spans_matches_v1_digests(spark):
+    """On a corpus with no shared spans the span stage is a no-op modulo
+    the split/join round-trip: v2's clean_md5 must equal v1's for every
+    single-line doc (split-on-space + join-with-space is the identity)."""
+    from streaminglens_spark.functions.corpus import corpus_pipeline_v2
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} has its very own distinct words w{i}a w{i}b w{i}c")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    v1 = {r["doc_id"]: r["clean_md5"]
+          for r in corpus_pipeline(docs, min_doc_frac=0.5).collect()}
+    v2 = {r["doc_id"]: r["clean_md5"]
+          for r in corpus_pipeline_v2(docs, min_doc_frac=0.5).collect()}
+    assert v1 == v2
+
+
+def test_v2_plan_bounds(spark):
+    """r8 shuffle pin for the six-stage chain: the boilerplate subtree is
+    persisted (it feeds the candidate, both gram sides and the rebuild --
+    InMemoryTableScan must appear, so the 5-shuffle v1 prefix runs ONCE),
+    and everything above the cache stays within the documented span-stage
+    shape: 20 hash exchanges (winnow fingerprints + pair join + two gram
+    joins + diagonal windows + interval merge + rebuild join + md5
+    keeper), no Python anywhere, no cartesian product."""
+    from streaminglens_spark.functions.corpus import corpus_pipeline_v2
+    from streaminglens_spark.plans.audit import exchange_count, formatted_plan
+
+    df = corpus_pipeline_v2(_docs(spark))
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan, "boilerplate table must be persisted"
+    assert exchange_count(df) <= 20, exchange_count(df)
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
