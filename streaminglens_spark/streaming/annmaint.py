@@ -26,12 +26,21 @@ is bit-identical to ``merge_ann_stats`` over the same shards (integer
 sums are associative), so a refit decision made from the monitor equals
 one made from the persisted batch artifacts.
 
-Durability: the monitor's dict is DRIVER-SESSION state, not checkpointed
--- by design.  The durable artifact is the per-batch shard the pipeline
-appends (``ann_stats_shard`` rows via foreachBatch's own sink); after a
-restart the state rebuilds exactly by folding the persisted shards
-(additive integer sums), and the gauges are per-batch signals, not
-accumulations, so no trigger decision is lost.
+Durability (r7 verdict ask #4, implemented): pass ``shard_path`` to any
+monitor and each batch's shard tables are written through the
+exactly-once marker protocol of ``sources.sinks.idempotent_batch_sink``
+(``<shard_path>/batch_id=<id>/<table>`` sealed by an atomic
+``_COMMITTED`` marker) BEFORE the fold, and at construction the monitor
+rebuilds its state by folding every committed shard back in -- restart
+the driver, rebuild the monitor with the same ``shard_path``, and the
+state (drift verdicts, ``updated_centroids()``) is bit-identical to the
+uninterrupted run (integer sums are additive and parquet round-trips
+longs exactly; pinned in ``tests/test_streaming_annmaint.py``).  A
+REPLAYED batch (restart inside the at-least-once window) sees its marker:
+its gauges still publish (they are per-batch signals) but it is not
+folded again, so nothing double-counts.  Without ``shard_path`` the
+state is driver-session only and durability is the caller's problem --
+wire your own shard-appending ``downstream`` sink or accept the loss.
 """
 
 from __future__ import annotations
@@ -39,6 +48,101 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 ANN_GAUGE_SOURCE = "spark.streaming.annMaintenance"
+
+
+# --- exactly-once shard persistence (r7 verdict ask #4) ----------------------
+
+def _write_shard_batch(spark, shard_path, batch_id, named_dfs) -> bool:
+    """Write this batch's shard tables under
+    ``<shard_path>/batch_id=<id>/<name>`` and seal them with ONE atomic
+    ``_COMMITTED`` marker (all tables commit together).  Returns False --
+    writing nothing -- when the marker already exists (a replayed batch:
+    the restored state already folded it)."""
+    from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
+
+    out = f"{shard_path}/batch_id={batch_id}"
+    fs, _ = _hadoop_fs(spark, out)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(f"{out}/{_COMMIT_MARKER}")
+    if fs.exists(marker):
+        return False
+    for name, df in named_dfs.items():
+        df.write.mode("overwrite").parquet(f"{out}/{name}")
+    fs.create(marker, True).close()
+    return True
+
+
+def _committed_batch_dirs(spark, shard_path) -> list[str]:
+    """COMMITTED batch directories under ``shard_path`` in batch order;
+    [] when the path does not exist yet (first start).  Half-written
+    batches (no marker) are invisible, the ``read_committed`` contract."""
+    from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
+
+    fs, hpath = _hadoop_fs(spark, shard_path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        p = status.getPath()
+        name = p.getName()
+        if not status.isDirectory() or not name.startswith("batch_id="):
+            continue
+        marker = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{p.toString()}/{_COMMIT_MARKER}"
+        )
+        if fs.exists(marker):
+            out.append((int(name.split("=", 1)[1]), p.toString()))
+    return [p for _, p in sorted(out)]
+
+
+def restore_ann_state(
+    spark,
+    baseline,
+    shard_path: str | None,
+    drift_margin: float = 0.05,
+    growth_ratio: int = 3,
+) -> "AnnMaintenanceState":
+    """A fresh ``AnnMaintenanceState`` with every COMMITTED stats shard
+    under ``shard_path`` folded back in (no-op fresh state when
+    ``shard_path`` is None or empty) -- integer sums are additive, so the
+    rebuilt state is bit-identical to the uninterrupted run's."""
+    state = AnnMaintenanceState(baseline.collect())
+    state._drift_margin = drift_margin
+    state._growth_ratio = growth_ratio
+    for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
+        state.fold_shard(spark.read.parquet(f"{d}/stats").collect())
+    return state
+
+
+def restore_pq_state(
+    spark, baseline, shard_path: str | None, err_ratio: float = 1.5
+) -> "PqMaintenanceState":
+    """``restore_ann_state`` for the PQ monitor: fold back the committed
+    per-subspace error shards."""
+    state = PqMaintenanceState(baseline.collect(), err_ratio=err_ratio)
+    for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
+        state.fold_shard(spark.read.parquet(f"{d}/errs").collect())
+    return state
+
+
+def restore_refit_state(
+    centroids,
+    baseline,
+    shard_path: str | None,
+    drift_margin: float = 0.05,
+    growth_ratio: int = 3,
+) -> "RefitMaintenanceState":
+    """A fresh ``RefitMaintenanceState`` with every committed batch's
+    stats AND vector-mass shards folded back in: after a driver restart,
+    drift verdicts and ``updated_centroids()`` are bit-identical to the
+    uninterrupted run (parquet round-trips the integer sums exactly)."""
+    spark = centroids.sparkSession
+    state = RefitMaintenanceState(baseline.collect(), centroids, baseline)
+    state.gauge_state._drift_margin = drift_margin
+    state.gauge_state._growth_ratio = growth_ratio
+    for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
+        state.gauge_state.fold_shard(spark.read.parquet(f"{d}/stats").collect())
+        state.fold_vector_shard(spark.read.parquet(f"{d}/vectors").collect())
+    return state
 
 
 class AnnMaintenanceState:
@@ -56,19 +160,23 @@ class AnnMaintenanceState:
         self.cells: dict[int, list[int]] = {}
         self.batches = 0
 
-    def fold_shard(self, shard_rows) -> dict:
+    def fold_shard(self, shard_rows, accumulate: bool = True) -> dict:
         """Fold one batch's (cell, n_vecs, qsum) shard rows in; return the
-        batch's trigger gauge dict."""
-        self.batches += 1
+        batch's trigger gauge dict.  ``accumulate=False`` computes the
+        per-batch gauges WITHOUT mutating the running state -- the
+        replayed-batch path (the restored state already contains it)."""
+        if accumulate:
+            self.batches += 1
         n_batch = 0
         batch_cells: dict[int, tuple[int, int]] = {}
         for r in shard_rows:
             cell, n, qs = int(r["cell"]), int(r["n_vecs"]), int(r["qsum"])
             n_batch += n
             batch_cells[cell] = (n, qs)
-            acc = self.cells.setdefault(cell, [0, 0])
-            acc[0] += n
-            acc[1] += qs
+            if accumulate:
+                acc = self.cells.setdefault(cell, [0, 0])
+                acc[0] += n
+                acc[1] += qs
         drift = growth = empty_hits = 0
         for cell, (n, qs) in batch_cells.items():
             base = self.baseline.get(cell)
@@ -113,6 +221,7 @@ def ann_maintenance_monitor(
     downstream=None,
     drift_margin: float = 0.05,
     growth_ratio: int = 3,
+    shard_path: str | None = None,
 ):
     """Build (state, foreachBatch_body) for streaming index maintenance.
 
@@ -127,18 +236,26 @@ def ann_maintenance_monitor(
 
     Gauges publish under ``spark.streaming.annMaintenance`` via the same
     fail-open sink contract as ``dedup_verdict_monitor``; the raw batch
-    flows on to ``downstream(df, batch_id)`` if given."""
+    flows on to ``downstream(df, batch_id)`` if given.  With
+    ``shard_path``, shards persist through the exactly-once marker
+    protocol and the state auto-restores from committed shards at
+    construction (see module docstring)."""
     from ..functions.similarity import ann_stats_shard
 
-    state = AnnMaintenanceState(baseline.collect())
-    state._drift_margin = drift_margin
-    state._growth_ratio = growth_ratio
+    state = restore_ann_state(
+        centroids.sparkSession, baseline, shard_path, drift_margin, growth_ratio
+    )
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            shard_rows = ann_stats_shard(batch_df, centroids).collect()
-            gauges = state.fold_shard(shard_rows)
+            shard_df = ann_stats_shard(batch_df, centroids)
+            fresh = shard_path is None or _write_shard_batch(
+                batch_df.sparkSession, shard_path, batch_id,
+                {"stats": shard_df},
+            )
+            shard_rows = shard_df.collect()
+            gauges = state.fold_shard(shard_rows, accumulate=fresh)
             gauges["batchId"] = int(batch_id)
             if analyzer is not None:
                 analyzer.set_extra_gauges(ANN_GAUGE_SOURCE, gauges)
@@ -173,10 +290,12 @@ class PqMaintenanceState:
         self.subs: dict[int, list[int]] = {}
         self.batches = 0
 
-    def fold_shard(self, err_rows) -> dict:
+    def fold_shard(self, err_rows, accumulate: bool = True) -> dict:
         """Fold one batch's per-sub (sub, n, qsum) error rows in; return
-        the batch's trigger gauges."""
-        self.batches += 1
+        the batch's trigger gauges.  ``accumulate=False`` is the
+        replayed-batch path (gauges only, no state mutation)."""
+        if accumulate:
+            self.batches += 1
         n_batch = 0  # (vec, sub) rows; vectors = n_batch / #subs seen
         subs_seen = set()
         flagged = 0
@@ -185,9 +304,10 @@ class PqMaintenanceState:
             sub, n, qs = int(r["sub"]), int(r["n"]), int(r["qsum"])
             n_batch += n
             subs_seen.add(sub)
-            acc = self.subs.setdefault(sub, [0, 0])
-            acc[0] += n
-            acc[1] += qs
+            if accumulate:
+                acc = self.subs.setdefault(sub, [0, 0])
+                acc[0] += n
+                acc[1] += qs
             base = self.baseline.get(sub)
             if base is None or base[1] == 0 or n == 0:
                 continue
@@ -221,6 +341,7 @@ def pq_maintenance_monitor(
     gauge_sinks=None,
     downstream=None,
     err_ratio: float = 1.5,
+    shard_path: str | None = None,
 ):
     """Streaming PQ-index maintenance: the ``ann_maintenance_monitor``
     recipe on the product quantizer.  Per micro-batch: one map-only
@@ -230,17 +351,21 @@ def pq_maintenance_monitor(
     ``pq_increment``'s absolute-error ratio trigger, and published under
     ``spark.streaming.pqMaintenance`` through the fail-open sink path.
     A flagged subspace's remedy is ``pq_update`` (incremental) or
-    ``pq_fit`` (full), both offline -- the monitor only decides."""
+    ``pq_fit`` (full), both offline -- the monitor only decides.  With
+    ``shard_path``, error shards persist exactly-once and the state
+    auto-restores from committed shards (module docstring)."""
     from pyspark.sql import functions as F
 
     from ..functions.pq import pq_encode_with_error
 
-    state = PqMaintenanceState(baseline.collect(), err_ratio=err_ratio)
+    state = restore_pq_state(
+        codebooks.sparkSession, baseline, shard_path, err_ratio=err_ratio
+    )
 
     def _body(batch_df, batch_id: int) -> None:
         batch_df.persist()
         try:
-            err_rows = (
+            err_df = (
                 pq_encode_with_error(batch_df, codebooks)
                 .withColumn("q", F.round(F.col("err") * 1_000_000).cast("long"))
                 .groupBy("sub")
@@ -248,9 +373,12 @@ def pq_maintenance_monitor(
                     F.count(F.lit(1)).cast("long").alias("n"),
                     F.sum("q").cast("long").alias("qsum"),
                 )
-                .collect()
             )
-            gauges = state.fold_shard(err_rows)
+            fresh = shard_path is None or _write_shard_batch(
+                batch_df.sparkSession, shard_path, batch_id, {"errs": err_df}
+            )
+            err_rows = err_df.collect()
+            gauges = state.fold_shard(err_rows, accumulate=fresh)
             gauges["batchId"] = int(batch_id)
             if analyzer is not None:
                 analyzer.set_extra_gauges(PQ_GAUGE_SOURCE, gauges)
@@ -276,6 +404,7 @@ def ann_maintenance_monitor_with_refit(
     downstream=None,
     drift_margin: float = 0.05,
     growth_ratio: int = 3,
+    shard_path: str | None = None,
 ):
     """``ann_maintenance_monitor`` plus the REMEDY in hand: each batch
     additionally folds its per-cell vector-mass shard
@@ -291,22 +420,35 @@ def ann_maintenance_monitor_with_refit(
     (pinned in ``tests/test_streaming_annmaint.py``).  State stays
     O(cells x dim) regardless of stream length.
 
+    With ``shard_path`` (r7 verdict ask #4), each batch's stats AND
+    vector-mass shards commit together under one exactly-once marker,
+    and a monitor rebuilt with the same path restores bit-identical state
+    -- kill/restart mid-stream loses nothing (pinned in
+    ``tests/test_streaming_annmaint.py::test_refit_monitor_survives_restart``).
+
     Returns (state, foreachBatch_body); state is a
     ``RefitMaintenanceState`` wrapping the gauge state."""
     from ..functions.similarity import ann_stats_shard, ann_vector_shard
 
-    state = RefitMaintenanceState(baseline.collect(), centroids, baseline)
-    state.gauge_state._drift_margin = drift_margin
-    state.gauge_state._growth_ratio = growth_ratio
+    state = restore_refit_state(
+        centroids, baseline, shard_path, drift_margin, growth_ratio
+    )
 
     def _body(batch_df, batch_id: int) -> None:
         batch_df.persist()
         try:
-            shard_rows = ann_stats_shard(batch_df, centroids).collect()
-            gauges = state.gauge_state.fold_shard(shard_rows)
+            stats_df = ann_stats_shard(batch_df, centroids)
+            vec_df = ann_vector_shard(batch_df, centroids)
+            fresh = shard_path is None or _write_shard_batch(
+                batch_df.sparkSession, shard_path, batch_id,
+                {"stats": stats_df, "vectors": vec_df},
+            )
+            gauges = state.gauge_state.fold_shard(
+                stats_df.collect(), accumulate=fresh
+            )
             gauges["batchId"] = int(batch_id)
-            vec_rows = ann_vector_shard(batch_df, centroids).collect()
-            state.fold_vector_shard(vec_rows)
+            if fresh:
+                state.fold_vector_shard(vec_df.collect())
             if analyzer is not None:
                 analyzer.set_extra_gauges(ANN_GAUGE_SOURCE, gauges)
             for sink in gauge_sinks or []:

@@ -323,3 +323,123 @@ def test_streaming_refit_monitor_closes_the_loop(spark, tmp_path):
     cents.unpersist()
     baseline.unpersist()
     assert got == want  # integer mass sums: bit-identical remedy
+
+
+def test_refit_monitor_survives_restart(spark, tmp_path):
+    """r7 verdict ask #4: kill the stream mid-run, rebuild the monitor
+    from the SAME shard_path, finish the stream -- accumulated state,
+    drift verdict and updated_centroids() must be bit-identical to an
+    uninterrupted run over the same three batches.  Also pins the replay
+    guard: re-delivering an already-committed batch publishes gauges but
+    does not double-count."""
+    from streaminglens_spark.streaming.annmaint import (
+        ann_maintenance_monitor_with_refit,
+        restore_refit_state,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    cents = kmeans_fit(corpus, k=4, iters=2).persist()
+    cents.count()
+    baseline = ann_index_stats(corpus, cents)
+    rows = corpus.select("vec_id", "label", "embedding").collect()
+
+    def batch_recs(lo, hi, offset, scale=1.0):
+        return [
+            {
+                "vec_id": int(r["vec_id"]) + offset,
+                "label": int(r["label"]),
+                "embedding": [scale * float(x) for x in r["embedding"]],
+            }
+            for r in rows[lo:hi]
+        ]
+
+    def run(src, shard_path=None, checkpoint=None, stop_after=None, files=()):
+        """Drive a fresh monitor over ``files`` (written incrementally);
+        returns (state, published).  ``stop_after`` kills the query after
+        that many files (the mid-stream restart point)."""
+        os.makedirs(src, exist_ok=True)
+        published = []
+        state, body = ann_maintenance_monitor_with_refit(
+            cents, baseline, shard_path=shard_path,
+            gauge_sinks=[lambda s, g: published.append(g)],
+        )
+        stream = (
+            spark.readStream
+            .schema("vec_id long, label int, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        writer = stream.writeStream.foreachBatch(body).outputMode("append")
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        try:
+            for i, (name, recs) in enumerate(files, 1):
+                path = os.path.join(src, name)
+                with open(path + ".tmp", "w") as f:
+                    for r in recs:
+                        f.write(json.dumps(r) + "\n")
+                os.rename(path + ".tmp", path)
+                q.processAllAvailable()
+                if stop_after is not None and i >= stop_after:
+                    break
+        finally:
+            q.stop()
+        return state, published
+
+    b1 = ("b1.json", batch_recs(0, 100, 10_000))
+    b2 = ("b2.json", batch_recs(100, 180, 20_000))
+    b3 = ("b3.json", batch_recs(0, 80, 30_000, scale=-1.0))  # OOD tail
+
+    # --- run A: uninterrupted, no persistence
+    state_a, pub_a = run(str(tmp_path / "a"), files=[b1, b2, b3])
+    want_cells = {c: list(v) for c, v in state_a.gauge_state.cells.items()}
+    want_vmass = {c: [n, list(v)] for c, (n, v) in state_a.vmass.items()}
+    want_cents = sorted(
+        tuple(r) for r in state_a.updated_centroids(spark).collect()
+    )
+
+    # --- run B: persist shards, kill after 2 batches
+    shard_path = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    src_b = str(tmp_path / "b")
+    state_b1, _ = run(src_b, shard_path=shard_path, checkpoint=ckpt,
+                      files=[b1, b2], stop_after=2)
+    assert state_b1.gauge_state.batches == 2
+
+    # --- restart: fresh monitor, same shard_path + checkpoint; only b3
+    # is new (the checkpoint skips b1/b2; the shards restore their mass)
+    state_b2, pub_b = run(src_b, shard_path=shard_path, checkpoint=ckpt,
+                          files=[b3])
+    assert state_b2.gauge_state.batches == 3
+    assert {c: list(v) for c, v in state_b2.gauge_state.cells.items()} \
+        == want_cells
+    assert {c: [n, list(v)] for c, (n, v) in state_b2.vmass.items()} \
+        == want_vmass
+    # the drift verdict on the OOD batch fired identically
+    assert pub_b[-1]["driftCells"] == pub_a[-1]["driftCells"] > 0
+    # the remedy is bit-identical to the uninterrupted run's
+    got_cents = sorted(
+        tuple(r) for r in state_b2.updated_centroids(spark).collect()
+    )
+    assert got_cents == want_cents
+
+    # --- replay guard: re-deliver b2 to a restored monitor directly;
+    # gauges publish, state does not double-count
+    state_c = restore_refit_state(cents, baseline, shard_path)
+    replay_df = spark.createDataFrame(
+        [(r["vec_id"], r["label"], r["embedding"]) for r in b2[1]],
+        "vec_id long, label int, embedding array<double>",
+    )
+    assert state_c.gauge_state.batches == 3  # all three shards restored
+    published_c = []
+    state_c2, body_c = ann_maintenance_monitor_with_refit(
+        cents, baseline, shard_path=shard_path,
+        gauge_sinks=[lambda s, g: published_c.append(g)],
+    )
+    body_c(replay_df, 1)  # batch_id=1 was b2 (0-indexed batches: b1=0)
+    assert published_c and published_c[-1]["newVecs"] == 80
+    assert {c: list(v) for c, v in state_c2.gauge_state.cells.items()} \
+        == want_cells  # unchanged: the marker blocked the re-fold
+    cents.unpersist()
