@@ -1085,13 +1085,30 @@ def semantic_decontaminate(
     batches on arrival).  Ties go to the lowest eval id (the fold
     contract).  Cosines are rounded to 6 BEFORE the threshold test so the
     flag is oracle-bit-exact.  Eval ids must fit in int (the fold cell
-    contract); re-key a wider id space first.
+    contract) -- VALIDATED at plan-build time (r7 ADVICE: the cast is
+    non-ANSI, so an id >= 2^31 would otherwise wrap silently into a wrong
+    nearest_eval_id); re-key a wider id space first.
 
     Returns (vec_id, nearest_eval_id, max_eval_cosine, contaminated) for
     every corpus vector -- keep ``~contaminated`` for the training set,
     or audit the flagged rows against the eval items they matched."""
     from ..plans.shape import scan_parallel
 
+    # the eval set is O(eval) rows (it broadcasts as the fold table), so
+    # the range check is one tiny plan-build-time job, the _cells_array
+    # raise-early convention
+    bounds = eval_embeddings.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is not None and (
+        int(bounds["lo"]) < -(2**31) or int(bounds["hi"]) >= 2**31
+    ):
+        raise ValueError(
+            "semantic_decontaminate: eval vec_id range "
+            f"[{bounds['lo']}, {bounds['hi']}] exceeds int32 (the fold "
+            "cell contract); re-key the eval set to a narrower id space "
+            "first"
+        )
     ev = (
         eval_embeddings.select(
             F.col("vec_id").cast("int").alias("cell"),

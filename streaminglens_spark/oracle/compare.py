@@ -59,12 +59,86 @@ def _kind(type_str: str) -> str:
         "timestamp_ms": "timestamp", "timestamp_s": "timestamp",
         "timestamp with time zone": "timestamp", "timestamptz": "timestamp",
     }
-    # None = unmapped (struct/map/interval/engine-specific spellings):
+    # struct/map spellings canonicalize by PARSING both engines' syntax
+    # to one kind token (ADVICE r7: skipping them entirely meant a real
+    # Spark-vs-DuckDB type divergence inside a struct column could pass
+    # locally and only fail at the driver):
+    #   Spark  struct<a:bigint,b:array<int>> / map<string,bigint>
+    #   DuckDB STRUCT(a BIGINT, b INTEGER[]) / MAP(VARCHAR, BIGINT)
+    if t.startswith("struct<") and t.endswith(">"):
+        return _struct_kind(_split_top(t[7:-1]), spark_syntax=True)
+    if t.startswith("struct(") and t.endswith(")"):
+        return _struct_kind(_split_top(t[7:-1]), spark_syntax=False)
+    if (t.startswith("map<") and t.endswith(">")) or (
+        t.startswith("map(") and t.endswith(")")
+    ):
+        kv = _split_top(t[4:-1])
+        if len(kv) == 2:
+            k, v = _kind(kv[0]), _kind(kv[1])
+            if k is not None and v is not None:
+                return f"map<{k},{v}>"
+        return None
+    # None = still-unmapped (interval / engine-specific spellings):
     # compare() degrades those columns to a values-only check with a
-    # warning instead of failing on a spelling difference (ADVICE r6 --
-    # Spark 'struct<a:bigint>' vs DuckDB 'STRUCT(a BIGINT)' are the same
-    # logical type).
+    # warning instead of failing on a spelling difference (ADVICE r6).
     return mapping.get(t)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 (both <> and () nest)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _struct_kind(fields: list[str], spark_syntax: bool) -> str | None:
+    """Canonical ``struct<name:kind,...>`` from either engine's field
+    list; None if any field's type has no canonical kind (the whole
+    column then degrades to the values-only check)."""
+    out = []
+    for f in fields:
+        f = f.strip()
+        if spark_syntax:  # name:type, colon at depth 0
+            depth = 0
+            for i, ch in enumerate(f):
+                if ch in "<(":
+                    depth += 1
+                elif ch in ">)":
+                    depth -= 1
+                elif ch == ":" and depth == 0:
+                    name, ftype = f[:i], f[i + 1:]
+                    break
+            else:
+                return None
+        else:  # name TYPE (name possibly double-quoted)
+            if f.startswith('"'):
+                end = f.find('"', 1)
+                if end < 0:
+                    return None
+                name, ftype = f[1:end], f[end + 1:]
+            else:
+                sp = f.find(" ")
+                if sp < 0:
+                    return None
+                name, ftype = f[:sp], f[sp + 1:]
+        fk = _kind(ftype)
+        if fk is None:
+            return None
+        out.append(f"{name.strip().lower()}:{fk}")
+    return "struct<" + ",".join(out) + ">"
 
 
 def _norm(v: Any) -> Any:

@@ -27,23 +27,57 @@ from pyspark.sql import DataFrame
 # under AQE would EXECUTE the upstream query stages at plan-build time
 # (AdaptiveSparkPlanExec materializes stages to report partitioning) --
 # the real action would then recompute them (r7 review finding).
-_SHUFFLE_NODES = (
-    "Aggregate",
-    "Join",
-    "Window",
-    "Sort",
-    "Distinct",
-    "Deduplicate",
-    "Repartition",
-    "RepartitionByExpression",
-    "Intersect",
-    "Except",
+# Matched against node CLASS names from a logical-plan tree walk, never
+# the rendered plan string (r7 ADVICE: a literal containing 'Sort ' in a
+# filter must not disable the fix, and Expand/FlatMapGroupsInPandas/
+# CoGroup-shaped plans must not slip past it and re-trigger the AQE
+# probe).  Python-grouping nodes (FlatMapGroupsInPandas, FlatMapCoGroups
+# InPandas, FlatMapGroupsWithState) are included: they only appear above
+# a hash-clustered child.  Distinct/GroupingSets never reach the analyzed
+# plan (they analyze into Deduplicate / Aggregate+Expand).
+_SHUFFLE_NODES = frozenset(
+    {
+        "Aggregate",
+        "Join",
+        "Window",
+        "WindowGroupLimit",
+        "Sort",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Intersect",
+        "Except",
+        "Expand",
+        "CoGroup",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "FlatMapGroupsWithState",
+        "FlatMapGroupsInPandasWithState",
+        "GlobalLimit",
+    }
 )
 
 
 def _has_shuffle_below(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return any(f"{node} " in plan or f"{node}\n" in plan for node in _SHUFFLE_NODES)
+    """Walk the ANALYZED logical plan tree (including subquery
+    expressions' plans via innerChildren) and test node class names
+    against ``_SHUFFLE_NODES`` -- exact matches on the tree, immune to
+    node-name lookalikes inside string literals or aliases."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() in _SHUFFLE_NODES:
+            return True
+        for seq_name in ("children", "innerChildren"):
+            try:
+                seq = getattr(node, seq_name)()
+            except Exception:
+                continue
+            for i in range(seq.length()):
+                stack.append(seq.apply(i))
+    return False
 
 
 def scan_parallel(df: DataFrame) -> DataFrame:

@@ -3345,7 +3345,7 @@ LOCAL_ORACLE["q_profile_events"] = "\n        UNION ALL ".join(
     for c in PROFILE_COLS
 )
 
-def _bpe_ctes(n_merges: int = 8) -> list[str]:
+def _bpe_ctes(n_merges: int = 8, where: str = "") -> list[str]:
     """r5: the BPE training loop unrolled as CTEs (the kmeans_fit
     precedent for iterative algorithms): per round, pair counts from the
     current word table, the same (count desc, a, b) argmax, and the
@@ -3355,9 +3355,10 @@ def _bpe_ctes(n_merges: int = 8) -> list[str]:
     stop.  The word STRING rides along so the segment oracle can map
     documents to their final symbol counts."""
     ctes = [
-        """wrds AS (
+        f"""wrds AS (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents {where})
             WHERE length(w) > 0 GROUP BY w
         )""",
         "w0 AS (SELECT w, string_split(w, '') AS ws, cnt FROM wrds)",
@@ -3405,11 +3406,16 @@ def _bpe_ctes(n_merges: int = 8) -> list[str]:
     return ctes
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_oracle(n_merges: int = 8, where: str = "") -> str:
     union = "\n        UNION ALL ".join(
         f"SELECT * FROM m{r}" for r in range(n_merges)
     )
-    return "WITH " + ",\n        ".join(_bpe_ctes(n_merges)) + "\n        " + union
+    return (
+        "WITH "
+        + ",\n        ".join(_bpe_ctes(n_merges, where))
+        + "\n        "
+        + union
+    )
 
 
 def _bpe_segment_oracle(n_merges: int = 8) -> str:
@@ -6110,3 +6116,35 @@ def _corpus_pipeline_v2_oracle() -> str:
 
 
 LOCAL_ORACLE["q_corpus_pipeline_v2"] = _corpus_pipeline_v2_oracle()
+
+
+# ------------------------------------ r8: sample-trained BPE (ask #5)
+
+BPE_SAMPLE_FRACTION = 0.5
+
+
+def q_bpe_sampled(spark, sf_dir):
+    """Sample-trained BPE (r8): merges learned on a deterministic
+    hash-sample of the corpus (the at-scale trainer; encode still sees
+    every byte via bpe_segment).  The oracle replays the identical
+    unrolled training rounds over the identically-filtered doc set, so
+    the hash check proves the sampled trainer end to end.  LOCAL_ORACLE
+    (new this round); r9 rotation candidate."""
+    from .functions.bpe import bpe_train_sampled
+
+    return bpe_train_sampled(
+        _docs(spark, sf_dir), fraction=BPE_SAMPLE_FRACTION
+    )
+
+
+def _bpe_sampled_oracle() -> str:
+    from .functions.sampling import _threshold
+
+    thr = _threshold(BPE_SAMPLE_FRACTION)
+    where = (
+        "WHERE (2654435761 * doc_id + 104729) % 2147483647 < " + str(thr)
+    )
+    return _bpe_oracle(where=where)
+
+
+LOCAL_ORACLE["q_bpe_sampled"] = _bpe_sampled_oracle()
