@@ -82,7 +82,19 @@ HEAVY_R7 = [
     "q_kll_quantiles",
 ]
 
-HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7
+# r8: the queries this round's verdict asks touched get artifact-of-record
+# timings -- the six-stage pipeline with the span stage composed in (vs
+# q_corpus_pipeline, its five-stage prefix), the hash-sampled BPE trainer
+# (vs q_bpe_merges, the full-corpus trainer it takes off the critical
+# path), and the re-planned two-level token-budget sampler (regression
+# watch for the scale fix).
+HEAVY_R8 = [
+    "q_corpus_pipeline_v2",
+    "q_bpe_sampled",
+    "q_token_budget",
+]
+
+HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8
 
 
 def run_suite(

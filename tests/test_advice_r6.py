@@ -139,27 +139,33 @@ def test_ann_increment_full_outer_matches_merged_shards(spark):
 # --------------------------------------------------- compare type degrade
 
 def test_kind_unmapped_returns_none():
-    assert _kind("struct<a:bigint>") is None
-    assert _kind("STRUCT(a BIGINT)") is None
-    assert _kind("map<string,bigint>") is None
+    # r8 (r7 ADVICE upgrade): struct/map spellings now PARSE to canonical
+    # kinds instead of degrading -- equal logical types compare equal
+    # across engines (the full matrix lives in tests/test_advice_r7.py)
+    assert _kind("struct<a:bigint>") == _kind("STRUCT(a BIGINT)") is not None
+    assert _kind("map<string,bigint>") == _kind("MAP(VARCHAR, BIGINT)")
+    assert _kind("array<struct<a:bigint>>") == _kind("STRUCT(a BIGINT)[]")
+    # genuinely unknown types still degrade
     assert _kind("interval") is None
-    # a list of an unmapped inner type is itself unmapped
-    assert _kind("array<struct<a:bigint>>") is None
     # mapped kinds unchanged
     assert _kind("BIGINT") == "int64"
     assert _kind("array<bigint>") == "list<int64>"
 
 
 def test_compare_degrades_unmapped_types_to_values_only(spark, duck):
-    # identical values; Spark emits a struct column whose dtype spelling
-    # can never equal DuckDB's ROW(...) -- compare must fall back to the
-    # value check (and warn) instead of failing ok.
+    # identical values AND (r8) identical canonical struct kinds: the
+    # typed check now covers the struct column instead of warning it away
     sdf = spark.createDataFrame([(1,)], "a long").select(
         "a", F.struct(F.lit(2).cast("long").alias("x")).alias("s")
     )
     res = compare(sdf, duck, "SELECT 1::BIGINT AS a, {'x': 2::BIGINT} AS s")
     assert res["ok"], res
-    assert "s" in res.get("type_unchecked", {}), "struct col must be warned"
+    assert "s" not in res.get("type_unchecked", {}), (
+        "struct spellings now canonicalize; the typed check must cover s"
+    )
+    # a genuine TYPE divergence inside the struct fails the typed check
+    res_t = compare(sdf, duck, "SELECT 1::BIGINT AS a, {'x': 3::INTEGER} AS s")
+    assert not res_t["ok"] and "s" in res_t.get("type_diff", {}), res_t
     # a genuine value mismatch inside the struct still fails
     res2 = compare(sdf, duck, "SELECT 1::BIGINT AS a, {'x': 3::BIGINT} AS s")
     assert not res2["ok"]
