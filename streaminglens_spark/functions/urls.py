@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 # '^&' -> '?' step that follows removal.
 TRACKING_PARAMS_RE = "[?&](utm_[a-z]+|ref|fbclid|gclid)=[^&]*"
 
+# default per-domain document budget for domain_cap / q_domain_cap
+DOMAIN_CAP_N = 8
+
 
 def url_corpus(documents: DataFrame) -> DataFrame:
     """(doc_id, url): deterministic synthetic URLs exercising every
@@ -116,4 +119,71 @@ def domain_stats(canon: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("canon_url").cast("long").alias("n_unique_urls"),
         F.countDistinct("reg_domain").cast("long").alias("n_reg_domains"),
+    )
+
+
+def domain_cap(
+    canon: DataFrame,
+    n_per_domain: int = 8,
+    key: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-domain document cap (r8): keep at most ``n_per_domain`` docs
+    per domain, taken in deterministic affine-hash order over ``key`` --
+    the domain-balancing pass a crawl-derived corpus runs so megadomains
+    cannot dominate the training mixture (the C4/RefinedWeb
+    cap-per-domain step; ``domain_stats`` measures the imbalance, this
+    enforces the budget).
+
+    Scale shape (the two-level ``token_budget_sample`` lesson applied to
+    top-N): a rank window partitioned by domain alone would serialize a
+    megadomain onto one reducer, so the rank runs two-level -- (1)
+    row_number within (domain, hash-bucket), keep <= N per bucket
+    (data-parallel; bounds survivors at N x n_buckets per domain
+    regardless of corpus size), then (2) row_number within domain over
+    the bounded survivors.  The kept set is identical to the one-window
+    form: any row in a domain's true top-N by (hash, key) is also in its
+    bucket's top-N, because removing rows never increases a remaining
+    row's rank (property-pinned in ``tests/test_domain_cap.py``).
+    Deterministic, content-uncorrelated, engine-exact integer hashing --
+    the ``hash_sample`` hash.
+
+    Returns the kept rows (every ``canon`` column) + ``keep_rank``
+    (1-based within domain)."""
+    from pyspark.sql import Window
+
+    from .sketch import HASH_A, HASH_B, HASH_P
+
+    h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
+    rows = canon.withColumn("_h", h).withColumn(
+        "_b", F.pmod(F.col("_h"), F.lit(int(n_buckets)))
+    )
+    w1 = Window.partitionBy("domain", "_b").orderBy(F.col("_h"), F.col(key))
+    w2 = Window.partitionBy("domain").orderBy(F.col("_h"), F.col(key))
+    return (
+        rows.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n_per_domain)
+        .withColumn("keep_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("keep_rank") <= n_per_domain)
+        .drop("_h", "_b", "_r1")
+    )
+
+
+def domain_cap_windowed(
+    canon: DataFrame, n_per_domain: int = 8, key: str = "doc_id"
+) -> DataFrame:
+    """The one-window reference form of ``domain_cap`` (each domain on a
+    single reducer -- correct, kept only as the bit-equality baseline for
+    the property test)."""
+    from pyspark.sql import Window
+
+    from .sketch import HASH_A, HASH_B, HASH_P
+
+    h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
+    w = Window.partitionBy("domain").orderBy(F.col("_h"), F.col(key))
+    return (
+        canon.withColumn("_h", h)
+        .withColumn("keep_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("keep_rank") <= n_per_domain)
+        .drop("_h")
     )

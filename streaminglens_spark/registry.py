@@ -3049,9 +3049,22 @@ def _url_oracles() -> dict[str, str]:
             FROM split
         )
     """.replace("__TRACK__", TRACKING_PARAMS_RE)
+    from .functions.urls import DOMAIN_CAP_N
+
     return {
         "q_canon_urls": prelude
         + "SELECT doc_id, canon_url, domain, reg_domain FROM canon",
+        "q_domain_cap": prelude
+        + f"""
+        SELECT doc_id, canon_url, domain, reg_domain, keep_rank FROM (
+            SELECT *,
+                   CAST(row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY (2654435761 * doc_id + 104729)
+                                % 2147483647, doc_id
+                   ) AS BIGINT) AS keep_rank
+            FROM canon
+        ) WHERE keep_rank <= {DOMAIN_CAP_N}""",
         "q_domain_stats": prelude
         + """
         SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6148,3 +6161,23 @@ def _bpe_sampled_oracle() -> str:
 
 
 LOCAL_ORACLE["q_bpe_sampled"] = _bpe_sampled_oracle()
+
+
+# --------------------------------------- r8: per-domain document cap
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (r8): at most DOMAIN_CAP_N docs per
+    domain in deterministic affine-hash order -- the C4/RefinedWeb
+    domain-balancing pass, ranked TWO-LEVEL so a megadomain never
+    serializes onto one reducer (the token_budget scale recipe applied
+    to top-N).  LOCAL_ORACLE (new this round); r9 rotation candidate."""
+    from .functions.urls import (
+        DOMAIN_CAP_N,
+        canonicalize_urls,
+        domain_cap,
+        url_corpus,
+    )
+
+    return domain_cap(
+        canonicalize_urls(url_corpus(_docs(spark, sf_dir))), DOMAIN_CAP_N
+    )
