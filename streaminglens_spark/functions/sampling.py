@@ -15,11 +15,9 @@ verbatim in the DuckDB oracles):
   property seed-based sampling loses the moment partitioning changes.
 - ``stratified_sample``: smallest-n-by-hash per stratum -- a per-stratum
   uniform sample of fixed size (hash order is uncorrelated with any data
-  attribute).  One shuffle on the stratum key + a bounded per-stratum
-  rank; a hot stratum is the KMV situation writ small, and the same
-  two-level merge+truncate rewrite applies if a stratum outgrows a task
-  (n is tiny by construction -- the rank input per stratum is the stratum
-  itself, but only the n survivors leave the aggregation).
+  attribute).  Ranked TWO-LEVEL since r8 (per-(stratum, hash-bucket)
+  prune, then a rank over the bounded survivors), so a mega-stratum
+  never serializes onto one reducer.
 
 Reference note: the reference has no sampling operators (its analyzer
 consumes every batch); cited file for the hash constants' provenance is
@@ -144,19 +142,38 @@ def mixture_sample(
 
 
 def stratified_sample(
-    df: DataFrame, stratum: str, key: str, n: int
+    df: DataFrame, stratum: str, key: str, n: int, n_buckets: int = 64
 ) -> DataFrame:
     """The ``n`` smallest-hash rows per stratum: a fixed-size uniform
     sample of each group, deterministic and engine-independent.  Ties are
     impossible while ``key`` is unique per stratum (the affine hash is a
     bijection mod P); a repeated key ties on the hash and is broken by the
-    key itself."""
+    key itself.
+
+    r8: the rank runs TWO-LEVEL (the ``token_budget_sample`` /
+    ``domain_cap`` scale recipe) -- row_number within (stratum,
+    hash-bucket) prunes to <= n per bucket data-parallel, then the
+    per-stratum rank runs over <= n x n_buckets surviving rows, so a
+    mega-stratum never serializes onto one reducer.  Kept set identical
+    to the one-window form: a row in the stratum's true top-n is in its
+    bucket's top-n (removing rows never increases a remaining row's
+    rank).  Pinned in ``tests/test_extensions_r4.py``."""
     h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
-    w = Window.partitionBy(stratum).orderBy(h.asc(), F.col(key).asc())
+    rows = df.withColumn("_h", h).withColumn(
+        "_b", F.pmod(F.col("_h"), F.lit(int(n_buckets)))
+    )
+    w1 = Window.partitionBy(stratum, "_b").orderBy(
+        F.col("_h").asc(), F.col(key).asc()
+    )
+    w2 = Window.partitionBy(stratum).orderBy(
+        F.col("_h").asc(), F.col(key).asc()
+    )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        rows.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= n)
-        .drop("_rn")
+        .drop("_h", "_b", "_r1", "_rn")
     )
 
 

@@ -457,6 +457,7 @@ def pack_sequences(
     documents: DataFrame,
     seq_len: int = PACK_SEQ_LEN,
     n_shards: int = PACK_N_SHARDS,
+    bucket_width: int = 8192,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (round-4 extension): the step that
     turns a document corpus into fixed-length training sequences -- every
@@ -468,12 +469,20 @@ def pack_sequences(
     ids it lands in (a document spanning a boundary is split across both --
     the standard causal-LM packing semantics).
 
-    Spark shape: ONE shuffle -- the running-offset window is partitioned by
-    shard (``sum(n_tokens) over (partition by shard order by doc_id)``), so
-    at 100 TB each shard's cumsum is an independent partition-local scan;
-    there is no global ordering anywhere.  All arithmetic is integer
-    (offsets are nonnegative by construction, so floor == div; the repo's
-    div-bucketing precondition).
+    Spark shape (two-level since r8 -- the ``token_budget_sample``
+    recipe): the r4 form ran ONE running-offset window partitioned by
+    shard, which put a whole shard's rows on one reducer (1/n_shards of
+    the corpus per task -- linear, but still ~12 TB per task at the 100 TB
+    target with 8 shards).  Now doc_ids are cut into contiguous ranges
+    (``_b = doc_id div bucket_width``; bucket id monotone in doc_id, so
+    bucket order IS the per-shard concatenation order), per-(shard,
+    bucket) token sums aggregate map-side, the per-shard running offset
+    runs over that TINY bucket table only, and the row-level cumsum is
+    partitioned by (shard, bucket) -- data-parallel everywhere; no task
+    ever scans a full shard.  All arithmetic is integer and the offsets
+    are bit-identical to the one-window form (offsets are nonnegative by
+    construction, so floor == div; the repo's div-bucketing
+    precondition); pinned in ``tests/test_extensions_r4.py``.
     Returns (doc_id, shard, n_tokens, token_offset, first_seq, last_seq,
     n_seqs)."""
     from pyspark.sql import Window
@@ -482,13 +491,33 @@ def pack_sequences(
         "doc_id",
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),
         F.size(_tokens()).cast("long").alias("n_tokens"),
+    ).withColumn("_b", F.expr(f"doc_id div {int(bucket_width)}"))
+    wb = Window.partitionBy("shard").orderBy("_b")
+    offsets = (
+        base.groupBy("shard", "_b")
+        .agg(F.sum("n_tokens").alias("_bt"))
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum("_bt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("shard", "_b", "_before")
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("token_offset")
+    wr = Window.partitionBy("shard", "_b").orderBy("doc_id")
+    off = (
+        F.col("_before")
+        + F.sum("n_tokens").over(
+            wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_tokens")
+    ).alias("token_offset")
     first_seq = F.floor(F.col("token_offset") / seq_len)
     last_seq = F.floor((F.col("token_offset") + F.col("n_tokens") - 1) / seq_len)
     return (
-        base.select("doc_id", "shard", "n_tokens", off)
+        base.join(F.broadcast(offsets), ["shard", "_b"])
+        .select("doc_id", "shard", "n_tokens", off)
         .select(
             "doc_id",
             "shard",

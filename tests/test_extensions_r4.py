@@ -149,3 +149,36 @@ def test_dedup_clusters_plan_no_global_sort(spark):
     )
     plan = formatted_plan(dedup_clusters(pairs))
     assert "Window" not in plan, plan
+
+
+def test_stratified_sample_two_level_bit_equal(spark):
+    """r8: the two-level rank keeps the identical set as a one-window
+    reference at any bucket count (n_buckets=1 IS the one-window form)."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(400)], "k long, stratum string"
+    )
+    ref = sorted(tuple(r) for r in
+                 stratified_sample(df, "stratum", "k", 7, n_buckets=1).collect())
+    for nb in (3, 64):
+        got = sorted(tuple(r) for r in
+                     stratified_sample(df, "stratum", "k", 7,
+                                       n_buckets=nb).collect())
+        assert got == ref, f"n_buckets={nb} diverged"
+
+
+def test_pack_sequences_two_level_bit_equal(spark):
+    """r8: the bucketed offset computation is bit-identical to the
+    one-window form at any bucket width (width > id range IS one bucket
+    per shard, the one-window degenerate)."""
+    from streaminglens_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + (i * 3) % 9))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    ref = sorted(tuple(r) for r in
+                 pack_sequences(docs, bucket_width=10**9).collect())
+    for bw in (1, 7, 64):
+        got = sorted(tuple(r) for r in
+                     pack_sequences(docs, bucket_width=bw).collect())
+        assert got == ref, f"bucket_width={bw} diverged"

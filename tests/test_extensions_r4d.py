@@ -116,9 +116,23 @@ def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
         assert r["end"] == r["total"]  # no gaps, no overlaps
 
 
-def test_pack_sequences_single_shuffle(spark):
+def test_pack_sequences_bounded_shuffles(spark):
+    # r8 two-level: bucket-sum groupBy + the tiny per-shard offset window
+    # + the (shard, bucket) row window -- and NEVER a full-shard row
+    # window (the r4 single-window form put 1/n_shards of the corpus on
+    # one reducer)
+    import re
+
+    from streaminglens_spark.plans.audit import formatted_plan
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    assert exchange_count(pack_sequences(docs)) == 1  # the shard window only
+    df = pack_sequences(docs)
+    assert exchange_count(df) <= 3
+    specs = re.findall(r"windowspecdefinition\([^)]*", formatted_plan(df))
+    assert not any(
+        re.match(r"windowspecdefinition\(shard#\d+, doc_id#", s)
+        for s in specs
+    ), f"full-shard row window reintroduced: {specs}"
 
 
 # ---------------------------------------------------------- random_project
