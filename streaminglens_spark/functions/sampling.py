@@ -452,3 +452,114 @@ def token_budget_sample_windowed(
         .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
     )
     return out.drop("_h", "_budget")
+
+
+def quality_budget_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    budgets: dict[str, int],
+    score_col: str = "score_milli",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Quality-ordered token-budget curation (r8): within each stratum,
+    take documents BEST-FIRST (``score_col`` descending) until the
+    stratum's token budget is reached -- the DCLM/DataComp-style "fill
+    the budget with the highest-quality data" selection, where
+    ``token_budget_sample`` fills the same budget with a uniform sample.
+    Ties (equal scores) break by the affine hash then ``key``, so
+    same-quality docs are admitted in unbiased deterministic order; the
+    boundary-crossing doc is kept (every nonzero budget admits at least
+    one doc); strata absent from ``budgets`` are dropped.
+
+    Scale shape: the same two-level prefix-sum as
+    ``token_budget_sample``, with score-range buckets instead of hash
+    ranges -- ``bucket = floor(-score / bucket_width)`` is monotone in
+    the (score DESC) order and a pure function of the score, so equal
+    scores share a bucket and bucket order IS prefix order.  Per-(stratum,
+    bucket) token sums aggregate map-side; the per-stratum running offset
+    sees only the bucket table; the row window is bucket-local.  No
+    full-stratum row window (bit-equality with the one-window reference
+    pinned in ``tests/test_token_budget.py``).
+
+    Returns the sampled rows + (n_tokens, cum_tokens)."""
+    from pyspark.sql import Window
+
+    bud = df.sparkSession.createDataFrame(
+        [(s, int(b)) for s, b in budgets.items()],
+        f"{stratum} string, _budget long",
+    )
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0))
+    h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
+    rows = (
+        df.join(F.broadcast(bud), stratum)
+        .withColumn("_negs", -F.col(score_col).cast("long"))
+        .withColumn(
+            "_b",
+            F.floor(F.col("_negs") / F.lit(int(bucket_width))).cast("long"),
+        )
+        .withColumn("_h", h)
+        .withColumn("n_tokens", toks.cast("long"))
+    )
+    wb = Window.partitionBy(stratum).orderBy("_b")
+    offsets = (
+        rows.groupBy(stratum, "_b")
+        .agg(F.sum("n_tokens").alias("_bt"))
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum("_bt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(stratum, "_b", "_before")
+    )
+    wr = Window.partitionBy(stratum, "_b").orderBy(
+        F.col("_negs"), F.col("_h"), F.col(key)
+    )
+    out = (
+        rows.join(F.broadcast(offsets), [stratum, "_b"])
+        .withColumn(
+            "cum_tokens",
+            F.col("_before")
+            + F.sum("n_tokens").over(
+                wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+    )
+    return out.drop("_negs", "_b", "_h", "_before", "_budget")
+
+
+def quality_budget_sample_windowed(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    budgets: dict[str, int],
+    score_col: str = "score_milli",
+) -> DataFrame:
+    """One-window reference form of ``quality_budget_sample`` (kept for
+    the bit-equality property test only)."""
+    from pyspark.sql import Window
+
+    bud = df.sparkSession.createDataFrame(
+        [(s, int(b)) for s, b in budgets.items()],
+        f"{stratum} string, _budget long",
+    )
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0))
+    h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
+    w = Window.partitionBy(stratum).orderBy(
+        (-F.col(score_col).cast("long")).asc(), h.asc(), F.col(key).asc()
+    )
+    out = (
+        df.join(F.broadcast(bud), stratum)
+        .withColumn("n_tokens", toks.cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+    )
+    return out.drop("_budget")

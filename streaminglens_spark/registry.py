@@ -6181,3 +6181,55 @@ def q_domain_cap(spark, sf_dir):
     return domain_cap(
         canonicalize_urls(url_corpus(_docs(spark, sf_dir))), DOMAIN_CAP_N
     )
+
+
+# ------------------------------ r8: quality-ordered token-budget curation
+
+def q_quality_budget(spark, sf_dir):
+    """Quality-ordered token-budget curation (r8): fill each source's
+    token budget BEST-FIRST by the hashed-linear quality score (the
+    DCLM-style selection; q_token_budget fills the same budgets with a
+    uniform hash sample).  Two-level prefix sum over score-range buckets
+    -- no full-stratum row window.  LOCAL_ORACLE (new this round); r9
+    rotation candidate."""
+    from .functions.sampling import quality_budget_sample
+    from .functions.text import qc_score_expr
+
+    d = _docs(spark, sf_dir).withColumn(
+        "score_milli", qc_score_expr(F.col("text")).cast("long")
+    )
+    return quality_budget_sample(d, "source", "doc_id", dict(TOKEN_BUDGETS))
+
+
+def _quality_budget_oracle() -> str:
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    vals = ", ".join(f"('{s}', {b})" for s, b in TOKEN_BUDGETS)
+    return f"""
+        WITH bud(source, budget) AS (VALUES {vals}),
+        {_qc_score_ctes('documents', 'text')},
+        tt AS (
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                   CAST(s.score_milli AS BIGINT) AS score_milli,
+                   CAST(len(list_filter(string_split(d.text, ' '),
+                                        w -> len(w) > 0)) AS BIGINT)
+                       AS n_tokens,
+                   ({HASH_A} * d.doc_id + {HASH_B}) % {HASH_P} AS h
+            FROM documents d
+            JOIN scored s USING (doc_id)
+            JOIN bud b USING (source)
+        ),
+        c AS (
+            SELECT tt.*, b.budget,
+                   SUM(n_tokens) OVER (PARTITION BY tt.source
+                                       ORDER BY -score_milli, h, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS cum_tokens
+            FROM tt JOIN bud b USING (source)
+        )
+        SELECT doc_id, text, lang, source, n_chars, score_milli, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < budget"""
+
+
+LOCAL_ORACLE["q_quality_budget"] = _quality_budget_oracle()

@@ -145,3 +145,61 @@ def test_two_level_bit_equal_on_fixture(spark):
         for r in token_budget_sample(docs, "source", "doc_id", budgets).collect()
     )
     assert got == ref
+
+
+# ---------------------------- quality-ordered budget (r8)
+
+
+def test_quality_budget_two_level_bit_equal(spark):
+    """Score-range-bucketed prefix sum == one-window reference, with
+    negative scores, score ties (broken by hash), and a zero-token doc."""
+    from streaminglens_spark.functions.sampling import (
+        quality_budget_sample,
+        quality_budget_sample_windowed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * (1 + (i * 5) % 9)), f"s{i % 3}",
+             ((i * 37) % 11) - 5)  # scores in [-5, 5] with many ties
+            for i in range(300)
+        ]
+        + [(900, "", "s0", 3)],
+        "doc_id long, text string, source string, score_milli long",
+    )
+    budgets = {"s0": 90, "s1": 1, "s2": 10_000}
+    ref = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in quality_budget_sample_windowed(
+            docs, "source", "doc_id", budgets
+        ).collect()
+    )
+    for bw in (1, 3, 4096):
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in quality_budget_sample(
+                docs, "source", "doc_id", budgets, bucket_width=bw
+            ).collect()
+        )
+        assert got == ref, f"bucket_width={bw} diverged"
+
+
+def test_quality_budget_takes_best_first(spark):
+    """The kept set is the TOP-scoring prefix: with budget for ~2 docs,
+    the two highest scores win regardless of hash order."""
+    from streaminglens_spark.functions.sampling import quality_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s", 10),
+            (2, "a b c d e", "s", 50),
+            (3, "a b c d e", "s", 30),
+            (4, "a b c d e", "s", -7),
+        ],
+        "doc_id long, text string, source string, score_milli long",
+    )
+    out = quality_budget_sample(docs, "source", "doc_id", {"s": 8}).collect()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [2, 3]  # 5 tokens (doc 2) + boundary doc 3 crosses 8
+    ranks = {r["doc_id"]: r["cum_tokens"] for r in out}
+    assert ranks[2] == 5 and ranks[3] == 10
