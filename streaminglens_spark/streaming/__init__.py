@@ -8,6 +8,14 @@ from .annmaint import (
     ann_maintenance_monitor,
     ann_maintenance_monitor_with_refit,
     pq_maintenance_monitor,
+    restore_ann_state,
+    restore_pq_state,
+    restore_refit_state,
+)
+from .budget import (
+    BudgetAdmissionState,
+    budget_admission_monitor,
+    restore_budget_state,
 )
 from .dedup import loser_ids_of_batch, near_dedup_stream
 from .live import LiveAnalyzer, ProgressCapture, attach, detach, foreach_batch_monitor
@@ -44,6 +52,12 @@ __all__ = [
     "ann_maintenance_monitor",
     "ann_maintenance_monitor_with_refit",
     "pq_maintenance_monitor",
+    "restore_ann_state",
+    "restore_pq_state",
+    "restore_refit_state",
+    "BudgetAdmissionState",
+    "budget_admission_monitor",
+    "restore_budget_state",
     "discounted_health_stream",
     "foreach_batch_monitor",
     "load_reporter",
