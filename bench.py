@@ -92,6 +92,8 @@ HEAVY_R8 = [
     "q_corpus_pipeline_v2",
     "q_bpe_sampled",
     "q_token_budget",
+    "q_domain_cap",
+    "q_quality_budget",
 ]
 
 HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8

@@ -482,8 +482,18 @@ def quality_budget_sample(
     full-stratum row window (bit-equality with the one-window reference
     pinned in ``tests/test_token_budget.py``).
 
+    The score projection is typically EXPENSIVE (e.g. the hashed-linear
+    ``qc_score_expr`` folds every byte), and the two-level plan consumes
+    its input twice (bucket sums + the row window) -- so the slim
+    (stratum, key, score, n_tokens) table is ``track()``-persisted and
+    the score is computed exactly ONCE per row; the kept set joins back
+    to ``df`` by ``key`` for the full columns (the ``ppl_band_filter``
+    score-table precedent: 18 -> ~6 s at sf1).
+
     Returns the sampled rows + (n_tokens, cum_tokens)."""
     from pyspark.sql import Window
+
+    from ..cache import track
 
     bud = df.sparkSession.createDataFrame(
         [(s, int(b)) for s, b in budgets.items()],
@@ -491,19 +501,26 @@ def quality_budget_sample(
     )
     toks = F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0))
     h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
-    rows = (
+    slim = track(
         df.join(F.broadcast(bud), stratum)
-        .withColumn("_negs", -F.col(score_col).cast("long"))
+        .select(
+            stratum,
+            key,
+            F.col(score_col).cast("long").alias(score_col),
+            F.col("_budget"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .withColumn("_negs", -F.col(score_col))
         .withColumn(
             "_b",
             F.floor(F.col("_negs") / F.lit(int(bucket_width))).cast("long"),
         )
         .withColumn("_h", h)
-        .withColumn("n_tokens", toks.cast("long"))
     )
+    slim.count()
     wb = Window.partitionBy(stratum).orderBy("_b")
     offsets = (
-        rows.groupBy(stratum, "_b")
+        slim.groupBy(stratum, "_b")
         .agg(F.sum("n_tokens").alias("_bt"))
         .withColumn(
             "_before",
@@ -517,8 +534,8 @@ def quality_budget_sample(
     wr = Window.partitionBy(stratum, "_b").orderBy(
         F.col("_negs"), F.col("_h"), F.col(key)
     )
-    out = (
-        rows.join(F.broadcast(offsets), [stratum, "_b"])
+    kept = (
+        slim.join(F.broadcast(offsets), [stratum, "_b"])
         .withColumn(
             "cum_tokens",
             F.col("_before")
@@ -527,8 +544,9 @@ def quality_budget_sample(
             ),
         )
         .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+        .select(key, score_col, "n_tokens", "cum_tokens")
     )
-    return out.drop("_negs", "_b", "_h", "_before", "_budget")
+    return df.drop(score_col).join(kept, key)
 
 
 def quality_budget_sample_windowed(

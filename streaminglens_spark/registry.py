@@ -6194,8 +6194,13 @@ def q_quality_budget(spark, sf_dir):
     rotation candidate."""
     from .functions.sampling import quality_budget_sample
     from .functions.text import qc_score_expr
+    from .plans.shape import scan_parallel
 
-    d = _docs(spark, sf_dir).withColumn(
+    # the per-char fold score is compute-dense and fused into the scan
+    # stage: run it at cluster parallelism, not single-split scan
+    # parallelism (measured 48 -> ~6 s at sf1; no-op on real multi-split
+    # scans)
+    d = scan_parallel(_docs(spark, sf_dir)).withColumn(
         "score_milli", qc_score_expr(F.col("text")).cast("long")
     )
     return quality_budget_sample(d, "source", "doc_id", dict(TOKEN_BUDGETS))
