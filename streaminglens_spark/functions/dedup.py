@@ -735,7 +735,15 @@ def dedup_against_index(
     cand = (
         nb.join(ob, ["band", "band_sig"])
         .filter(
-            (F.col("match_id") < DUP_SHIFT) | (F.col("match_id") < F.col("new_id"))
+            (
+                (F.col("match_id") < DUP_SHIFT)
+                | (F.col("match_id") < F.col("new_id"))
+            )
+            # r8: never a self-pair -- under the dup-corpus id convention
+            # (new >= DUP_SHIFT) this is unreachable, but a caller with
+            # small monotone ids (streaming/ingest.py) would otherwise
+            # receive certain-dup verdicts of every doc against itself
+            & (F.col("match_id") != F.col("new_id"))
         )
         .select("new_id", "match_id")
         .distinct()

@@ -18,6 +18,7 @@ from .budget import (
     restore_budget_state,
 )
 from .dedup import loser_ids_of_batch, near_dedup_stream
+from .ingest import corpus_ingest_monitor, restore_ingest_state
 from .live import LiveAnalyzer, ProgressCapture, attach, detach, foreach_batch_monitor
 from .reporters import (
     JsonFileReporter,
@@ -58,6 +59,8 @@ __all__ = [
     "BudgetAdmissionState",
     "budget_admission_monitor",
     "restore_budget_state",
+    "corpus_ingest_monitor",
+    "restore_ingest_state",
     "discounted_health_stream",
     "foreach_batch_monitor",
     "load_reporter",

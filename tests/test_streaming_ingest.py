@@ -1,0 +1,148 @@
+"""End-to-end streaming corpus ingest (r8): clean -> score -> incremental
+near-dup vs the committed index -> quality gate -> budget admission ->
+delivery, with the index increment and budget ledger committed under one
+atomic marker.  Real-stream e2e plus restart/replay determinism."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from streaminglens_spark.streaming.ingest import (
+    INGEST_GAUGE_SOURCE,
+    corpus_ingest_monitor,
+    restore_ingest_state,
+)
+
+SCHEMA = "doc_id long, text string, source string"
+ACCEPT_ALL = -10**9
+
+def _doc(i, src, tag=None):
+    # 20 id-derived tokens -- docs are mutually dissimilar (distinct
+    # shingle sets) unless ``tag`` pins an exact copy of another doc
+    seed = tag if tag is not None else i
+    text = " ".join(f"w{(seed * 7 + k * 13) % 97}x{(seed + k) % 11}"
+                    for k in range(20))
+    return {"doc_id": i, "text": text, "source": src}
+
+
+def _drive(spark, src, files, state_path, budgets=None, checkpoint=None,
+           sink_log=None, quality_threshold=ACCEPT_ALL):
+    os.makedirs(src, exist_ok=True)
+    published = []
+    state, body = corpus_ingest_monitor(
+        state_path,
+        budgets=budgets,
+        quality_threshold=quality_threshold,
+        admitted_sink=(
+            (lambda df, bid: sink_log.append(
+                (bid, sorted(r["doc_id"] for r in df.collect()))))
+            if sink_log is not None else None
+        ),
+        gauge_sinks=[lambda s, g: published.append((s, g))],
+        spark=spark,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    writer = stream.writeStream.foreachBatch(body).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        for name, recs in files:
+            path = os.path.join(src, name)
+            with open(path + ".tmp", "w") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
+            os.rename(path + ".tmp", path)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return state, published
+
+
+def test_ingest_dedups_across_batches_and_admits(spark, tmp_path):
+    b1 = [_doc(1, "a"), _doc(2, "a"), _doc(3, "a", tag=1), _doc(4, "b")]
+    b2 = [_doc(11, "b", tag=2), _doc(12, "b")]
+    sink_log = []
+    state, published = _drive(
+        spark, str(tmp_path / "src"),
+        [("b1.json", b1), ("b2.json", b2)],
+        str(tmp_path / "state"),
+        sink_log=sink_log,
+    )
+    # batch 1: doc 3 is an exact copy of doc 1 (intra-batch dup, higher
+    # id loses); 1, 2, 4 admitted
+    assert sink_log[0][1] == [1, 2, 4]
+    g1 = published[0][1]
+    assert published[0][0] == INGEST_GAUGE_SOURCE
+    assert g1["inDocs"] == 4 and g1["dupRejects"] == 1
+    assert g1["qualityRejects"] == 0 and g1["admittedDocs"] == 3
+    # batch 2: doc 11 duplicates doc 2 ACROSS batches (via the committed
+    # index -- the corpus text is never re-read); doc 12 is new
+    assert sink_log[1][1] == [12]
+    g2 = published[1][1]
+    assert g2["dupRejects"] == 1 and g2["admittedDocs"] == 1
+
+
+def test_ingest_quality_gate_counts(spark, tmp_path):
+    b1 = [_doc(1, "a"), _doc(2, "a")]
+    sink_log = []
+    state, published = _drive(
+        spark, str(tmp_path / "src"),
+        [("b1.json", b1)],
+        str(tmp_path / "state"),
+        sink_log=sink_log,
+        quality_threshold=10**9,  # reject everything
+    )
+    assert sink_log[0][1] == []
+    g = published[0][1]
+    assert g["qualityRejects"] == 2 and g["admittedDocs"] == 0
+    assert g["dupRejects"] == 0
+
+
+def test_ingest_budget_restart_and_replay(spark, tmp_path):
+    budgets = {"a": 25}  # 20-token docs: one full doc + the boundary doc
+    b1 = [_doc(1, "a"), _doc(2, "a"), _doc(3, "a")]
+    b2 = [_doc(11, "a")]
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    sink1 = []
+    state1, _ = _drive(spark, src, [("b1.json", b1)], state_path,
+                       budgets=budgets, checkpoint=ckpt, sink_log=sink1)
+    # hash order within the batch decides which two fill the budget
+    assert len(sink1[0][1]) == 2
+    first_admitted = sink1[0][1]
+    spent_after_b1 = dict(state1.spent)
+    assert spent_after_b1["a"] >= 25  # boundary doc crossed
+
+    # restart: ledger restores; budget exhausted -> batch 2 admits nothing
+    sink2 = []
+    state2, pub2 = _drive(spark, src, [("b2.json", b2)], state_path,
+                          budgets=budgets, checkpoint=ckpt, sink_log=sink2)
+    assert state2.spent == spent_after_b1
+    assert sink2[-1][1] == []
+
+    # replay batch 0 against a fresh monitor: identical delivery, ledger
+    # unchanged (pre-batch index and pre-batch budgets reconstructed)
+    replay_log = []
+    state3, body = corpus_ingest_monitor(
+        state_path, budgets=budgets,
+        quality_threshold=ACCEPT_ALL,
+        admitted_sink=lambda df, bid: replay_log.append(
+            sorted(r["doc_id"] for r in df.collect())),
+        spark=spark,
+    )
+    replay_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in b1], SCHEMA
+    )
+    body(replay_df, 0)
+    assert replay_log == [first_admitted]
+    again = restore_ingest_state(spark, budgets, state_path)
+    assert again.spent == spent_after_b1
