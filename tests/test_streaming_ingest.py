@@ -146,3 +146,37 @@ def test_ingest_budget_restart_and_replay(spark, tmp_path):
     assert replay_log == [first_admitted]
     again = restore_ingest_state(spark, budgets, state_path)
     assert again.spent == spent_after_b1
+
+
+def test_ingest_agrees_with_batch_exact_dedup(spark, tmp_path):
+    """Cross-path pin: for exact-copy duplicates scattered across
+    batches, the streaming ingest's admitted set equals the batch exact
+    dedup's keeper set (min doc_id per text digest) -- the streaming
+    first-wins orientation IS the batch keeper election when ids arrive
+    in increasing order."""
+    groups = [(0, 3), (1, 2), (2, 1), (3, 2), (4, 1), (5, 3)]
+    docs, i = [], 0
+    for tag, copies in groups:
+        for _ in range(copies):
+            docs.append(_doc(i, "a", tag=tag * 1000))
+            i += 1
+    batches = [docs[0:4], docs[4:8], docs[8:12]]
+    sink_log = []
+    _drive(
+        spark, str(tmp_path / "src"),
+        [(f"b{j}.json", b) for j, b in enumerate(batches)],
+        str(tmp_path / "state"),
+        sink_log=sink_log,
+    )
+    streamed_keepers = sorted(x for _, ids in sink_log for x in ids)
+
+    all_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in docs], SCHEMA
+    )
+    batch_keepers = sorted(
+        r["keep"]
+        for r in all_df.groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.min("doc_id").alias("keep"))
+        .collect()
+    )
+    assert streamed_keepers == batch_keepers
