@@ -674,3 +674,170 @@ def probe_image(media: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(probe, IMAGE_PROBED_SCHEMA)
+
+
+# --- perceptual image dedup (r8) ---------------------------------------------
+
+AHASH_GRID = 8          # 8x8 block grid -> 64-bit hash (two 32-bit halves)
+AHASH_BANDS = 4         # 16-bit bands for the candidate equi-join
+AHASH_MICRO = 1_000_000
+
+
+def attach_png_blob_fixed(
+    documents: DataFrame, width: int = 32, height: int = 24
+) -> DataFrame:
+    """``attach_png_blob`` with a FIXED canvas: every document's bytes
+    tile the same width x height grid, so documents with equal (or
+    near-equal) text produce equal (or near-equal) images regardless of
+    doc_id -- the input shape perceptual dedup needs (the per-doc-dims
+    variant bakes doc_id into the geometry, which is right for decode
+    tests and wrong for image similarity)."""
+    from .png import encode_gray_png
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                reps = (width * height) // len(raw) + 1
+                payloads.append(
+                    encode_gray_png(width, height, (raw * reps)[: width * height])
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return (
+        documents.filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(encode, "doc_id long, payload binary")
+    )
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL PNG decodes (r8): the image-side
+    near-dup fingerprint.  The decoded grayscale canvas is cut into the
+    8x8 block grid (block edges at ``floor(k * dim / 8)``); each block's
+    mean lands in integer MICRO-units (floor division -- engine-exact, the
+    repo's integer-micro convention); bit k is set iff block k's micro
+    mean exceeds the floor-mean of all 64 block micro-means (the aHash
+    threshold).  Empty blocks (dim < 8) take micro mean 0 -- a documented
+    convention both engines share.  The 64 bits split into two NONNEGATIVE
+    32-bit halves (``ahash_lo`` bits 0-31, ``ahash_hi`` bits 32-63) so
+    neither engine touches the int64 sign bit.
+
+    Strict decode only: a payload the stdlib PNG codec cannot handle
+    raises on the executor.  Arrow-batched ``mapInPandas``; one numpy
+    pass per image.  Returns (doc_id, width, height, ahash_lo,
+    ahash_hi)."""
+    import numpy as np
+
+    from .png import decode_gray_png
+
+    g = AHASH_GRID
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, los, his = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode_gray_png(bytes(payload))
+                a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+                micro = []
+                for r in range(g):
+                    y0, y1 = r * h // g, (r + 1) * h // g
+                    for c in range(g):
+                        x0, x1 = c * w // g, (c + 1) * w // g
+                        n = (y1 - y0) * (x1 - x0)
+                        micro.append(
+                            0
+                            if n == 0
+                            else int(a[y0:y1, x0:x1].sum()) * AHASH_MICRO // n
+                        )
+                thresh = sum(micro) // (g * g)
+                lo = hi = 0
+                for k, m in enumerate(micro):
+                    if m > thresh:
+                        if k < 32:
+                            lo |= 1 << k
+                        else:
+                            hi |= 1 << (k - 32)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "ahash_lo": los,
+                    "ahash_hi": his,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        hash_batches,
+        "doc_id long, width int, height int, ahash_lo long, ahash_hi long",
+    )
+
+
+def image_dup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Perceptual near-dup image pairs by banded Hamming distance (r8):
+    the simhash recipe on the aHash fingerprint.  The 64-bit hash splits
+    into four 16-bit bands; a candidate pair must agree EXACTLY on at
+    least one band (an equi-join on (band, value) -- never a product;
+    a pair within Hamming distance d survives banding unless its >= 1
+    differing bits spread across all four bands, the standard LSH-band
+    guarantee), then the exact Hamming distance (JVM ``bit_count`` over
+    the XORed halves) filters to ``<= max_hamming``.  All-JVM after the
+    hash.  Returns (doc_a, doc_b, hamming)."""
+    from ..cache import track
+
+    # the hash table feeds both join sides: persist so the PNG
+    # encode/decode mapInPandas runs once (the minhash signature-base
+    # precedent)
+    hashes = track(hashes)
+    bands = []
+    for b in range(AHASH_BANDS):
+        src = F.col("ahash_lo") if b < 2 else F.col("ahash_hi")
+        shift = 16 * (b % 2)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(src, shift).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+            )
+        )
+    hb = hashes.select(
+        "doc_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.explode(F.array(*bands)).alias("b"),
+    ).select(
+        "doc_id", "ahash_lo", "ahash_hi",
+        F.col("b.band").alias("band"), F.col("b.v").alias("v"),
+    )
+    left = hb.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        F.col("ahash_hi").alias("hi_a"),
+        "band",
+        "v",
+    )
+    right = hb.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        "band",
+        "v",
+    )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        left.join(right, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -6238,3 +6238,115 @@ def _quality_budget_oracle() -> str:
 
 
 LOCAL_ORACLE["q_quality_budget"] = _quality_budget_oracle()
+
+
+# ----------------------------------- r8: perceptual image dedup (aHash)
+
+def q_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over REAL PNG decodes (r8): fixed 32x24
+    canvas, 8x8 block grid, integer-micro block means, 64 bits as two
+    nonnegative 32-bit halves.  The oracle recomputes every block mean
+    from the pixel-generating formula with no codec anywhere, so a wrong
+    decode OR a wrong hash hash-mismatches.  LOCAL_ORACLE (new this
+    round); r9 rotation candidate."""
+    from .functions.multimodal import attach_png_blob_fixed, image_ahash
+
+    return image_ahash(attach_png_blob_fixed(_docs(spark, sf_dir)))
+
+
+def q_image_dups(spark, sf_dir):
+    """Perceptual near-dup image pairs (r8): the simhash band recipe on
+    the aHash fingerprint over the planted-duplicate corpus (exact text
+    copies -> identical canvases -> Hamming 0).  Banded 16-bit equi-join,
+    JVM bit_count Hamming filter.  LOCAL_ORACLE (new this round); r9
+    rotation candidate."""
+    from .functions.dedup import dup_corpus
+    from .functions.multimodal import (
+        attach_png_blob_fixed,
+        image_ahash,
+        image_dup_pairs,
+    )
+
+    return image_dup_pairs(
+        image_ahash(attach_png_blob_fixed(dup_corpus(_docs(spark, sf_dir))))
+    )
+
+
+def _ahash_ctes(src: str) -> str:
+    """CTE text computing (doc_id, ahash_lo, ahash_hi) from the
+    pixel-generating formula (text bytes tiled over the fixed 32x24
+    canvas) -- codec-free, integer-exact (micro floor means, floor
+    threshold), shared by the hash and pair oracles."""
+    return f"""
+        d AS (
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+            FROM {src} WHERE length(text) > 0
+        ),
+        blocks AS (
+            SELECT doc_id, len, text, r.r AS r, c.c AS c,
+                   (r.r * 24) // 8 AS y0, ((r.r + 1) * 24) // 8 AS y1,
+                   (c.c * 32) // 8 AS x0, ((c.c + 1) * 32) // 8 AS x1
+            FROM d,
+                 LATERAL unnest(generate_series(0, 7)) AS r(r),
+                 LATERAL unnest(generate_series(0, 7)) AS c(c)
+        ),
+        bm AS (
+            SELECT doc_id, CAST(r * 8 + c AS BIGINT) AS k,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       flatten(list_transform(generate_series(y0, y1 - 1),
+                           y -> list_transform(generate_series(x0, x1 - 1),
+                               x -> CAST(ascii(substr(text,
+                                   CAST((y * 32 + x) % len + 1 AS INT), 1))
+                                   AS BIGINT))))),
+                       (a, v) -> a + v) * 1000000
+                   // ((y1 - y0) * (x1 - x0)) AS micro
+            FROM blocks
+        ),
+        th AS (SELECT doc_id, SUM(micro) // 64 AS g FROM bm GROUP BY doc_id),
+        bits AS (
+            SELECT b.doc_id, b.k,
+                   CASE WHEN b.micro > t.g THEN 1 ELSE 0 END AS bit
+            FROM bm b JOIN th t USING (doc_id)
+        ),
+        hh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN k < 32
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                        ELSE 0 END) AS BIGINT) AS ahash_lo,
+                   CAST(SUM(CASE WHEN k >= 32
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                        ELSE 0 END) AS BIGINT) AS ahash_hi
+            FROM bits GROUP BY doc_id
+        )"""
+
+
+LOCAL_ORACLE["q_image_ahash"] = (
+    "WITH "
+    + _ahash_ctes("documents")
+    + """
+        SELECT doc_id, 32 AS width, 24 AS height, ahash_lo, ahash_hi
+        FROM hh"""
+)
+
+LOCAL_ORACLE["q_image_dups"] = (
+    _CORPUS.rstrip() + ","  # continue the WITH list after corpus
+    + _ahash_ctes("corpus")
+    + """,
+        bands AS (
+            SELECT doc_id, ahash_lo, ahash_hi, b.b AS band,
+                   CASE WHEN b.b = 0 THEN ahash_lo % 65536
+                        WHEN b.b = 1 THEN ahash_lo // 65536
+                        WHEN b.b = 2 THEN ahash_hi % 65536
+                        ELSE ahash_hi // 65536 END AS v
+            FROM hh, LATERAL unnest(generate_series(0, 3)) AS b(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(bit_count(xor(a.ahash_lo, b2.ahash_lo))
+                    + bit_count(xor(a.ahash_hi, b2.ahash_hi)) AS INT)
+                   AS hamming
+        FROM bands a
+        JOIN bands b2 ON a.band = b2.band AND a.v = b2.v
+                      AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.ahash_lo, b2.ahash_lo))
+              + bit_count(xor(a.ahash_hi, b2.ahash_hi)) <= 8"""
+)
