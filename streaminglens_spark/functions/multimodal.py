@@ -841,3 +841,119 @@ def image_dup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- perceptual audio dedup (r8) ---------------------------------------------
+
+AFP_FRAMES = 32          # 16-sample frames over the fixed 512-sample canvas
+AFP_FRAME_LEN = 16
+AFP_N_SAMPLES = AFP_FRAMES * AFP_FRAME_LEN
+
+
+def attach_wav_blob_fixed(
+    documents: DataFrame, n_samples: int = AFP_N_SAMPLES, sample_rate: int = 8000
+) -> DataFrame:
+    """``attach_wav_blob`` with a FIXED sample count and rate: every
+    document's bytes tile the same window, so equal (or near-equal) text
+    produces equal (or near-equal) waveforms regardless of doc_id -- the
+    input shape audio fingerprinting needs (the per-doc variant bakes
+    doc_id into the geometry)."""
+    from .wav import encode_pcm16_wav
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                reps = n_samples // len(raw) + 1
+                tiled = (raw * reps)[:n_samples]
+                payloads.append(
+                    encode_pcm16_wav(sample_rate, [(b - 128) * 256 for b in tiled])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        documents.filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .mapInPandas(encode, "doc_id long, payload binary")
+    )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Energy-delta audio fingerprint over REAL WAV decodes (r8): the
+    Haitsma-Kalker-shaped robust hash -- the waveform splits into 32
+    frames of 16 samples, each frame's integer energy is the sum of
+    squared samples, and bit f (f = 1..31) is set iff frame f's energy
+    strictly exceeds frame f-1's.  Energy DELTAS survive volume shifts
+    and small edits that absolute energies do not; all arithmetic is
+    integer, so the fingerprint is engine-exact.  31 bits fit a
+    nonnegative int32 cleanly.
+
+    Strict decode only (stdlib PCM codec).  Returns (doc_id, n_frames,
+    afp)."""
+    import numpy as np
+
+    from .wav import decode_pcm16_wav
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, fps = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = decode_pcm16_wav(bytes(payload))
+                a = np.asarray(samples, dtype=np.int64)
+                n_frames = len(a) // AFP_FRAME_LEN
+                e = (
+                    (a[: n_frames * AFP_FRAME_LEN] ** 2)
+                    .reshape(n_frames, AFP_FRAME_LEN)
+                    .sum(axis=1)
+                )
+                fp = 0
+                for f in range(1, n_frames):
+                    if int(e[f]) > int(e[f - 1]):
+                        fp |= 1 << (f - 1)
+                ids.append(int(doc_id))
+                nf.append(n_frames)
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "n_frames": nf, "afp": fps})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fp_batches, "doc_id long, n_frames int, afp long"
+    )
+
+
+def audio_dup_pairs(fingerprints: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup audio pairs: the image_dup_pairs recipe on the 31-bit
+    energy-delta fingerprint -- two 16-bit bands (bits 0-15, 16-30) for
+    the candidate equi-join, then the exact JVM ``bit_count`` Hamming
+    filter.  Returns (doc_a, doc_b, hamming)."""
+    from ..cache import track
+
+    fps = track(fingerprints)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("afp"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("v"),
+            )
+            for b in range(2)
+        ]
+    )
+    fb = fps.select("doc_id", "afp", F.explode(bands).alias("b")).select(
+        "doc_id", "afp", F.col("b.band").alias("band"), F.col("b.v").alias("v")
+    )
+    left = fb.select(
+        F.col("doc_id").alias("doc_a"), F.col("afp").alias("afp_a"), "band", "v"
+    )
+    right = fb.select(
+        F.col("doc_id").alias("doc_b"), F.col("afp").alias("afp_b"), "band", "v"
+    )
+    ham = F.bit_count(F.col("afp_a").bitwiseXOR(F.col("afp_b")))
+    return (
+        left.join(right, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -6350,3 +6350,95 @@ LOCAL_ORACLE["q_image_dups"] = (
         WHERE bit_count(xor(a.ahash_lo, b2.ahash_lo))
               + bit_count(xor(a.ahash_hi, b2.ahash_hi)) <= 8"""
 )
+
+
+# ------------------------------- r8: perceptual audio dedup (energy-delta)
+
+def q_audio_fp(spark, sf_dir):
+    """Energy-delta audio fingerprint over REAL WAV decodes (r8): fixed
+    512-sample canvas, 32 16-sample frames, bit f set iff frame f's
+    integer energy exceeds frame f-1's -- the Haitsma-Kalker-shaped
+    robust hash, 31 bits.  Codec-free oracle recomputes every frame
+    energy from the generating formula.  LOCAL_ORACLE (new this round);
+    r9 rotation candidate."""
+    from .functions.multimodal import attach_wav_blob_fixed, audio_fingerprint
+
+    return audio_fingerprint(attach_wav_blob_fixed(_docs(spark, sf_dir)))
+
+
+def q_audio_dups(spark, sf_dir):
+    """Near-dup audio pairs (r8): two 16-bit bands over the energy-delta
+    fingerprint + JVM bit_count Hamming, over the planted-duplicate
+    corpus.  LOCAL_ORACLE (new this round); r9 rotation candidate."""
+    from .functions.dedup import dup_corpus
+    from .functions.multimodal import (
+        attach_wav_blob_fixed,
+        audio_dup_pairs,
+        audio_fingerprint,
+    )
+
+    return audio_dup_pairs(
+        audio_fingerprint(attach_wav_blob_fixed(dup_corpus(_docs(spark, sf_dir))))
+    )
+
+
+def _afp_ctes(src: str) -> str:
+    """CTE text computing (doc_id, afp) from the sample-generating
+    formula: sample(i) = (ascii(text[i mod len]) - 128) * 256 over the
+    fixed 512-sample canvas; 32 frame energies; energy-delta bits."""
+    return f"""
+        d AS (
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+            FROM {src} WHERE length(text) > 0
+        ),
+        fr AS (
+            SELECT doc_id, f.f AS f,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(0, 15), j ->
+                           CAST(((ascii(substr(text,
+                                 CAST((f.f * 16 + j) % len + 1 AS INT), 1))
+                                 - 128) * 256)
+                                * ((ascii(substr(text,
+                                 CAST((f.f * 16 + j) % len + 1 AS INT), 1))
+                                 - 128) * 256) AS BIGINT))),
+                       (a, v) -> a + v) AS e
+            FROM d, LATERAL unnest(generate_series(0, 31)) AS f(f)
+        ),
+        delta AS (
+            SELECT a.doc_id, a.f,
+                   CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+            FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f - 1
+        ),
+        afp AS (
+            SELECT doc_id,
+                   CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)))
+                        AS BIGINT) AS afp
+            FROM delta GROUP BY doc_id
+        )"""
+
+
+LOCAL_ORACLE["q_audio_fp"] = (
+    "WITH "
+    + _afp_ctes("documents")
+    + """
+        SELECT d.doc_id, 32 AS n_frames, afp.afp
+        FROM d JOIN afp USING (doc_id)"""
+)
+
+LOCAL_ORACLE["q_audio_dups"] = (
+    _CORPUS.rstrip() + ","
+    + _afp_ctes("corpus")
+    + """,
+        bands AS (
+            SELECT doc_id, afp, b.b AS band,
+                   CASE WHEN b.b = 0 THEN afp % 65536
+                        ELSE afp // 65536 END AS v
+            FROM afp, LATERAL unnest(generate_series(0, 1)) AS b(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(bit_count(xor(a.afp, b2.afp)) AS INT) AS hamming
+        FROM bands a
+        JOIN bands b2 ON a.band = b2.band AND a.v = b2.v
+                      AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.afp, b2.afp)) <= 4"""
+)

@@ -72,3 +72,48 @@ def test_pair_join_is_equi_not_product(spark):
     assert "BroadcastNestedLoop" not in plan
     # the only Python is the Arrow-batched encode/decode mapInPandas
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------- audio (energy-delta) FP
+
+
+def test_audio_copy_identical_edit_small_unrelated_none(spark):
+    from streaminglens_spark.functions.multimodal import (
+        attach_wav_blob_fixed,
+        audio_dup_pairs,
+        audio_fingerprint,
+    )
+
+    base = " ".join(f"tok{i % 23} word{(i * 7) % 31}" for i in range(60))
+    near = base.replace("tok3", "tokX", 1)
+    other = " ".join(f"zz{(i * 13) % 41}" for i in range(80))
+    rows = [(1, base), (2, base), (3, near), (4, other)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["afp"] for r in audio_fingerprint(
+        attach_wav_blob_fixed(docs)).collect()}
+    assert fps[1] == fps[2]
+    assert all(0 <= v < 1 << 31 for v in fps.values())
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in audio_dup_pairs(
+                 audio_fingerprint(attach_wav_blob_fixed(docs)),
+                 max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3), 99) <= 6  # one-word edit: few frame deltas flip
+    assert not any(4 in p for p in pairs)
+
+
+def test_audio_pair_join_is_equi_not_product(spark):
+    from streaminglens_spark.functions.multimodal import (
+        attach_wav_blob_fixed,
+        audio_dup_pairs,
+        audio_fingerprint,
+    )
+    from streaminglens_spark.plans.audit import formatted_plan
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    df = audio_dup_pairs(audio_fingerprint(attach_wav_blob_fixed(docs)))
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
