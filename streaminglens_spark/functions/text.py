@@ -937,3 +937,70 @@ def strip_boilerplate_with_index(
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("clean", F.lit("")).alias("clean"),
     )
+
+
+def sequence_manifest(
+    documents: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_N_SHARDS,
+    bucket_width: int = 8192,
+) -> DataFrame:
+    """Loader-side index of the packed stream (r8): one row per (shard,
+    sequence) describing exactly which documents fill it and where --
+    the inverse view of ``pack_sequences`` (doc -> seqs there, seq ->
+    docs here), which is what a data loader needs for random access into
+    the packed corpus ("give me sequence 1234" -> read these doc spans)
+    and what attribution tooling needs to map a training sequence back
+    to its sources.
+
+    Per (shard, seq_id): ``n_docs`` documents contribute, ``filled``
+    tokens are occupied (== seq_len except each shard's final sequence),
+    and ``docs_digest`` is the md5 of the span list
+    ``doc_id:begin_in_seq:n_fill`` sorted by position -- the repo's
+    digest convention (span membership value-checked without shipping a
+    nested column).  One explode of each doc's [first_seq, last_seq]
+    range + one groupBy; everything upstream is ``pack_sequences``'s
+    two-level shape."""
+    from pyspark.sql import functions as F
+
+    packed = pack_sequences(documents, seq_len, n_shards, bucket_width)
+    seqs = packed.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "token_offset",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    begin = F.greatest(F.col("token_offset"), seq_start) - seq_start
+    n_fill = F.least(
+        F.col("token_offset") + F.col("n_tokens"), seq_start + seq_len
+    ) - F.greatest(F.col("token_offset"), seq_start)
+    spans = seqs.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        begin.cast("long").alias("begin"),
+        n_fill.cast("long").alias("n_fill"),
+    )
+    digest = F.md5(
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("begin", "doc_id", "n_fill"))
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["doc_id"].cast("string"),
+                    s["begin"].cast("string"),
+                    s["n_fill"].cast("string"),
+                ),
+            ),
+        ).cast("binary")
+    )
+    return spans.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_fill").cast("long").alias("filled"),
+        digest.alias("docs_digest"),
+    )

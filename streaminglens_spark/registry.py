@@ -6442,3 +6442,58 @@ LOCAL_ORACLE["q_audio_dups"] = (
                       AND a.doc_id < b2.doc_id
         WHERE bit_count(xor(a.afp, b2.afp)) <= 4"""
 )
+
+
+# ------------------------------------ r8: packed-sequence manifest
+
+def q_seq_manifest(spark, sf_dir):
+    """Packed-sequence manifest (r8): the seq -> doc-spans inverse of
+    q_pack_sequences -- per (shard, sequence): contributing-doc count,
+    filled tokens, and the position-sorted span digest.  The loader's
+    random-access index into the packed corpus.  LOCAL_ORACLE (new this
+    round); r9 rotation candidate."""
+    from .functions.text import sequence_manifest
+
+    return sequence_manifest(_docs(spark, sf_dir))
+
+
+def _seq_manifest_oracle() -> str:
+    from .functions.text import PACK_N_SHARDS, PACK_SEQ_LEN
+
+    L = PACK_SEQ_LEN
+    return f"""
+        WITH base AS (
+            SELECT doc_id, CAST(doc_id % {PACK_N_SHARDS} AS INT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        off AS (
+            SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY doc_id)
+                      - n_tokens AS BIGINT) AS token_offset
+            FROM base
+        ),
+        sq AS (
+            SELECT shard, doc_id, n_tokens, token_offset,
+                   CAST(s.s AS BIGINT) AS seq_id
+            FROM off,
+                 LATERAL unnest(generate_series(token_offset // {L},
+                     (token_offset + n_tokens - 1) // {L})) AS s(s)
+        ),
+        sp AS (
+            SELECT shard, seq_id, doc_id,
+                   GREATEST(token_offset, seq_id * {L}) - seq_id * {L}
+                       AS begin,
+                   LEAST(token_offset + n_tokens, (seq_id + 1) * {L})
+                       - GREATEST(token_offset, seq_id * {L}) AS n_fill
+            FROM sq
+        )
+        SELECT shard, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_fill) AS BIGINT) AS filled,
+               md5(string_agg(doc_id || ':' || begin || ':' || n_fill, ';'
+                   ORDER BY begin, doc_id, n_fill)) AS docs_digest
+        FROM sp GROUP BY shard, seq_id"""
+
+
+LOCAL_ORACLE["q_seq_manifest"] = _seq_manifest_oracle()

@@ -191,3 +191,30 @@ def test_random_project_preserves_norms_in_expectation(spark):
         .collect()[0][0]
     )
     assert 0.85 <= ratio <= 1.15, ratio
+
+
+def test_sequence_manifest_inverts_packing(spark):
+    """r8: the manifest is the exact inverse view -- every sequence except
+    each shard's last is exactly full, and per-doc fill sums reproduce
+    pack_sequences' token counts."""
+    from streaminglens_spark.functions.text import (
+        PACK_SEQ_LEN,
+        sequence_manifest,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = sequence_manifest(docs)
+    rows = m.collect()
+    last = {}
+    for r in rows:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["seq_id"])
+    for r in rows:
+        if r["seq_id"] != last[r["shard"]]:
+            assert r["filled"] == PACK_SEQ_LEN, r
+        else:
+            assert 0 < r["filled"] <= PACK_SEQ_LEN
+    # total filled tokens == total corpus tokens (raw-split convention)
+    total = sum(r["filled"] for r in rows)
+    want = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")).collect()[0]["t"]
+    assert total == want
