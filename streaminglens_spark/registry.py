@@ -5388,10 +5388,13 @@ def q_ann_refit(spark, sf_dir):
     the 80% corpus split, fold the interleaved 20% new batch in via the
     additive vector-mass shard + ``kmeans_update`` weighted mean -- the
     corpus is never rescanned on the refit path.  Output is the updated
-    centroid table itself (cell, cv rounded to 6), so the oracle hash
-    covers the whole chain: Lloyd fit, baseline counts, fold assignment
-    of the new batch, integer mass sums, and the update arithmetic.
-    LOCAL_ORACLE (new this round)."""
+    centroid table itself in exploded long form (cell, dim, cv_micro
+    BIGINT) -- the r8 verdict's reshape: the driver comparator
+    canonicalizes with a pandas sort and cannot hash ARRAY columns, so
+    the driver surface carries only scalar columns (the engine API keeps
+    the array form).  The oracle hash covers the whole chain: Lloyd fit,
+    baseline counts, fold assignment of the new batch, integer mass
+    sums, and the update arithmetic."""
     from .cache import track
     from .functions.similarity import (
         ann_index_stats,
@@ -5408,12 +5411,16 @@ def q_ann_refit(spark, sf_dir):
     # micro form: BIGINT 1e-6 units via pure-integer half-up division --
     # engine-bit-exact (round(x, 6) on the double form can differ across
     # engines at decimal-representation boundaries; observed at sf0.01)
-    return kmeans_update(
+    upd = kmeans_update(
         cents,
         ann_index_stats(corpus, cents),
         ann_vector_shard(newb, cents),
         micro=True,
     )
+    # driver-surface reshape: scalar long form, no ARRAY columns
+    return upd.select(
+        "cell", F.posexplode("cv_micro").alias("dim", "cv_micro")
+    ).select("cell", F.col("dim").cast("long").alias("dim"), "cv_micro")
 
 
 def _ann_refit_oracle(n_cells: int = 8, iters: int = 5) -> str:
@@ -5497,8 +5504,8 @@ def _ann_refit_oracle(n_cells: int = 8, iters: int = 5) -> str:
         "WITH "
         + ",\n        ".join(ctes)
         + """
-        SELECT cell, list(CAST(m AS BIGINT) ORDER BY i) AS cv_micro
-        FROM upd GROUP BY cell"""
+        SELECT cell, CAST(i - 1 AS BIGINT) AS dim, CAST(m AS BIGINT) AS cv_micro
+        FROM upd"""
     )
 
 
@@ -5679,8 +5686,10 @@ def q_pq_refit(spark, sf_dir):
     interleaved 20% batch folded in via the additive per-codeword
     subvector mass + ``pq_update`` weighted mean -- corpus never
     rescanned on the refit path.  Output is the updated codebook in
-    engine-bit-exact integer micro-units (the kmeans_update micro form).
-    LOCAL_ORACLE (new this round)."""
+    engine-bit-exact integer micro-units, exploded to the scalar long
+    form (sub, cell, dim, cv_micro BIGINT) for the driver comparator
+    (the r8 verdict's reshape -- no ARRAY columns on the driver
+    surface; the engine API keeps the array form)."""
     from .cache import track
     from .functions.pq import pq_cell_stats, pq_fit, pq_update, pq_vector_shard
 
@@ -5689,8 +5698,14 @@ def q_pq_refit(spark, sf_dir):
     newb = emb.filter(F.col("vec_id") % 5 == 4)
     cb = track(pq_fit(corpus))
     cb.count()
-    return pq_update(
+    upd = pq_update(
         cb, pq_cell_stats(corpus, cb), pq_vector_shard(newb, cb), micro=True
+    )
+    # driver-surface reshape: scalar long form, no ARRAY columns
+    return upd.select(
+        "sub", "cell", F.posexplode("cv_micro").alias("dim", "cv_micro")
+    ).select(
+        "sub", "cell", F.col("dim").cast("long").alias("dim"), "cv_micro"
     )
 
 
@@ -5756,8 +5771,9 @@ def _pq_refit_oracle() -> str:
         "WITH "
         + ",\n        ".join(ctes)
         + """
-        SELECT sub, cell, list(CAST(mval AS BIGINT) ORDER BY i) AS cv_micro
-        FROM upd GROUP BY sub, cell"""
+        SELECT sub, cell, CAST(i - 1 AS BIGINT) AS dim,
+               CAST(mval AS BIGINT) AS cv_micro
+        FROM upd"""
     )
 
 
