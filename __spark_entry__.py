@@ -13,9 +13,11 @@ never the full registry.  The other 94 registered queries live on
 DuckDB oracles at sf0.001 AND sf0.01 on every test run
 (``tests/test_oracle_queries.py`` iterates ORACLE ∪ LOCAL_ORACLE); the two
 surfaces rotate each round so every query eventually holds a hard driver
-CORRECTNESS row (debt cleared to zero by the r8 batch,
-``registry._ROTATED_IN_R8``, which carries the 8 r7-built queries -- the
-last without a driver row).  A driver that ever evaluates more than 50
+CORRECTNESS row.  Debt going INTO r9: 11 queries without a green driver
+row -- the 9 r8-built (``registry._ROTATED_IN_R9``) plus the two reshaped
+refits (red in r8 on output shape); all 11 hold r9 driver slots, so a
+green CORRECTNESS_r09 clears the debt to zero.  A driver that ever
+evaluates more than 50
 must read LOCAL_ORACLE too -- do NOT widen ``queries()`` without removing
 the cap guard (``registry.py`` raises RuntimeError if len(ORACLE) != 50).
 """

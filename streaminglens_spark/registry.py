@@ -6513,3 +6513,51 @@ def _seq_manifest_oracle() -> str:
 
 
 LOCAL_ORACLE["q_seq_manifest"] = _seq_manifest_oracle()
+
+
+# ---------------------------------------------------- Round-9 rotation
+# (r8 verdict ask #2): the 9 r8-built queries -- the only registered
+# queries without a driver CORRECTNESS row -- rotate IN; 9 double-green
+# covered-family slots rotate OUT to LOCAL_ORACLE, where they stay
+# hash-checked at sf0.001+sf0.01 on every test run.  Family coverage
+# after the swap: the corpus pipeline keeps its superset
+# (q_corpus_pipeline_v2 runs all six v1 stages plus span removal), the
+# codec family keeps q_probe_video + q_frame_sample-on-LOCAL plus real
+# PNG/WAV decodes inside the four new perceptual queries, sketches keep
+# q_hdr_quantiles + q_hdr_windowed, sampling keeps q_group_split +
+# q_token_budget and gains q_quality_budget/q_domain_cap, chunking
+# keeps q_chunk_docs, dedup keeps softdedup/span/semantic plus the new
+# image/audio perceptual pairs.  This block must stay LAST: the
+# r8-built functions register their LOCAL_ORACLE rows above, so the
+# pops only resolve after the whole module body ran.
+_ROTATED_OUT_R9 = [
+    "q_corpus_pipeline",
+    "q_audio_frames",
+    "q_decode_audio",
+    "q_probe_image",
+    "q_resize_image",
+    "q_cms_probe",
+    "q_corpus_shuffle",
+    "q_negative_samples",
+    "q_chunk_dedup",
+]
+_ROTATED_IN_R9 = [
+    "q_corpus_pipeline_v2",
+    "q_bpe_sampled",
+    "q_domain_cap",
+    "q_quality_budget",
+    "q_seq_manifest",
+    "q_image_ahash",
+    "q_image_dups",
+    "q_audio_fp",
+    "q_audio_dups",
+]
+for _name in _ROTATED_OUT_R9:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R9:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+if len(ORACLE) != 50:
+    raise RuntimeError(
+        f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
+    )
