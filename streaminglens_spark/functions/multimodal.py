@@ -682,6 +682,78 @@ AHASH_GRID = 8          # 8x8 block grid -> 64-bit hash (two 32-bit halves)
 AHASH_BANDS = 4         # 16-bit bands for the candidate equi-join
 AHASH_MICRO = 1_000_000
 
+# hot-bucket guard for the banded Hamming joins (r9): real media corpora
+# are full of degenerate fingerprints (solid-color images, silence) and
+# any hot (band, value) bucket makes the candidate self-join quadratic --
+# at 100 TB one hot bucket is a full cross-product.  Two guards, both
+# replicated bit-exactly in the DuckDB oracles:
+#   1. degenerate fingerprints (all-zero / all-one bit patterns) are
+#      EXCLUDED from the pair join and surfaced via the *_degenerate()
+#      side channels -- they are exact-equal classes, so pairwise output
+#      among them is pure waste (group them instead);
+#   2. every (band, value) bucket is capped at DUP_BUCKET_CAP rows in
+#      deterministic affine-hash order (two-level rank, the domain_cap
+#      recipe, so a megabucket never serializes onto one reducer);
+#      join work per bucket is bounded at CAP^2 regardless of skew.
+DUP_BUCKET_CAP = 2048
+_DUP_CAP_SUBBUCKETS = 64
+
+
+def _cap_band_buckets(fb: DataFrame, bucket_cap: int) -> DataFrame:
+    """Keep at most ``bucket_cap`` rows per (band, v) bucket, in
+    deterministic affine-hash order over doc_id -- the two-level
+    ``domain_cap`` rank shape: row_number within (band, v, hash-subbucket)
+    pruned to <= cap (data-parallel; bounds survivors at cap x 64 per
+    bucket), then row_number within (band, v) over the bounded
+    survivors.  Identical kept set to the one-window form (removing rows
+    never increases a remaining row's rank)."""
+    from pyspark.sql import Window
+
+    from .sketch import HASH_A, HASH_B, HASH_P
+
+    h = (F.lit(HASH_A) * F.col("doc_id") + F.lit(HASH_B)) % F.lit(HASH_P)
+    rows = fb.withColumn("_h", h).withColumn(
+        "_sb", F.pmod(F.col("_h"), F.lit(_DUP_CAP_SUBBUCKETS))
+    )
+    w1 = Window.partitionBy("band", "v", "_sb").orderBy("_h", "doc_id")
+    w2 = Window.partitionBy("band", "v").orderBy("_h", "doc_id")
+    return (
+        rows.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= bucket_cap)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= bucket_cap)
+        .drop("_h", "_sb", "_r1", "_r2")
+    )
+
+
+def _image_degenerate_expr() -> F.Column:
+    all_ones = (1 << 32) - 1
+    return (
+        (F.col("ahash_lo") == 0) & (F.col("ahash_hi") == 0)
+    ) | (
+        (F.col("ahash_lo") == all_ones) & (F.col("ahash_hi") == all_ones)
+    )
+
+
+def image_degenerate(hashes: DataFrame) -> DataFrame:
+    """The rows ``image_dup_pairs`` excludes from its candidate join:
+    all-zero / all-one aHashes (solid-color media -- every constant image
+    hashes to 0 because no block mean exceeds the global mean).  These
+    form exact-equal classes; handle them with a hash-groupBy, never a
+    pairwise join."""
+    return hashes.filter(_image_degenerate_expr())
+
+
+def _audio_degenerate_expr() -> F.Column:
+    return (F.col("afp") == 0) | (F.col("afp") == (1 << 31) - 1)
+
+
+def audio_degenerate(fingerprints: DataFrame) -> DataFrame:
+    """The rows ``audio_dup_pairs`` excludes: all-zero / all-one
+    energy-delta fingerprints (silence and constant-energy audio both
+    land on afp = 0).  Exact-equal classes -- group, don't pair."""
+    return fingerprints.filter(_audio_degenerate_expr())
+
 
 def attach_png_blob_fixed(
     documents: DataFrame, width: int = 32, height: int = 24
@@ -691,7 +763,14 @@ def attach_png_blob_fixed(
     near-equal) text produce equal (or near-equal) images regardless of
     doc_id -- the input shape perceptual dedup needs (the per-doc-dims
     variant bakes doc_id into the geometry, which is right for decode
-    tests and wrong for image similarity)."""
+    tests and wrong for image similarity).
+
+    ASCII-ONLY ORACLE PRECONDITION: the canvas tiles ``text.encode
+    ('utf-8')`` BYTES while the DuckDB oracles index CODEPOINTS via
+    ``ascii(substr(text, ...))`` with character lengths -- the
+    engine-exact parity claim holds only for pure-ASCII fixture text
+    (which the synthetic documents table is).  Non-ASCII input still
+    produces a valid image, just not one the codepoint oracle models."""
     from .png import encode_gray_png
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -782,22 +861,37 @@ def image_ahash(media: DataFrame) -> DataFrame:
     )
 
 
-def image_dup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+def image_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    bucket_cap: int = DUP_BUCKET_CAP,
+) -> DataFrame:
     """Perceptual near-dup image pairs by banded Hamming distance (r8):
     the simhash recipe on the aHash fingerprint.  The 64-bit hash splits
     into four 16-bit bands; a candidate pair must agree EXACTLY on at
-    least one band (an equi-join on (band, value) -- never a product;
-    a pair within Hamming distance d survives banding unless its >= 1
-    differing bits spread across all four bands, the standard LSH-band
-    guarantee), then the exact Hamming distance (JVM ``bit_count`` over
-    the XORed halves) filters to ``<= max_hamming``.  All-JVM after the
-    hash.  Returns (doc_a, doc_b, hamming)."""
+    least one band (an equi-join on (band, value) -- never a product),
+    then the exact Hamming distance (JVM ``bit_count`` over the XORed
+    halves) filters to ``<= max_hamming``.  All-JVM after the hash.
+
+    RECALL BOUND (document, don't guess): by pigeonhole, four bands
+    guarantee a shared band only for pairs within Hamming distance 3;
+    a pair at distance 4..max_hamming whose differing bits spread
+    across all four bands is NOT a candidate.  The banded join is a
+    standard LSH recall/cost trade -- exhaustive recall at the default
+    threshold would need > max_hamming bands.
+
+    HOT-BUCKET GUARD (r9): degenerate fingerprints (all-zero /
+    all-one -- every solid-color image) are excluded from the join and
+    available via ``image_degenerate``; each (band, value) bucket is
+    then capped at ``bucket_cap`` rows in deterministic affine-hash
+    order, so join work per bucket is bounded at cap^2 regardless of
+    corpus skew.  Returns (doc_a, doc_b, hamming)."""
     from ..cache import track
 
     # the hash table feeds both join sides: persist so the PNG
     # encode/decode mapInPandas runs once (the minhash signature-base
     # precedent)
-    hashes = track(hashes)
+    hashes = track(hashes.filter(~_image_degenerate_expr()))
     bands = []
     for b in range(AHASH_BANDS):
         src = F.col("ahash_lo") if b < 2 else F.col("ahash_hi")
@@ -817,6 +911,7 @@ def image_dup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
         "doc_id", "ahash_lo", "ahash_hi",
         F.col("b.band").alias("band"), F.col("b.v").alias("v"),
     )
+    hb = _cap_band_buckets(hb, bucket_cap)
     left = hb.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ahash_lo").alias("lo_a"),
@@ -857,7 +952,12 @@ def attach_wav_blob_fixed(
     document's bytes tile the same window, so equal (or near-equal) text
     produces equal (or near-equal) waveforms regardless of doc_id -- the
     input shape audio fingerprinting needs (the per-doc variant bakes
-    doc_id into the geometry)."""
+    doc_id into the geometry).
+
+    ASCII-ONLY ORACLE PRECONDITION: samples come from utf-8 BYTES; the
+    DuckDB oracle models CODEPOINTS (``ascii(substr(...))``, character
+    length), so oracle parity holds only for pure-ASCII fixture text --
+    see ``attach_png_blob_fixed``."""
     from .wav import encode_pcm16_wav
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -921,14 +1021,30 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     )
 
 
-def audio_dup_pairs(fingerprints: DataFrame, max_hamming: int = 4) -> DataFrame:
+def audio_dup_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 4,
+    bucket_cap: int = DUP_BUCKET_CAP,
+) -> DataFrame:
     """Near-dup audio pairs: the image_dup_pairs recipe on the 31-bit
     energy-delta fingerprint -- two 16-bit bands (bits 0-15, 16-30) for
     the candidate equi-join, then the exact JVM ``bit_count`` Hamming
-    filter.  Returns (doc_a, doc_b, hamming)."""
+    filter.
+
+    RECALL BOUND: two bands guarantee a shared band only at Hamming
+    distance 1 (pigeonhole); pairs at distance 2..max_hamming with
+    differing bits in both bands are not candidates -- the LSH
+    recall/cost trade, stated so nobody mistakes the default for
+    exhaustive.
+
+    HOT-BUCKET GUARD (r9): degenerate fingerprints (afp = 0 -- silence
+    AND constant-energy audio both land there -- or all-ones) are
+    excluded and available via ``audio_degenerate``; (band, value)
+    buckets are capped at ``bucket_cap`` in deterministic affine-hash
+    order.  Returns (doc_a, doc_b, hamming)."""
     from ..cache import track
 
-    fps = track(fingerprints)
+    fps = track(fingerprints.filter(~_audio_degenerate_expr()))
     bands = F.array(
         *[
             F.struct(
@@ -943,6 +1059,7 @@ def audio_dup_pairs(fingerprints: DataFrame, max_hamming: int = 4) -> DataFrame:
     fb = fps.select("doc_id", "afp", F.explode(bands).alias("b")).select(
         "doc_id", "afp", F.col("b.band").alias("band"), F.col("b.v").alias("v")
     )
+    fb = _cap_band_buckets(fb, bucket_cap)
     left = fb.select(
         F.col("doc_id").alias("doc_a"), F.col("afp").alias("afp_a"), "band", "v"
     )

@@ -124,7 +124,7 @@ def domain_stats(canon: DataFrame) -> DataFrame:
 
 def domain_cap(
     canon: DataFrame,
-    n_per_domain: int = 8,
+    n_per_domain: int = DOMAIN_CAP_N,
     key: str = "doc_id",
     n_buckets: int = 64,
 ) -> DataFrame:

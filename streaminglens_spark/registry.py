@@ -6344,6 +6344,28 @@ LOCAL_ORACLE["q_image_ahash"] = (
         FROM hh"""
 )
 
+def _dup_pair_cap_sql() -> str:
+    """Shared oracle text for the r9 hot-bucket guard: the deterministic
+    affine-hash bucket cap as ONE row_number window per (band, v) --
+    kept-set-identical to the Spark side's two-level form (pinned by the
+    Spark-side property test)."""
+    from .functions.multimodal import DUP_BUCKET_CAP
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    return (
+        f"""
+        capped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY band, v
+                    ORDER BY ({HASH_A} * doc_id + {HASH_B}) % {HASH_P},
+                             doc_id) AS rnk
+                FROM bands
+            ) WHERE rnk <= {DUP_BUCKET_CAP}
+        )"""
+    )
+
+
 LOCAL_ORACLE["q_image_dups"] = (
     _CORPUS.rstrip() + ","  # continue the WITH list after corpus
     + _ahash_ctes("corpus")
@@ -6355,13 +6377,17 @@ LOCAL_ORACLE["q_image_dups"] = (
                         WHEN b.b = 2 THEN ahash_hi % 65536
                         ELSE ahash_hi // 65536 END AS v
             FROM hh, LATERAL unnest(generate_series(0, 3)) AS b(b)
-        )
+            WHERE NOT ((ahash_lo = 0 AND ahash_hi = 0)
+                       OR (ahash_lo = 4294967295 AND ahash_hi = 4294967295))
+        ),"""
+    + _dup_pair_cap_sql()
+    + """
         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
                CAST(bit_count(xor(a.ahash_lo, b2.ahash_lo))
                     + bit_count(xor(a.ahash_hi, b2.ahash_hi)) AS INT)
                    AS hamming
-        FROM bands a
-        JOIN bands b2 ON a.band = b2.band AND a.v = b2.v
+        FROM capped a
+        JOIN capped b2 ON a.band = b2.band AND a.v = b2.v
                       AND a.doc_id < b2.doc_id
         WHERE bit_count(xor(a.ahash_lo, b2.ahash_lo))
               + bit_count(xor(a.ahash_hi, b2.ahash_hi)) <= 8"""
@@ -6450,11 +6476,14 @@ LOCAL_ORACLE["q_audio_dups"] = (
                    CASE WHEN b.b = 0 THEN afp % 65536
                         ELSE afp // 65536 END AS v
             FROM afp, LATERAL unnest(generate_series(0, 1)) AS b(b)
-        )
+            WHERE afp NOT IN (0, 2147483647)
+        ),"""
+    + _dup_pair_cap_sql()
+    + """
         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
                CAST(bit_count(xor(a.afp, b2.afp)) AS INT) AS hamming
-        FROM bands a
-        JOIN bands b2 ON a.band = b2.band AND a.v = b2.v
+        FROM capped a
+        JOIN capped b2 ON a.band = b2.band AND a.v = b2.v
                       AND a.doc_id < b2.doc_id
         WHERE bit_count(xor(a.afp, b2.afp)) <= 4"""
 )

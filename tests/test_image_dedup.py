@@ -117,3 +117,90 @@ def test_audio_pair_join_is_equi_not_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan
+
+# ------------------------------------------- r9: hot-bucket guard
+
+
+def test_constant_media_degenerate_excluded_image(spark):
+    """A solid-color corpus (every constant image hashes to 0) must
+    produce ZERO join work -- the r8 verdict's 100 TB cross-product
+    scenario -- with the rows surfaced on the degenerate side channel."""
+    from streaminglens_spark.functions.multimodal import image_degenerate
+
+    rows = [(i, "a" * 40) for i in range(200)]
+    h = _hashes(spark, rows)
+    assert image_dup_pairs(h).count() == 0
+    assert image_degenerate(h).count() == 200
+
+
+def test_constant_media_degenerate_excluded_audio(spark):
+    from streaminglens_spark.functions.multimodal import (
+        attach_wav_blob_fixed,
+        audio_degenerate,
+        audio_dup_pairs,
+        audio_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" * 40) for i in range(200)], "doc_id long, text string")
+    fps = audio_fingerprint(attach_wav_blob_fixed(docs))
+    assert audio_dup_pairs(fps).count() == 0
+    assert audio_degenerate(fps).count() == 200
+
+
+def test_hot_bucket_cap_bounds_pair_output(spark):
+    """500 identical non-degenerate fingerprints in one bucket: the cap
+    bounds pair output at cap*(cap-1)/2 instead of n*(n-1)/2."""
+    from streaminglens_spark.functions.multimodal import audio_dup_pairs
+
+    fps = spark.createDataFrame(
+        [(i, 32, 5) for i in range(500)], "doc_id long, n_frames int, afp long")
+    cap = 20
+    n = audio_dup_pairs(fps, bucket_cap=cap).count()
+    assert n <= cap * (cap - 1) // 2
+    assert n > 0  # the kept slice still pairs
+
+
+def test_two_level_cap_equals_one_window(spark):
+    """The two-level bucket cap keeps the same rows as the one-window
+    rank (the domain_cap equivalence argument, pinned here for the
+    (band, v) shape) -- this is also what licenses the oracle's single
+    row_number form."""
+    from pyspark.sql import Window
+
+    from streaminglens_spark.functions.multimodal import _cap_band_buckets
+    from streaminglens_spark.functions.sketch import HASH_A, HASH_B, HASH_P
+
+    # skewed synthetic band table: one hot (0, 7) bucket + a diverse tail
+    rows = [(i, 0, 7) for i in range(300)] + [
+        (1000 + i, i % 3, 100 + i % 11) for i in range(60)]
+    fb = spark.createDataFrame(rows, "doc_id long, band int, v long")
+    cap = 16
+    got = {(r["doc_id"], r["band"], r["v"])
+           for r in _cap_band_buckets(fb, cap).collect()}
+    h = (F.lit(HASH_A) * F.col("doc_id") + F.lit(HASH_B)) % F.lit(HASH_P)
+    w = Window.partitionBy("band", "v").orderBy(F.col("_h"), F.col("doc_id"))
+    want = {(r["doc_id"], r["band"], r["v"])
+            for r in fb.withColumn("_h", h)
+                       .withColumn("_r", F.row_number().over(w))
+                       .filter(F.col("_r") <= cap).collect()}
+    assert got == want
+
+
+def test_cap_is_noop_on_fixture_pairs(spark):
+    """The default cap must not change the fixture pair set (no sf0.001
+    bucket is hot): capped == effectively-uncapped, so the r8 oracle
+    hashes remain valid evidence."""
+    from streaminglens_spark.functions.dedup import dup_corpus
+    from streaminglens_spark.functions.multimodal import (
+        attach_wav_blob_fixed,
+        audio_dup_pairs,
+        audio_fingerprint,
+    )
+
+    docs = dup_corpus(spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"))
+    fps = audio_fingerprint(attach_wav_blob_fixed(docs))
+    a = {tuple(r) for r in audio_dup_pairs(fps).collect()}
+    b = {tuple(r) for r in audio_dup_pairs(fps, bucket_cap=10**9).collect()}
+    assert a == b and a
