@@ -36,9 +36,13 @@ the driver, rebuild the monitor with the same ``shard_path``, and the
 state (drift verdicts, ``updated_centroids()``) is bit-identical to the
 uninterrupted run (integer sums are additive and parquet round-trips
 longs exactly; pinned in ``tests/test_streaming_annmaint.py``).  A
-REPLAYED batch (restart inside the at-least-once window) sees its marker:
-its gauges still publish (they are per-batch signals) but it is not
-folded again, so nothing double-counts.  Without ``shard_path`` the
+REPLAYED batch (restart inside the at-least-once window) re-publishes
+its gauges (they are per-batch signals) but folds AT MOST ONCE: the
+marker proves the shard committed, while the state's own
+``folded_batches`` set proves the fold happened -- a crash in the
+window between the marker seal and the fold leaves the two diverged,
+and the retry folds the batch it is missing instead of assuming
+marker => folded (r8 ADVICE fix).  Without ``shard_path`` the
 state is driver-session only and durability is the caller's problem --
 wire your own shard-appending ``downstream`` sink or accept the loss.
 """
@@ -94,6 +98,24 @@ def _committed_batch_dirs(spark, shard_path) -> list[str]:
     return [p for _, p in sorted(out)]
 
 
+def _batch_id_of(batch_dir: str) -> int:
+    """The batch id encoded in a ``.../batch_id=<id>`` directory path."""
+    return int(batch_dir.rstrip("/").rsplit("batch_id=", 1)[1])
+
+
+def _should_accumulate(state, shard_path, batch_id) -> bool:
+    """Whether this batch must fold into the live state.  NOT simply
+    "marker absent": a crash between the marker seal and the fold leaves
+    a committed shard the live state never saw -- assuming marker =>
+    already-folded would under-count the state forever (r8 ADVICE).  The
+    state tracks which batch ids it actually folded (populated by the
+    restore_* functions and by every live fold), so the replayed path
+    folds exactly the batches it is missing.  Without durability
+    (``shard_path`` None) every batch folds -- the documented
+    at-least-once mode."""
+    return shard_path is None or int(batch_id) not in state.folded_batches
+
+
 def restore_ann_state(
     spark,
     baseline,
@@ -110,6 +132,7 @@ def restore_ann_state(
     state._growth_ratio = growth_ratio
     for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
         state.fold_shard(spark.read.parquet(f"{d}/stats").collect())
+        state.folded_batches.add(_batch_id_of(d))
     return state
 
 
@@ -121,6 +144,7 @@ def restore_pq_state(
     state = PqMaintenanceState(baseline.collect(), err_ratio=err_ratio)
     for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
         state.fold_shard(spark.read.parquet(f"{d}/errs").collect())
+        state.folded_batches.add(_batch_id_of(d))
     return state
 
 
@@ -142,6 +166,7 @@ def restore_refit_state(
     for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
         state.gauge_state.fold_shard(spark.read.parquet(f"{d}/stats").collect())
         state.fold_vector_shard(spark.read.parquet(f"{d}/vectors").collect())
+        state.folded_batches.add(_batch_id_of(d))
     return state
 
 
@@ -159,6 +184,10 @@ class AnnMaintenanceState:
         # running additive shard fold: {cell: [n_vecs, qsum]}
         self.cells: dict[int, list[int]] = {}
         self.batches = 0
+        # batch ids this state has actually folded (durable mode only):
+        # the marker on disk proves the SHARD committed, this set proves
+        # the FOLD happened -- the two can diverge across a crash
+        self.folded_batches: set[int] = set()
 
     def fold_shard(self, shard_rows, accumulate: bool = True) -> dict:
         """Fold one batch's (cell, n_vecs, qsum) shard rows in; return the
@@ -250,12 +279,16 @@ def ann_maintenance_monitor(
         batch_df.persist()
         try:
             shard_df = ann_stats_shard(batch_df, centroids)
-            fresh = shard_path is None or _write_shard_batch(
-                batch_df.sparkSession, shard_path, batch_id,
-                {"stats": shard_df},
-            )
+            if shard_path is not None:
+                _write_shard_batch(
+                    batch_df.sparkSession, shard_path, batch_id,
+                    {"stats": shard_df},
+                )
             shard_rows = shard_df.collect()
-            gauges = state.fold_shard(shard_rows, accumulate=fresh)
+            accumulate = _should_accumulate(state, shard_path, batch_id)
+            gauges = state.fold_shard(shard_rows, accumulate=accumulate)
+            if accumulate and shard_path is not None:
+                state.folded_batches.add(int(batch_id))
             gauges["batchId"] = int(batch_id)
             if analyzer is not None:
                 analyzer.set_extra_gauges(ANN_GAUGE_SOURCE, gauges)
@@ -289,6 +322,7 @@ class PqMaintenanceState:
         self.err_ratio = err_ratio
         self.subs: dict[int, list[int]] = {}
         self.batches = 0
+        self.folded_batches: set[int] = set()  # see AnnMaintenanceState
 
     def fold_shard(self, err_rows, accumulate: bool = True) -> dict:
         """Fold one batch's per-sub (sub, n, qsum) error rows in; return
@@ -374,11 +408,16 @@ def pq_maintenance_monitor(
                     F.sum("q").cast("long").alias("qsum"),
                 )
             )
-            fresh = shard_path is None or _write_shard_batch(
-                batch_df.sparkSession, shard_path, batch_id, {"errs": err_df}
-            )
+            if shard_path is not None:
+                _write_shard_batch(
+                    batch_df.sparkSession, shard_path, batch_id,
+                    {"errs": err_df},
+                )
             err_rows = err_df.collect()
-            gauges = state.fold_shard(err_rows, accumulate=fresh)
+            accumulate = _should_accumulate(state, shard_path, batch_id)
+            gauges = state.fold_shard(err_rows, accumulate=accumulate)
+            if accumulate and shard_path is not None:
+                state.folded_batches.add(int(batch_id))
             gauges["batchId"] = int(batch_id)
             if analyzer is not None:
                 analyzer.set_extra_gauges(PQ_GAUGE_SOURCE, gauges)
@@ -439,16 +478,20 @@ def ann_maintenance_monitor_with_refit(
         try:
             stats_df = ann_stats_shard(batch_df, centroids)
             vec_df = ann_vector_shard(batch_df, centroids)
-            fresh = shard_path is None or _write_shard_batch(
-                batch_df.sparkSession, shard_path, batch_id,
-                {"stats": stats_df, "vectors": vec_df},
-            )
+            if shard_path is not None:
+                _write_shard_batch(
+                    batch_df.sparkSession, shard_path, batch_id,
+                    {"stats": stats_df, "vectors": vec_df},
+                )
+            accumulate = _should_accumulate(state, shard_path, batch_id)
             gauges = state.gauge_state.fold_shard(
-                stats_df.collect(), accumulate=fresh
+                stats_df.collect(), accumulate=accumulate
             )
             gauges["batchId"] = int(batch_id)
-            if fresh:
+            if accumulate:
                 state.fold_vector_shard(vec_df.collect())
+                if shard_path is not None:
+                    state.folded_batches.add(int(batch_id))
             if analyzer is not None:
                 analyzer.set_extra_gauges(ANN_GAUGE_SOURCE, gauges)
             for sink in gauge_sinks or []:
@@ -474,6 +517,7 @@ class RefitMaintenanceState:
         self._baseline = baseline
         # {cell: [n_new, [per-dim micro sums]]} -- O(cells x dim)
         self.vmass: dict[int, list] = {}
+        self.folded_batches: set[int] = set()  # see AnnMaintenanceState
 
     def fold_vector_shard(self, rows) -> None:
         for r in rows:

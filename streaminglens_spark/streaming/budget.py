@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .annmaint import _committed_batch_dirs, _write_shard_batch
+from .annmaint import _batch_id_of, _committed_batch_dirs, _write_shard_batch
 
 BUDGET_GAUGE_SOURCE = "spark.streaming.budgetAdmission"
 
@@ -50,6 +50,10 @@ class BudgetAdmissionState:
         self.budgets = {s: int(b) for s, b in budgets.items()}
         self.spent: dict[str, int] = {s: 0 for s in budgets}
         self.batches = 0
+        # batch ids this ledger actually folded (durable mode): the disk
+        # marker proves the shard committed, this proves the fold -- they
+        # diverge across a crash between seal and fold (r8 ADVICE)
+        self.folded_batches: set[int] = set()
 
     def remaining(self) -> dict[str, int]:
         """Strata that still admit: budget minus ledger, positive only."""
@@ -92,6 +96,7 @@ def restore_budget_state(
     state = BudgetAdmissionState(budgets)
     for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
         state.fold(spark.read.parquet(f"{d}/admitted").collect())
+        state.folded_batches.add(_batch_id_of(d))
     return state
 
 
@@ -108,21 +113,34 @@ def budget_admission_monitor(
     """Build (state, foreachBatch_body).  ``admitted_sink(df, batch_id)``
     receives each batch's admitted rows (with n_tokens/cum_tokens);
     ``shard_path`` makes the ledger durable (see module docstring).
-    ``spark`` is only needed to restore from ``shard_path`` before the
-    first batch arrives; otherwise restoration happens lazily."""
+    ``spark`` restores the ledger from ``shard_path`` eagerly at
+    construction; without it the restore runs LAZILY on the first batch
+    (using the batch's own session) -- either way a rebuilt monitor
+    never starts from a zero ledger while committed shards exist (r8
+    ADVICE fix: the zero-ledger start over-admitted past budgets)."""
     from ..functions.sampling import token_budget_sample
 
+    state = BudgetAdmissionState(budgets)
+    restored = shard_path is None
     if shard_path is not None and spark is not None:
         state = restore_budget_state(spark, budgets, shard_path)
-    else:
-        state = BudgetAdmissionState(budgets)
+        restored = True
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
 
+        nonlocal restored
         batch_df.persist()
         try:
             spark_ = batch_df.sparkSession
+            if not restored:
+                # lazy restore (no session at construction): fold every
+                # committed shard into the SAME state object the caller
+                # holds before admitting anything
+                for d in _committed_batch_dirs(spark_, shard_path):
+                    state.fold(spark_.read.parquet(f"{d}/admitted").collect())
+                    state.folded_batches.add(_batch_id_of(d))
+                restored = True
             replayed = False
             remaining = state.remaining()
             if shard_path is not None:
@@ -131,12 +149,14 @@ def budget_admission_monitor(
                 marker = spark_._jvm.org.apache.hadoop.fs.Path(
                     f"{out}/{_COMMIT_MARKER}"
                 )
-                if fs.exists(marker):
-                    # replayed batch: the restored ledger already contains
-                    # it -- reconstruct the PRE-batch remaining budgets so
-                    # the re-delivered admitted set is byte-identical to
-                    # the original delivery (what an exactly-once
-                    # downstream expects from foreachBatch replay)
+                if fs.exists(marker) and int(batch_id) in state.folded_batches:
+                    # replayed batch the ledger already folded: reconstruct
+                    # the PRE-batch remaining budgets so the re-delivered
+                    # admitted set is byte-identical to the original
+                    # delivery (what an exactly-once downstream expects
+                    # from foreachBatch replay).  A committed-but-unfolded
+                    # batch (crash between seal and fold) takes the fresh
+                    # path instead: the ledger IS the pre-batch view.
                     replayed = True
                     prior = {
                         r["stratum"]: int(r["n_tokens"])
@@ -162,13 +182,16 @@ def budget_admission_monitor(
                     F.count(F.lit(1)).cast("long").alias("n_docs"),
                     F.sum("n_tokens").cast("long").alias("n_tokens"),
                 )
-                fresh = not replayed and (
-                    shard_path is None
-                    or _write_shard_batch(
+                if not replayed and shard_path is not None:
+                    _write_shard_batch(
                         spark_, shard_path, batch_id, {"admitted": shard_df}
                     )
+                accumulate = shard_path is None or (
+                    int(batch_id) not in state.folded_batches
                 )
-                gauges = state.fold(shard_df.collect(), accumulate=fresh)
+                gauges = state.fold(shard_df.collect(), accumulate=accumulate)
+                if accumulate and shard_path is not None:
+                    state.folded_batches.add(int(batch_id))
                 gauges["batchId"] = int(batch_id)
                 if analyzer is not None:
                     analyzer.set_extra_gauges(BUDGET_GAUGE_SOURCE, gauges)

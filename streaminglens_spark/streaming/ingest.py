@@ -34,7 +34,13 @@ and nothing double-counts.
 Scale shape: every stage is the documented shape of its batch operator
 (map-only cleanup/score, band-bucketed sketch join against a read-mostly
 side index, two-level budget windows); driver state is O(strata); the
-index lives on disk and grows by O(batch) rows per trigger.
+index lives on disk and grows by O(batch) rows per trigger.  Every
+``compact_every`` committed batches the per-batch index shards fold into
+ONE consolidated generation (``compact_index``, same atomic-marker
+protocol, ``src_batch`` provenance kept so replay still excludes the
+replayed batch's rows), so the per-trigger index read touches O(1)
+generations + O(recent) shards instead of one parquet dir per batch
+forever (r8 verdict ask #4).
 
 Gauges publish under ``spark.streaming.corpusIngest`` through the
 fail-open sink path.
@@ -45,29 +51,125 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .annmaint import _committed_batch_dirs, _write_shard_batch
+from .annmaint import _batch_id_of, _committed_batch_dirs, _write_shard_batch
 from .budget import BudgetAdmissionState
 
 INGEST_GAUGE_SOURCE = "spark.streaming.corpusIngest"
 
 _INDEX_SCHEMA = "doc_id long, md5_fp string, mh array<bigint>"
+_GEN_SCHEMA = _INDEX_SCHEMA + ", src_batch long"
+
+# fold committed per-batch index shards into one consolidated generation
+# every this-many uncompacted batches (r8 verdict ask #4: without
+# compaction the per-trigger index read touches one parquet dir per
+# committed batch, forever)
+INDEX_COMPACT_EVERY = 16
+
+
+def _committed_generations(spark, state_path) -> list[str]:
+    """COMMITTED compaction generations (``<state_path>/compacted/
+    gen=<id>``), oldest first -- the same atomic-marker visibility rule
+    as batch shards."""
+    from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
+
+    root = f"{state_path}/compacted"
+    fs, hpath = _hadoop_fs(spark, root)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        p = status.getPath()
+        name = p.getName()
+        if not status.isDirectory() or not name.startswith("gen="):
+            continue
+        marker = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{p.toString()}/{_COMMIT_MARKER}"
+        )
+        if fs.exists(marker):
+            out.append((int(name.split("=", 1)[1]), p.toString()))
+    return [p for _, p in sorted(out)]
+
+
+def _gen_id_of(gen_dir: str) -> int:
+    return int(gen_dir.rstrip("/").rsplit("gen=", 1)[1])
 
 
 def _committed_index(spark, state_path, exclude_batch=None):
-    """Union of committed index shards (empty-schema DF when none);
-    ``exclude_batch`` drops one batch dir -- the replay path's pre-batch
-    view."""
+    """The cumulative dedup index as ONE latest committed generation plus
+    the batch shards newer than it -- O(1) generations + O(recent)
+    parquet dirs per trigger instead of one dir per batch forever.
+    ``exclude_batch`` drops that batch's rows everywhere (the replay
+    path's pre-batch view): newer shards by directory, generation rows by
+    their ``src_batch`` provenance column."""
+    gens = _committed_generations(spark, state_path)
+    gen_id = _gen_id_of(gens[-1]) if gens else -1
     dirs = [
         d
         for d in _committed_batch_dirs(spark, state_path)
-        if exclude_batch is None
-        or not d.rstrip("/").endswith(f"batch_id={exclude_batch}")
+        if _batch_id_of(d) > gen_id
+        and (exclude_batch is None or _batch_id_of(d) != exclude_batch)
+    ]
+    parts = []
+    if gens:
+        g = spark.read.schema(_GEN_SCHEMA).parquet(f"{gens[-1]}/index")
+        if exclude_batch is not None:
+            g = g.filter(F.col("src_batch") != int(exclude_batch))
+        parts.append(g.select("doc_id", "md5_fp", "mh"))
+    if dirs:
+        parts.append(
+            spark.read.schema(_INDEX_SCHEMA).parquet(
+                *[f"{d}/index" for d in dirs]
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_index(spark, state_path) -> int | None:
+    """Fold the current committed index view (latest generation + newer
+    batch shards) into a new generation ``<state_path>/compacted/
+    gen=<max_batch_id>`` under the same atomic-marker protocol --
+    readers see either the old generation or the new one, never a
+    half-write.  Every row keeps its ``src_batch`` provenance so a
+    replayed batch can still be excluded from the pre-batch view after
+    its shard was compacted.  Old batch dirs stay on disk (their marker
+    makes replay detection work) but are no longer read.  Returns the
+    new generation id, or None when there is nothing new to compact."""
+    from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
+
+    gens = _committed_generations(spark, state_path)
+    gen_id = _gen_id_of(gens[-1]) if gens else -1
+    dirs = [
+        d
+        for d in _committed_batch_dirs(spark, state_path)
+        if _batch_id_of(d) > gen_id
     ]
     if not dirs:
-        return spark.createDataFrame([], _INDEX_SCHEMA)
-    return spark.read.schema(_INDEX_SCHEMA).parquet(
-        *[f"{d}/index" for d in dirs]
-    )
+        return None
+    new_id = max(_batch_id_of(d) for d in dirs)
+    parts = []
+    if gens:
+        parts.append(spark.read.schema(_GEN_SCHEMA).parquet(f"{gens[-1]}/index"))
+    for d in dirs:
+        parts.append(
+            spark.read.schema(_INDEX_SCHEMA)
+            .parquet(f"{d}/index")
+            .withColumn("src_batch", F.lit(_batch_id_of(d)).cast("long"))
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    out = f"{state_path}/compacted/gen={new_id}"
+    fs, _ = _hadoop_fs(spark, out)
+    merged.write.mode("overwrite").parquet(f"{out}/index")
+    fs.create(
+        spark._jvm.org.apache.hadoop.fs.Path(f"{out}/{_COMMIT_MARKER}"), True
+    ).close()
+    return new_id
 
 
 def restore_ingest_state(
@@ -80,6 +182,7 @@ def restore_ingest_state(
     state = BudgetAdmissionState(budgets)
     for d in _committed_batch_dirs(spark, state_path) if state_path else []:
         state.fold(spark.read.parquet(f"{d}/admitted").collect())
+        state.folded_batches.add(_batch_id_of(d))
     return state
 
 
@@ -94,12 +197,18 @@ def corpus_ingest_monitor(
     stratum: str = "source",
     key: str = "doc_id",
     spark=None,
+    compact_every: int = INDEX_COMPACT_EVERY,
 ):
     """Build (ledger_state, foreachBatch_body); ``ledger_state`` is None
     when no budgets are given.  Input stream schema: (doc_id, text,
     source, ...).  Document ids must be globally increasing across
     batches (the incremental-dedup orientation: a dup's keeper is the
-    earliest id)."""
+    earliest id).  ``spark`` restores the ledger eagerly; without it the
+    restore runs lazily on the first batch (r8 ADVICE fix -- a rebuilt
+    monitor never admits against a zero ledger while committed shards
+    exist).  Every ``compact_every`` committed batches the index shards
+    fold into one generation (``compact_index``), keeping the
+    per-trigger index read at O(1) generations + O(recent) shards."""
     from ..functions.dedup import dedup_against_index, minhash_index
     from ..functions.sampling import token_budget_sample
     from ..functions.text import (
@@ -111,9 +220,12 @@ def corpus_ingest_monitor(
     from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
 
     thr = QC_THRESHOLD_MILLI if quality_threshold is None else quality_threshold
-    state = restore_ingest_state(spark, budgets, state_path) if spark else (
+    state = (
         BudgetAdmissionState(budgets) if budgets is not None else None
     )
+    restored = spark is not None or budgets is None
+    if spark is not None:
+        state = restore_ingest_state(spark, budgets, state_path)
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         from ..cache import track, tracked_caches
@@ -122,7 +234,13 @@ def corpus_ingest_monitor(
             _run_batch(batch_df, batch_id, track)
 
     def _run_batch(batch_df: DataFrame, batch_id: int, track) -> None:
+        nonlocal restored
         spark_ = batch_df.sparkSession
+        if not restored:
+            for d in _committed_batch_dirs(spark_, state_path):
+                state.fold(spark_.read.parquet(f"{d}/admitted").collect())
+                state.folded_batches.add(_batch_id_of(d))
+            restored = True
         out = f"{state_path}/batch_id={batch_id}"
         fs, _ = _hadoop_fs(spark_, out)
         marker = spark_._jvm.org.apache.hadoop.fs.Path(f"{out}/{_COMMIT_MARKER}")
@@ -158,7 +276,12 @@ def corpus_ingest_monitor(
         n_quality = quality.count()
 
         if state is not None:
-            if replayed:
+            if replayed and int(batch_id) in state.folded_batches:
+                # the ledger already contains this batch: reconstruct the
+                # PRE-batch remaining budgets for byte-identical
+                # re-delivery.  A committed-but-unfolded batch (crash
+                # between seal and fold) skips this -- the ledger IS the
+                # pre-batch view.
                 prior = {
                     r["stratum"]: int(r["n_tokens"])
                     for r in spark_.read.parquet(f"{out}/admitted").collect()
@@ -192,13 +315,17 @@ def corpus_ingest_monitor(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
-        fresh = not replayed and _write_shard_batch(
-            spark_, state_path, batch_id,
-            {"index": minhash_index(cleaned), "admitted": shard},
-        )
+        if not replayed:
+            _write_shard_batch(
+                spark_, state_path, batch_id,
+                {"index": minhash_index(cleaned), "admitted": shard},
+            )
         shard_rows = shard.collect()
         if state is not None:
-            gauges = state.fold(shard_rows, accumulate=fresh)
+            accumulate = int(batch_id) not in state.folded_batches
+            gauges = state.fold(shard_rows, accumulate=accumulate)
+            if accumulate:
+                state.folded_batches.add(int(batch_id))
         else:
             gauges = {
                 "admittedDocs": sum(int(r["n_docs"]) for r in shard_rows),
@@ -222,5 +349,21 @@ def corpus_ingest_monitor(
                 pass  # fail-open, the analyzer's sink contract
         if admitted_sink is not None:
             admitted_sink(admitted, batch_id)
+
+        # periodic index compaction (r8 verdict ask #4): once enough
+        # batches committed since the last generation, fold them into
+        # one.  Runs AFTER delivery -- a compaction crash costs nothing
+        # (the next batch retries it), and readers only ever see a
+        # sealed generation.
+        if compact_every and not replayed:
+            gens = _committed_generations(spark_, state_path)
+            gen_id = _gen_id_of(gens[-1]) if gens else -1
+            pending = sum(
+                1
+                for d in _committed_batch_dirs(spark_, state_path)
+                if _batch_id_of(d) > gen_id
+            )
+            if pending >= compact_every:
+                compact_index(spark_, state_path)
 
     return state, _body
