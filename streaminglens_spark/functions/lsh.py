@@ -1,0 +1,68 @@
+"""Shared guards for banded LSH candidate joins (r10).
+
+Every banded near-dup join in the repo -- MinHash band signatures
+(``dedup.minhash_lsh_pairs``), SimHash bit-bands (``dedup.simhash_pairs``),
+perceptual image/audio Hamming bands (``multimodal.image_dup_pairs`` /
+``audio_dup_pairs``) -- has the same scale failure mode: one hot
+(band, value) bucket turns the candidate self-join quadratic, and at
+100 TB a single hot bucket is a full cross-product.  The r9 fix shipped
+for the image/audio joins only; r10 generalizes it here (the r9 verdict's
+top ask) so the text joins share the exact same two guards:
+
+1. **exact-equal classes are grouped, never paired** -- rows whose
+   fingerprint is degenerate (image/audio) or whose content hash is
+   identical (text md5 classes) are collapsed to one representative
+   before the join; pairwise output among them is pure waste (a 10k-copy
+   template corpus is ~5x10^7 candidate pairs from ONE bucket).  The
+   class membership travels on a side channel (``dedup.dedup_exact`` for
+   text, ``multimodal.image_degenerate``/``audio_degenerate`` for media);
+2. **residual buckets are capped** at ``DUP_BUCKET_CAP`` rows in
+   deterministic affine-hash order (``cap_band_buckets``), so join work
+   per bucket is bounded at cap^2 regardless of corpus skew.
+
+Both guards are replicated bit-exactly in the DuckDB oracles
+(``registry._dup_pair_cap_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# cap per (band, value) bucket for every banded near-dup join; 2048^2
+# bounded candidate pairs per bucket is the documented skew ceiling
+DUP_BUCKET_CAP = 2048
+_DUP_CAP_SUBBUCKETS = 64
+
+
+def cap_band_buckets(
+    fb: DataFrame,
+    bucket_cap: int,
+    val_col: str = "v",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``bucket_cap`` rows per (band, ``val_col``) bucket, in
+    deterministic affine-hash order over ``id_col`` -- the two-level
+    ``domain_cap`` rank shape: row_number within (band, value,
+    hash-subbucket) pruned to <= cap (data-parallel; bounds survivors at
+    cap x 64 per bucket), then row_number within (band, value) over the
+    bounded survivors.  Identical kept set to the one-window form
+    (removing rows never increases a remaining row's rank), which is the
+    form the DuckDB oracles replicate."""
+    from pyspark.sql import Window
+
+    from .sketch import HASH_A, HASH_B, HASH_P
+
+    h = (F.lit(HASH_A) * F.col(id_col) + F.lit(HASH_B)) % F.lit(HASH_P)
+    rows = fb.withColumn("_h", h).withColumn(
+        "_sb", F.pmod(F.col("_h"), F.lit(_DUP_CAP_SUBBUCKETS))
+    )
+    w1 = Window.partitionBy("band", val_col, "_sb").orderBy("_h", id_col)
+    w2 = Window.partitionBy("band", val_col).orderBy("_h", id_col)
+    return (
+        rows.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= bucket_cap)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= bucket_cap)
+        .drop("_h", "_sb", "_r1", "_r2")
+    )

@@ -695,35 +695,10 @@ AHASH_MICRO = 1_000_000
 #      deterministic affine-hash order (two-level rank, the domain_cap
 #      recipe, so a megabucket never serializes onto one reducer);
 #      join work per bucket is bounded at CAP^2 regardless of skew.
-DUP_BUCKET_CAP = 2048
-_DUP_CAP_SUBBUCKETS = 64
-
-
-def _cap_band_buckets(fb: DataFrame, bucket_cap: int) -> DataFrame:
-    """Keep at most ``bucket_cap`` rows per (band, v) bucket, in
-    deterministic affine-hash order over doc_id -- the two-level
-    ``domain_cap`` rank shape: row_number within (band, v, hash-subbucket)
-    pruned to <= cap (data-parallel; bounds survivors at cap x 64 per
-    bucket), then row_number within (band, v) over the bounded
-    survivors.  Identical kept set to the one-window form (removing rows
-    never increases a remaining row's rank)."""
-    from pyspark.sql import Window
-
-    from .sketch import HASH_A, HASH_B, HASH_P
-
-    h = (F.lit(HASH_A) * F.col("doc_id") + F.lit(HASH_B)) % F.lit(HASH_P)
-    rows = fb.withColumn("_h", h).withColumn(
-        "_sb", F.pmod(F.col("_h"), F.lit(_DUP_CAP_SUBBUCKETS))
-    )
-    w1 = Window.partitionBy("band", "v", "_sb").orderBy("_h", "doc_id")
-    w2 = Window.partitionBy("band", "v").orderBy("_h", "doc_id")
-    return (
-        rows.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= bucket_cap)
-        .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= bucket_cap)
-        .drop("_h", "_sb", "_r1", "_r2")
-    )
+# r10: the cap generalized into functions/lsh.py (shared with the text
+# MinHash/SimHash joins per the r9 verdict); re-exported here so the
+# multimodal call sites and tests keep their names.
+from .lsh import DUP_BUCKET_CAP, cap_band_buckets as _cap_band_buckets  # noqa: E402
 
 
 def _image_degenerate_expr() -> F.Column:

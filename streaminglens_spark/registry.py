@@ -1020,6 +1020,29 @@ bands AS (
 )
 """ % _MINHASH_SQL
 
+def _dup_pair_cap_sql(val: str = "v", src: str = "bands") -> str:
+    """Shared oracle text for the r9 hot-bucket guard: the deterministic
+    affine-hash bucket cap as ONE row_number window per (band, ``val``) --
+    kept-set-identical to the Spark side's two-level form
+    (``lsh.cap_band_buckets``, pinned by the Spark-side property test).
+    r10 generalizes it across the text MinHash/SimHash joins too."""
+    from .functions.lsh import DUP_BUCKET_CAP
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    return (
+        f"""
+        capped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY band, {val}
+                    ORDER BY ({HASH_A} * doc_id + {HASH_B}) % {HASH_P},
+                             doc_id) AS rnk
+                FROM {src}
+            ) WHERE rnk <= {DUP_BUCKET_CAP}
+        )"""
+    )
+
+
 ORACLE: dict[str, str | None] = {
     "q_batch_bounds": oracle_analysis(
         "SELECT query_id, batch_id, start_ms, end_ms, batch_running_ms FROM bounds2"
@@ -1200,41 +1223,58 @@ ORACLE: dict[str, str | None] = {
                CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                COUNT(*) AS dup_count
         FROM corpus GROUP BY 1""",
+    # r10: exact-equal md5 classes grouped pre-join (keeper star +
+    # rep-level band join + member expansion) and the shared affine-hash
+    # bucket cap -- both mirror functions/dedup.py::minhash_lsh_pairs
     "q_minhash_lsh": _SHINGLES + """
-        , sigv AS (
-            SELECT doc_id, list(mh ORDER BY k) AS mhv FROM sigs GROUP BY doc_id
+        , classes AS (
+            SELECT md5_fp, MIN(doc_id) AS rep_id FROM md5s GROUP BY md5_fp
         ),
+        mem AS (
+            SELECT c.rep_id, m.doc_id FROM md5s m JOIN classes c USING (md5_fp)
+        ),
+        rep_bands AS (
+            SELECT b.* FROM bands b JOIN classes c ON b.doc_id = c.rep_id
+        ),""" + _dup_pair_cap_sql(val="band_sig", src="rep_bands") + """,
         cand AS (
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l JOIN bands r ON l.band = r.band AND l.band_sig = r.band_sig
+            FROM capped l JOIN capped r
+              ON l.band = r.band AND l.band_sig = r.band_sig
             WHERE l.doc_id < r.doc_id
         ),
+        sigv AS (
+            SELECT doc_id, list(mh ORDER BY k) AS mhv FROM sigs GROUP BY doc_id
+        ),
         scored AS (
-            SELECT doc_a, doc_b, est, md5_a, md5_b FROM (
+            SELECT doc_a, doc_b FROM (
                 SELECT c.doc_a, c.doc_b,
                        CAST(len(list_filter(range(1, 17),
                             i -> ma.mhv[CAST(i AS INT)] = mb.mhv[CAST(i AS INT)]))
-                            AS DOUBLE) / 16 AS est,
-                       fa.md5_fp AS md5_a, fb.md5_fp AS md5_b
+                            AS DOUBLE) / 16 AS est
                 FROM cand c
                 JOIN sigv ma ON ma.doc_id = c.doc_a
                 JOIN sigv mb ON mb.doc_id = c.doc_b
-                JOIN md5s fa ON fa.doc_id = c.doc_a
-                JOIN md5s fb ON fb.doc_id = c.doc_b
             ) WHERE est >= 0.3
+        ),
+        rep_pairs AS (
+            SELECT s.doc_a, s.doc_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM scored s
+            JOIN shingled a ON a.doc_id = s.doc_a
+            JOIN shingled b ON b.doc_id = s.doc_b
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
         )
-        SELECT doc_a, doc_b, CAST(1.0 AS DOUBLE) AS jaccard
-        FROM scored WHERE est = 1.0 AND md5_a = md5_b
+        SELECT rep_id AS doc_a, doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM mem WHERE doc_id <> rep_id
         UNION ALL
-        SELECT s.doc_a, s.doc_b,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        FROM scored s
-        JOIN shingled a ON a.doc_id = s.doc_a
-        JOIN shingled b ON b.doc_id = s.doc_b
-        WHERE NOT (s.est = 1.0 AND s.md5_a = s.md5_b)
-          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5""",
+        SELECT least(x.doc_id, y.doc_id) AS doc_a,
+               greatest(x.doc_id, y.doc_id) AS doc_b, p.jaccard
+        FROM rep_pairs p
+        JOIN mem x ON x.rep_id = p.doc_a
+        JOIN mem y ON y.rep_id = p.doc_b""",
     "q_simhash": """
         WITH toks AS (
             SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
@@ -1982,7 +2022,7 @@ def _r4_extension_oracles() -> dict[str, str]:
 
     # rotation-proof: q_minhash_lsh may live on either surface
     pairs_sql = ORACLE.get("q_minhash_lsh") or LOCAL_ORACLE["q_minhash_lsh"]
-    marker = "SELECT doc_a, doc_b, CAST(1.0 AS DOUBLE) AS jaccard"
+    marker = "SELECT rep_id AS doc_a, doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard"
     head, tail = pairs_sql.split(marker, 1)
     cluster_sql = (
         head.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
@@ -6344,26 +6384,6 @@ LOCAL_ORACLE["q_image_ahash"] = (
         FROM hh"""
 )
 
-def _dup_pair_cap_sql() -> str:
-    """Shared oracle text for the r9 hot-bucket guard: the deterministic
-    affine-hash bucket cap as ONE row_number window per (band, v) --
-    kept-set-identical to the Spark side's two-level form (pinned by the
-    Spark-side property test)."""
-    from .functions.multimodal import DUP_BUCKET_CAP
-    from .functions.sketch import HASH_A, HASH_B, HASH_P
-
-    return (
-        f"""
-        capped AS (
-            SELECT * FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY band, v
-                    ORDER BY ({HASH_A} * doc_id + {HASH_B}) % {HASH_P},
-                             doc_id) AS rnk
-                FROM bands
-            ) WHERE rnk <= {DUP_BUCKET_CAP}
-        )"""
-    )
 
 
 LOCAL_ORACLE["q_image_dups"] = (
