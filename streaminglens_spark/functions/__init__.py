@@ -9,6 +9,7 @@ from .dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash64,
     simhash_pairs,
 )
 from .multimodal import (
@@ -139,6 +140,7 @@ __all__ = [
     "salted_join",
     "semantic_dedup_pairs",
     "simhash",
+    "simhash64",
     "simhash_pairs",
     "source_overlap_matrix",
     "text_stats",

@@ -280,12 +280,17 @@ def minhash_lsh_pairs(
     # exact-equal class formation over the full corpus (originals + their
     # +DUP_SHIFT copies): one class per distinct md5, keeper = min id.
     # Copies share their original's text, so every class contains its
-    # original and the keeper is always an original-id row of `base`.
-    ids = base.select("md5_fp", "doc_id").unionByName(
-        base.select("md5_fp", (F.col("doc_id") + DUP_SHIFT).alias("doc_id"))
+    # original and the keeper is always an ORIGINAL id -- class formation
+    # therefore runs on the slim (doc_id, md5) projection of the
+    # originals only (the wide shingle arrays never travel through the
+    # md5 shuffle) and the +DUP_SHIFT members are appended to the
+    # membership table afterwards, id-arithmetic only.
+    slim = base.select("doc_id", "md5_fp")
+    classes = slim.groupBy("md5_fp").agg(F.min("doc_id").alias("rep_id"))
+    omem = slim.join(classes, "md5_fp").select("rep_id", "doc_id")
+    mem = omem.unionByName(
+        omem.withColumn("doc_id", F.col("doc_id") + DUP_SHIFT)
     )
-    classes = ids.groupBy("md5_fp").agg(F.min("doc_id").alias("rep_id"))
-    mem = ids.join(classes, "md5_fp").select("rep_id", "doc_id")
     # class-internal pairs: the keeper's star, jaccard exactly 1.0
     # (identical text => identical shingle set) -- O(m) rows per class;
     # the md5 class table itself is the dedup_exact side channel
@@ -294,10 +299,12 @@ def minhash_lsh_pairs(
         F.col("doc_id").alias("doc_b"),
         F.lit(1.0).alias("jaccard"),
     )
-    # one row per class enters the band join: its keeper's signature
-    reps = base.join(
-        classes.withColumnRenamed("rep_id", "doc_id"), ["md5_fp", "doc_id"]
-    )
+    # one row per class enters the band join: its keeper's signature.
+    # rep ids are unique (one min per disjoint class), so the keeper rows
+    # come back from `base` with a plain doc_id equi-join that reuses the
+    # persisted doc_id exchange instead of re-shuffling the shingle
+    # arrays by md5.
+    reps = base.join(classes.select(F.col("rep_id").alias("doc_id")), "doc_id")
     # all bands in ONE pass over reps (explode), not one union branch per band
     band_structs = F.array(
         *[
@@ -396,26 +403,60 @@ def _jaccard_udf():
     return jac
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicate pairs at scale: the 32-bit signatures are
-    split into 4 byte-bands; docs sharing ANY band become candidates
-    (pigeonhole: <= 3 differing bits cannot touch all 4 bands, so the
-    blocking is EXACT for ``max_hamming <= 3`` -- every qualifying pair is
-    found, no all-pairs stage); candidates are verified with
-    ``bit_count(xor)`` on the JVM.  Returns (doc_a, doc_b, hamming).
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: 64-bit signatures
+    (``simhash64``) split into 4 sixteen-bit bands; docs sharing ANY band
+    become candidates (pigeonhole: <= 3 differing bits cannot touch all 4
+    bands, so the blocking is EXACT for ``max_hamming <= 3`` -- every
+    qualifying pair is found, no all-pairs stage); candidates are
+    verified with ``bit_count(xor)`` on the JVM.  Returns
+    (doc_a, doc_b, hamming).
 
-    Dedup-free emission (r3): a pair matching several bands is emitted only
-    by its LOWEST matching band (the lowest zero byte of the xor -- a
-    filter each joined row answers from its own columns), replacing the r2
-    ``distinct`` that shuffled every multi-band match (millions of rows on
-    a self-similar corpus: 16 s -> ~7 s at sf0.1).  Output set identical,
-    oracle unchanged."""
-    sigs = simhash(dup_corpus(documents))
+    BAND GEOMETRY (r10, the r9 verdict's ask #2): the former 32-bit
+    signature with four 8-bit bands had at most 4 x 256 = 1,024 buckets
+    TOTAL -- at 10^9 docs every bucket holds ~10^6 docs and the candidate
+    join is quadratic from the pigeonhole alone, no skew needed.  The
+    64-bit/16-bit geometry (the ``image_dup_pairs`` shape) gives 65,536
+    values per band, so bucket population scales down 256x and residual
+    skew is bounded by the shared affine-hash bucket cap
+    (``lsh.cap_band_buckets``, replicated bit-exactly in the oracle).
+    The 32-bit form (``simhash``) remains for its own ``q_simhash``
+    oracle contract.
+
+    RECALL BOUND (document, don't guess -- the ``multimodal.py``
+    convention): by pigeonhole, four bands guarantee a shared band only
+    for pairs within Hamming distance bands-1 = 3; at the default
+    ``max_hamming = 3`` the blocking is therefore complete, but raising
+    ``max_hamming`` past 3 makes it a standard LSH recall/cost trade
+    (a pair whose differing bits spread across all four bands is not a
+    candidate).  The bucket cap can additionally drop candidates only
+    inside a band bucket holding more than ``bucket_cap`` docs.
+
+    Dedup: a pair matching several surviving bands is emitted once via
+    ``distinct`` over (doc_a, doc_b, hamming).  The pre-r10 plan used a
+    row-local lowest-zero-band filter instead, but under the cap a
+    pair's lowest matching band can be capped away while a higher band
+    survives -- survival is not row-local, so the filter would silently
+    drop capped pairs the oracle keeps.  With 65,536-value bands the
+    rows reaching the distinct are ~4x the true-pair count (multi-band
+    collision noise died with the 8-bit geometry), so the shuffle is
+    output-proportional."""
+    from .lsh import DUP_BUCKET_CAP, cap_band_buckets
+
+    if bucket_cap is None:
+        bucket_cap = DUP_BUCKET_CAP
+    sigs = simhash64(dup_corpus(documents))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("val"),
+                F.shiftright(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
             )
             for b in range(4)
         ]
@@ -423,6 +464,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     bands = sigs.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
         "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
+    bands = cap_band_buckets(bands, bucket_cap, val_col="val")
     left = bands.select(
         "band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
     )
@@ -430,19 +472,13 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         "band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
     )
     x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    first_zero = (
-        F.when(x.bitwiseAND(F.lit(255)) == 0, 0)
-        .when(F.shiftright(x, 8).bitwiseAND(F.lit(255)) == 0, 1)
-        .when(F.shiftright(x, 16).bitwiseAND(F.lit(255)) == 0, 2)
-        .otherwise(3)
-    )
     return (
         left.join(right, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.col("band") == first_zero)
         .withColumn("hamming", F.bit_count(x).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -506,6 +542,51 @@ def simhash(documents: DataFrame) -> DataFrame:
         term = F.when(
             F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i)
         ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash (r10): the scale-safe signature behind
+    ``simhash_pairs``' 16-bit band geometry.  Two token hashes feed the
+    bit votes -- ``h1`` is the poly-31 ``char_fold_hash`` (bits 0-31 of
+    the signature) and ``h2`` is its affine remap ``(HASH_A*h1 + HASH_B)
+    mod HASH_P`` with the sketch constants (bits 32-63), both sequential
+    integer folds so the values are bit-identical in Spark and DuckDB.
+    Both hashes live below 2^31, so signature bits 31 and 63 are
+    structurally zero (62 effective bits); bits above 62 are never
+    computed, keeping every term inside a nonnegative int64.
+
+    Plan: the ``simhash`` one-groupBy shape widened to 63 sum columns --
+    per-bit ±1 votes equal ``2*count(bit set) - n_tokens``, so the whole
+    signature is ONE ``groupBy(doc_id)`` over the token rows with
+    map-side partial aggregation; no per-bit explode.  Returns
+    (doc_id, simhash)."""
+    from .sketch import HASH_A, HASH_B, HASH_P
+    from .text import char_fold_hash
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id", char_fold_hash(F.col("tok")).alias("h1")
+    ).withColumn(
+        "h2", (F.lit(HASH_A) * F.col("h1") + F.lit(HASH_B)) % F.lit(HASH_P)
+    )
+    bit_counts = [
+        F.sum(
+            F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32).bitwiseAND(
+                F.lit(1)
+            )
+        ).alias(f"c{i}")
+        for i in range(63)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
+    sig = None
+    for i in range(63):
+        term = F.when(
+            F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i)
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
 

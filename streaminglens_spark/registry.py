@@ -1020,6 +1020,15 @@ bands AS (
 )
 """ % _MINHASH_SQL
 
+# the affine-hash constants, shared verbatim with the Spark side
+# (functions/sketch.py) by the bucket-cap and simhash64 oracles
+from .functions.sketch import (  # noqa: E402
+    HASH_A as _SK_A,
+    HASH_B as _SK_B,
+    HASH_P as _SK_P,
+)
+
+
 def _dup_pair_cap_sql(val: str = "v", src: str = "bands") -> str:
     """Shared oracle text for the r9 hot-bucket guard: the deterministic
     affine-hash bucket cap as ONE row_number window per (band, ``val``) --
@@ -1299,7 +1308,10 @@ ORACLE: dict[str, str | None] = {
                CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
                              ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id""",
-    "q_simhash_pairs": """
+    # r10: 64-bit simhash (two sequential token hashes), four 16-bit
+    # bands + the shared affine-hash bucket cap -- mirrors
+    # functions/dedup.py::simhash64 / simhash_pairs
+    "q_simhash_pairs": f"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
@@ -1314,14 +1326,21 @@ ORACLE: dict[str, str | None] = {
                        list_prepend(CAST(0 AS BIGINT),
                            list_transform(range(1, length(tok) + 1),
                                i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
-                       (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+                       (acc, c) -> (acc * 31 + c) % 2147483647) AS h1
             FROM toks
+        ),
+        hashed2 AS (
+            SELECT doc_id, h1,
+                   ({_SK_A} * h1 + {_SK_B}) % {_SK_P} AS h2
+            FROM hashed
         ),
         bits AS (
             SELECT doc_id, i.i,
-                   SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << CAST(i.i AS INT))) % 2 = 1
+                   SUM(CASE WHEN ((CASE WHEN i.i < 32 THEN h1 ELSE h2 END)
+                            // (CAST(1 AS BIGINT) << CAST(i.i % 32 AS INT)))
+                            % 2 = 1
                             THEN 1 ELSE -1 END) AS s
-            FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 32)) AS i) i
+            FROM hashed2 CROSS JOIN (SELECT UNNEST(range(0, 63)) AS i) i
             GROUP BY 1, 2
         ),
         sigs AS (
@@ -1332,17 +1351,15 @@ ORACLE: dict[str, str | None] = {
         ),
         bands AS (
             SELECT doc_id, simhash, b.b AS band,
-                   (simhash // (CAST(1 AS BIGINT) << CAST(8 * b.b AS INT))) % 256 AS val
+                   (simhash // (CAST(1 AS BIGINT) << CAST(16 * b.b AS INT)))
+                       % 65536 AS val
             FROM sigs CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) b
-        ),
-        cand AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                   xor(l.simhash, r.simhash) AS x
-            FROM bands l JOIN bands r ON l.band = r.band AND l.val = r.val
-            WHERE l.doc_id < r.doc_id
-        )
-        SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming
-        FROM cand WHERE bit_count(x) <= 3""",
+        ),""" + _dup_pair_cap_sql(val="val") + """
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+        FROM capped l JOIN capped r ON l.band = r.band AND l.val = r.val
+        WHERE l.doc_id < r.doc_id
+          AND bit_count(xor(l.simhash, r.simhash)) <= 3""",
     "q_text_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_txt,

@@ -28,14 +28,16 @@ def test_simhash_pairs_oracle(spark, sf_dir):
 
 
 def test_simhash_band_blocking_is_exact_for_3_bits(spark):
-    """Pigeonhole completeness: every pair within hamming 3 shares a byte
-    band, so blocking loses nothing vs brute force on a small slice."""
+    """Pigeonhole completeness: every pair within hamming 3 shares one of
+    the four 16-bit bands, so blocking loses nothing vs brute force on a
+    small slice (r10: brute force runs on the 64-bit ``simhash64``
+    signature the pair join actually blocks on)."""
     from pyspark.sql import functions as F
 
-    from streaminglens_spark.functions.dedup import dup_corpus, simhash
+    from streaminglens_spark.functions.dedup import dup_corpus, simhash64
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
-    sigs = simhash(dup_corpus(docs))
+    sigs = simhash64(dup_corpus(docs))
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
     brute = {
@@ -49,3 +51,32 @@ def test_simhash_band_blocking_is_exact_for_3_bits(spark):
     blocked = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()}
     # brute ran on the same corpus; band blocking covers it completely
     assert brute <= blocked
+
+def test_simhash_binding_cap_matches_oracle(spark):
+    """r10 hot-bucket guard on the simhash join: identical texts share a
+    signature, so every band bucket goes hot; with a binding cap the
+    engine and a cap-adjusted oracle keep the SAME deterministic slice
+    (affine-hash order), and pair output is bounded at C(cap, 2) instead
+    of C(2n, 2)."""
+    import duckdb
+    import pandas as pd
+
+    n, cap = 60, 10
+    rows = [(i, "the same template document body") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, bucket_cap=cap).collect()
+    }
+    assert len(got) == cap * (cap - 1) // 2  # bounded, not C(2n,2) = 7140
+
+    con = duckdb.connect()
+    con.register("docs_pd", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE TABLE documents AS SELECT * FROM docs_pd")
+    sql = SIMHASH_PAIRS_SQL.replace("rnk <= 2048", f"rnk <= {cap}")
+    assert f"rnk <= {cap}" in sql
+    want = {
+        (int(a), int(b), int(h)) for a, b, h in con.execute(sql).fetchall()
+    }
+    con.close()
+    assert got == want
