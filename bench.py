@@ -96,7 +96,19 @@ HEAVY_R8 = [
     "q_quality_budget",
 ]
 
-HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8
+# r9 (r9 verdict ask #5): the perceptual-dedup family joins the artifact --
+# their plans changed in r9 (degenerate exclusion + bucket cap) and again
+# in r10 (the shared cap helper), and their only prior numbers were r8
+# PERF.md prose.  The repo rule: heavyweights get artifact-of-record
+# timings.
+HEAVY_R9 = [
+    "q_image_ahash",
+    "q_image_dups",
+    "q_audio_fp",
+    "q_audio_dups",
+]
+
+HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9
 
 
 def run_suite(
@@ -168,6 +180,42 @@ def run_suite(
     return timings, total, bands
 
 
+def _env_probe() -> dict:
+    """Load-attribution probe (r9 verdict ask #3, carried from r8 ask #5):
+    BENCH_r07..r09 swung ±28-40% round-over-round with ZERO plan changes to
+    the benched queries -- pure machine load -- and without a recorded
+    environment constant no double-digit delta can be classified as noise
+    vs regression.  Two fields, taken immediately before each suite pass
+    (and loadavg again after):
+
+    - ``load1``: the 1-minute loadavg (os.getloadavg) -- external pressure
+      visible to the scheduler;
+    - ``calib_sec``: a FIXED single-core pure-Python busy-spin, median of
+      3 -- the effective speed of one core under whatever contention
+      exists right now.  The workload is deterministic (no allocation, no
+      I/O), so on an idle box the value is a machine constant; it inflates
+      roughly with 1/(free core share).
+
+    Classification rule (PERF.md "Bench attribution"): two rounds'
+    totals are comparable plan-to-plan only when both calib_sec values
+    agree within 10%; otherwise the delta is environmental until re-run
+    on an idle box."""
+    def spin() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        if acc < 0:  # unreachable; keeps the loop from being elided
+            raise AssertionError
+        return time.perf_counter() - t0
+
+    samples = sorted(spin() for _ in range(3))
+    return {
+        "load1": round(os.getloadavg()[0], 2),
+        "calib_sec": round(samples[1], 4),
+    }
+
+
 def _sf1_dir() -> str | None:
     """Locate (or build) the derived sf1 scale point; None if unavailable.
     The driver artifact then carries the 10x scale curve, not only PERF.md
@@ -216,7 +264,9 @@ def main() -> None:
     # ORDER MATTERS (r4 verdict #1b): the sf0.1 suite -- the number of
     # record -- runs FIRST, before any sf1 data generation or sweep can
     # pollute the page cache / worker pool in the same session.
+    env = _env_probe()
     timings, total, bands = run_suite(spark, sf_dir, runs=2)
+    env["load1_after"] = round(os.getloadavg()[0], 2)
 
     # Compact line vs sidecar split (r5 verdict ask #2): the driver
     # captures only the last 2,000 chars of output, and r5's single line
@@ -233,6 +283,7 @@ def main() -> None:
         "spread": bands,
         "sf": sf,
         "legacy18_total": round(sum(timings[q] for q in LEGACY18), 3),
+        "env": env,
     }
 
     # second scale point: the same suite at sf1 (10x), also min-of-2 with
@@ -257,13 +308,16 @@ def main() -> None:
             spark.range(100_000).mapInPandas(_wu, "id long").write.format(
                 "noop"
             ).mode("overwrite").save()
+            env1 = _env_probe()
             t1, tot1, bands1 = run_suite(spark, sf1, runs=2)
+            env1["load1_after"] = round(os.getloadavg()[0], 2)
             detail["sf1"] = {
                 "value": round(tot1, 3),
                 "queries": t1,
                 "runs": 2,
                 "spread": bands1,
                 "legacy18_total": round(sum(t1[q] for q in LEGACY18), 3),
+                "env": env1,
             }
     except Exception as e:  # pragma: no cover
         print(f"# sf1 pass failed: {e}", file=sys.stderr)
@@ -279,6 +333,8 @@ def main() -> None:
         "sf": sf,
         "runs": 2,
         "legacy18_total": detail["legacy18_total"],
+        "calib_sec": env["calib_sec"],
+        "load1": env["load1"],
         "detail": sidecar.name,
     }
     if "sf1" in detail:
