@@ -29,13 +29,15 @@ def _doc(i, src, tag=None):
 
 
 def _drive(spark, src, files, state_path, budgets=None, checkpoint=None,
-           sink_log=None, quality_threshold=ACCEPT_ALL):
+           sink_log=None, quality_threshold=ACCEPT_ALL, compact_every=None):
     os.makedirs(src, exist_ok=True)
     published = []
+    kw = {} if compact_every is None else {"compact_every": compact_every}
     state, body = corpus_ingest_monitor(
         state_path,
         budgets=budgets,
         quality_threshold=quality_threshold,
+        **kw,
         admitted_sink=(
             (lambda df, bid: sink_log.append(
                 (bid, sorted(r["doc_id"] for r in df.collect()))))
@@ -180,3 +182,102 @@ def test_ingest_agrees_with_batch_exact_dedup(spark, tmp_path):
         .collect()
     )
     assert streamed_keepers == batch_keepers
+
+
+def test_ingest_compaction_end_to_end(spark, tmp_path):
+    """r9 ADVICE / r9 verdict ask #4: drive the monitor with
+    compact_every=2 and pin the whole compaction contract -- a sealed
+    generation appears (index + admitted + batches under one marker),
+    superseded generations are deleted, compacted batch dirs are pruned
+    to their markers, dedup still works against the compacted index, a
+    rebuilt ledger restores byte-identically from the generation, replay
+    of a compacted batch re-delivers byte-identically, and
+    _committed_index(exclude_batch=...) excludes a compacted batch via
+    its src_batch provenance."""
+    import os as _os
+
+    from streaminglens_spark.streaming.ingest import (
+        _committed_generations,
+        _committed_index,
+        compact_index,
+        corpus_ingest_monitor,
+    )
+
+    budgets = {"a": 1000}
+    batches = [
+        ("b1.json", [_doc(1, "a"), _doc(2, "a")]),
+        ("b2.json", [_doc(11, "a")]),
+        ("b3.json", [_doc(21, "a"), _doc(22, "a", tag=1)]),  # dup of doc 1
+        ("b4.json", [_doc(31, "a")]),
+        ("b5.json", [_doc(41, "a", tag=11)]),  # dup of doc 11 (compacted)
+    ]
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sink = []
+    state, _ = _drive(
+        spark, str(tmp_path / "src"), batches, state_path,
+        budgets=budgets, checkpoint=ckpt, sink_log=sink, compact_every=2,
+    )
+    # dedup against compacted index: doc 22 (copy of compacted doc 1) and
+    # doc 41 (copy of compacted doc 11) must have been rejected
+    delivered = {d for _, ids in sink for d in ids}
+    assert delivered == {1, 2, 11, 21, 31}
+
+    # exactly ONE live generation; it carries all three tables + marker
+    gens = _committed_generations(spark, state_path)
+    assert len(gens) == 1
+    gen = gens[0]
+    for sub in ("index", "admitted", "batches", "_COMMITTED"):
+        assert _os.path.exists(_os.path.join(gen.replace("file:", ""), sub)), sub
+    gen_id = int(gen.rsplit("gen=", 1)[1])
+    assert gen_id >= 2  # at least batches 0..2 folded by the second sweep
+
+    # compacted batch dirs pruned to their markers; newer dirs keep data
+    for name in _os.listdir(state_path):
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        subs = {f for f in _os.listdir(_os.path.join(state_path, name))
+                if not f.startswith(".")}  # local-FS .crc sidecars
+        if bid <= gen_id:
+            assert subs == {"_COMMITTED"}, (name, subs)
+        else:
+            assert {"index", "admitted", "_COMMITTED"} <= subs
+
+    # ledger restore from the generation is byte-identical
+    again = restore_ingest_state(spark, budgets, state_path)
+    assert again.spent == state.spent
+    assert again.folded_batches == state.folded_batches == {0, 1, 2, 3, 4}
+
+    # replay of a COMPACTED batch re-delivers byte-identically (its
+    # pre-batch budgets come from the generation's admitted table)
+    replay_log = []
+    _, body = corpus_ingest_monitor(
+        state_path, budgets=budgets, quality_threshold=ACCEPT_ALL,
+        admitted_sink=lambda df, bid: replay_log.append(
+            sorted(r["doc_id"] for r in df.collect())),
+        spark=spark,
+    )
+    b1_docs = batches[0][1]
+    body(spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in b1_docs], SCHEMA), 0)
+    assert replay_log == [sink[0][1]]
+
+    # src_batch provenance: excluding a compacted batch drops exactly its
+    # rows from the pre-batch index view
+    full = _committed_index(spark, state_path)
+    b0_ids = {r["doc_id"] for r in full.collect()}
+    excl = {r["doc_id"]
+            for r in _committed_index(spark, state_path,
+                                      exclude_batch=0).collect()}
+    assert excl == b0_ids - {1, 2}
+
+    # one pending batch (id 4) remains below compact_every: an explicit
+    # compaction folds it (new gen=4, old gen deleted), and a second
+    # compaction over no new batches is a no-op
+    assert compact_index(spark, state_path) == 4
+    assert len(_committed_generations(spark, state_path)) == 1
+    assert compact_index(spark, state_path) is None
+    # restore still byte-identical after the full fold
+    final = restore_ingest_state(spark, budgets, state_path)
+    assert final.spent == state.spent
