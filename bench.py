@@ -108,7 +108,17 @@ HEAVY_R9 = [
     "q_audio_dups",
 ]
 
-HEADLINE = LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9
+# r10: the end-to-end ingest flagship (cleanup -> domain cap -> quality
+# budgets -> packing -> manifest as one plan) -- the composition's cost
+# vs its stages' standalone slots is the measured value of the fused
+# plan + persisted-spine design.
+HEAVY_R10 = [
+    "q_ingest_e2e",
+]
+
+HEADLINE = (
+    LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9 + HEAVY_R10
+)
 
 
 def run_suite(

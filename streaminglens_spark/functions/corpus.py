@@ -196,3 +196,77 @@ def corpus_pipeline_v2(
             & (F.col("n_kept") > 0)
         ).alias("final_keep"),
     )
+
+
+def ingest_e2e(
+    documents: DataFrame,
+    sources: DataFrame,
+    budgets: dict[str, int],
+    n_per_domain: int | None = None,
+) -> DataFrame:
+    """The full training-data ingest, end to end, as ONE plan (r10, the
+    r9 verdict's "100 TB pipeline" headline ask): raw documents ->
+    six-stage cleanup (``corpus_pipeline_v2``) -> per-domain cap
+    (``urls.domain_cap``) -> quality-ordered token budgets
+    (``sampling.quality_budget_sample``) -> sequence packing -> the
+    packed-shard manifest (``text.sequence_manifest``).  The output is
+    the loader-side manifest -- one row per (shard, sequence) with the
+    position-sorted doc-span digest -- so a single value hash over it
+    covers every stage's verdicts at once: which docs survived cleanup,
+    which cleared the domain cap, which filled each source's budget, and
+    exactly where each landed in the packed stream.
+
+    ``documents`` is the (possibly injected) corpus the cleanup stages
+    run on; ``sources`` maps doc_id -> source for the budget stage (the
+    injection helpers drop non-text columns, so the stratum rides a
+    separate slim frame).  Docs flow between stages as METADATA only
+    (id, score, cleaned-token count): the cleaned text is never
+    re-shipped past the pipeline's digest projection -- each downstream
+    stage takes the precomputed ``tokens_col`` instead of recounting a
+    text column.  Every stage keeps its own documented scale shape
+    (two-level windows, broadcast budget/offset tables); the composition
+    adds only id-keyed joins."""
+    from ..cache import track
+    from .sampling import quality_budget_sample
+    from .text import sequence_manifest
+    from .urls import DOMAIN_CAP_N, canonicalize_urls, domain_cap, url_corpus
+
+    if n_per_domain is None:
+        n_per_domain = DOMAIN_CAP_N
+    v2 = corpus_pipeline_v2(documents)
+    # the slim survivor spine is the checkpoint between cleanup and
+    # curation: every downstream stage consumes its input MORE THAN ONCE
+    # (the two-level windows read slim + join back; packing reads offsets
+    # + join), and without the persist each consumption would replicate
+    # the entire six-stage cleanup subtree in the plan (measured: 279
+    # exchanges un-persisted vs a bounded plan with the spine pattern --
+    # the q_quality_budget r8 lesson, applied at the composition seam)
+    survivors = track(
+        v2.filter(F.col("final_keep")).select(
+            "doc_id",
+            "score_milli",
+            (F.col("n_tokens") - F.col("n_removed")).cast("long").alias(
+                "clean_tokens"
+            ),
+        )
+    )
+    # the synthetic URL injection is a pure function of doc_id, so the
+    # canonicalization runs over the survivor ids only
+    canon = canonicalize_urls(url_corpus(survivors)).select("doc_id", "domain")
+    capped = track(
+        domain_cap(survivors.join(canon, "doc_id"), n_per_domain).join(
+            sources, "doc_id"
+        )
+    )
+    admitted = quality_budget_sample(
+        capped,
+        "source",
+        "doc_id",
+        budgets,
+        tokens_col="clean_tokens",
+    )
+    # a fully-span-removed doc occupies zero tokens of the packed stream:
+    # drop it AFTER admission (it never moved any budget boundary) so the
+    # manifest's doc spans are all non-empty
+    admitted = track(admitted.filter(F.col("clean_tokens") > 0))
+    return sequence_manifest(admitted, tokens_col="clean_tokens")

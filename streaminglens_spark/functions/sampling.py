@@ -461,6 +461,7 @@ def quality_budget_sample(
     budgets: dict[str, int],
     score_col: str = "score_milli",
     bucket_width: int = 4096,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Quality-ordered token-budget curation (r8): within each stratum,
     take documents BEST-FIRST (``score_col`` descending) until the
@@ -499,7 +500,16 @@ def quality_budget_sample(
         [(s, int(b)) for s, b in budgets.items()],
         f"{stratum} string, _budget long",
     )
-    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0))
+    # tokens_col: composed pipelines (ingest_e2e) carry an already-computed
+    # token count for text that only exists as a digest; default is the
+    # whitespace count over the text column
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+        )
+    )
     h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
     slim = track(
         df.join(F.broadcast(bud), stratum)

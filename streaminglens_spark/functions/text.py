@@ -458,6 +458,7 @@ def pack_sequences(
     seq_len: int = PACK_SEQ_LEN,
     n_shards: int = PACK_N_SHARDS,
     bucket_width: int = 8192,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (round-4 extension): the step that
     turns a document corpus into fixed-length training sequences -- every
@@ -487,10 +488,14 @@ def pack_sequences(
     n_seqs)."""
     from pyspark.sql import Window
 
+    # tokens_col: composed pipelines (ingest_e2e) pack documents whose
+    # cleaned text exists only as a digest + token count; default counts
+    # the text column's whitespace tokens
+    toks = F.col(tokens_col) if tokens_col is not None else F.size(_tokens())
     base = documents.select(
         "doc_id",
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),
-        F.size(_tokens()).cast("long").alias("n_tokens"),
+        toks.cast("long").alias("n_tokens"),
     ).withColumn("_b", F.expr(f"doc_id div {int(bucket_width)}"))
     wb = Window.partitionBy("shard").orderBy("_b")
     offsets = (
@@ -944,6 +949,7 @@ def sequence_manifest(
     seq_len: int = PACK_SEQ_LEN,
     n_shards: int = PACK_N_SHARDS,
     bucket_width: int = 8192,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Loader-side index of the packed stream (r8): one row per (shard,
     sequence) describing exactly which documents fill it and where --
@@ -963,7 +969,8 @@ def sequence_manifest(
     two-level shape."""
     from pyspark.sql import functions as F
 
-    packed = pack_sequences(documents, seq_len, n_shards, bucket_width)
+    packed = pack_sequences(documents, seq_len, n_shards, bucket_width,
+                             tokens_col=tokens_col)
     seqs = packed.select(
         "shard",
         "doc_id",

@@ -3044,15 +3044,16 @@ LOCAL_ORACLE["q_probe_video"] = """
         FROM documents WHERE length(text) > 0"""
 
 
-def _url_oracles() -> dict[str, str]:
-    """r5: the URL injection and the canonicalization chain reproduced in
-    DuckDB -- the regexp patterns are the same Java-regex/RE2 shared
-    subset the Spark plan uses (no backreference replacements), with
-    DuckDB's explicit 'g' flag where the Spark op is implicitly global."""
+def _url_canon_ctes(src: str = "documents") -> str:
+    """The URL injection + canonicalization CTE chain (urls/parts/split/
+    canon) over ``src`` -- shared by the standalone URL oracles and the
+    r10 ``q_ingest_e2e`` composition (the injection is a pure function of
+    doc_id, so any id-bearing CTE can source it)."""
     from .functions.urls import TRACKING_PARAMS_RE
 
-    prelude = r"""
-        WITH urls AS (
+    return (
+        r"""
+        urls AS (
             SELECT doc_id,
               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
               || '://'
@@ -3068,7 +3069,7 @@ def _url_oracles() -> dict[str, str]:
                        || doc_id || '&utm_campaign=x' END)
               || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || (doc_id % 4)
                   ELSE '' END) AS url
-            FROM documents
+            FROM __SRC__
         ),
         parts AS (
             SELECT doc_id,
@@ -3106,6 +3107,16 @@ def _url_oracles() -> dict[str, str]:
             FROM split
         )
     """.replace("__TRACK__", TRACKING_PARAMS_RE)
+        .replace("__SRC__", src)
+    )
+
+
+def _url_oracles() -> dict[str, str]:
+    """r5: the URL injection and the canonicalization chain reproduced in
+    DuckDB -- the regexp patterns are the same Java-regex/RE2 shared
+    subset the Spark plan uses (no backreference replacements), with
+    DuckDB's explicit 'g' flag where the Spark op is implicitly global."""
+    prelude = "\n        WITH " + _url_canon_ctes() + "\n    "
     from .functions.urls import DOMAIN_CAP_N
 
     return {
@@ -6593,6 +6604,140 @@ LOCAL_ORACLE["q_seq_manifest"] = _seq_manifest_oracle()
 # q_hdr_quantiles + q_hdr_windowed, sampling keeps q_group_split +
 # q_token_budget and gains q_quality_budget/q_domain_cap, chunking
 # keeps q_chunk_docs, dedup keeps softdedup/span/semantic plus the new
+# ------------------------- r10: the end-to-end ingest flagship (ask #6)
+
+def q_ingest_e2e(spark, sf_dir):
+    """The "100 TB pipeline" headline (r10, r9 verdict ask #6): raw docs
+    -> six-stage cleanup (corpus_pipeline_v2) -> per-domain cap ->
+    quality-ordered token budgets -> sequence packing -> packed-shard
+    manifest, composed as ONE plan (``functions/corpus.py::ingest_e2e``).
+    One value hash over the final manifest covers every stage's verdicts
+    at once.  Input convention: the q_corpus_pipeline_v2 slice
+    (doc_id < 1000 bounds the span stage on the self-similar fixture)
+    with the same three deterministic injections; the budget stage's
+    source strata come from the raw table (the injection helpers carry
+    only doc_id + text)."""
+    from .functions.corpus import ingest_e2e
+    from .functions.text import boilerplate_corpus, dirty_corpus, pii_corpus
+
+    raw = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    injected = boilerplate_corpus(dirty_corpus(pii_corpus(raw)))
+    return ingest_e2e(
+        injected,
+        raw.select("doc_id", "source"),
+        dict(TOKEN_BUDGETS),
+        n_per_domain=E2E_DOMAIN_CAP,
+    )
+
+
+# the e2e flagship uses a wider domain cap than the standalone
+# q_domain_cap (8/domain over 7 synthetic domains would throttle the
+# whole pipeline to ~56 docs -- fine for pinning the cap operator,
+# too thin to exercise budgets and packing downstream)
+E2E_DOMAIN_CAP = 64
+
+
+def _ingest_e2e_oracle() -> str:
+    """The five stage oracles composed into one DuckDB query: the full
+    q_corpus_pipeline_v2 SQL re-rooted as a CTE, the shared URL
+    canonicalization chain over the survivors, the one-window domain cap
+    and quality-budget forms (kept-set-identical to the engine's
+    two-level plans), and the seq-manifest pack arithmetic over the
+    admitted set's CLEANED token counts."""
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+    from .functions.text import PACK_N_SHARDS, PACK_SEQ_LEN
+
+    v2 = _corpus_pipeline_v2_oracle()
+    marker = "SELECT h.doc_id, h.n_lines"
+    head, tail = v2.split(marker, 1)
+    v2_cte = (
+        head.rstrip()
+        + ",\n        v2 AS (\n            "
+        + marker
+        + tail
+        + "\n        ),\n        "
+    )
+    vals = ", ".join(f"('{s}', {b})" for s, b in TOKEN_BUDGETS)
+    L = PACK_SEQ_LEN
+    return (
+        v2_cte
+        + """survivors AS (
+            SELECT doc_id, score_milli,
+                   CAST(n_tokens - n_removed AS BIGINT) AS clean_tokens
+            FROM v2 WHERE final_keep
+        ),
+        """
+        + _url_canon_ctes("survivors")
+        + f""",
+        capped AS (
+            SELECT doc_id, score_milli, clean_tokens FROM (
+                SELECT s.doc_id, s.score_milli, s.clean_tokens,
+                       row_number() OVER (
+                           PARTITION BY c.domain
+                           ORDER BY ({HASH_A} * s.doc_id + {HASH_B})
+                                    % {HASH_P}, s.doc_id) AS keep_rank
+                FROM survivors s JOIN canon c USING (doc_id)
+            ) WHERE keep_rank <= {E2E_DOMAIN_CAP}
+        ),
+        bud(source, budget) AS (VALUES {vals}),
+        tt AS (
+            SELECT cp.doc_id, d.source, cp.score_milli,
+                   cp.clean_tokens AS n_tokens,
+                   ({HASH_A} * cp.doc_id + {HASH_B}) % {HASH_P} AS h
+            FROM capped cp
+            JOIN documents d USING (doc_id)
+            JOIN bud b ON b.source = d.source
+        ),
+        cq AS (
+            SELECT tt.*, b.budget,
+                   SUM(n_tokens) OVER (PARTITION BY tt.source
+                       ORDER BY -score_milli, h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM tt JOIN bud b USING (source)
+        ),
+        admitted AS (
+            SELECT doc_id, n_tokens FROM cq
+            WHERE cum_tokens - n_tokens < budget AND n_tokens > 0
+        ),
+        pbase AS (
+            SELECT doc_id, CAST(doc_id % {PACK_N_SHARDS} AS INT) AS shard,
+                   n_tokens
+            FROM admitted
+        ),
+        poff AS (
+            SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY doc_id)
+                      - n_tokens AS BIGINT) AS token_offset
+            FROM pbase
+        ),
+        psq AS (
+            SELECT shard, doc_id, n_tokens, token_offset,
+                   CAST(s.s AS BIGINT) AS seq_id
+            FROM poff,
+                 LATERAL unnest(generate_series(token_offset // {L},
+                     (token_offset + n_tokens - 1) // {L})) AS s(s)
+        ),
+        psp AS (
+            SELECT shard, seq_id, doc_id,
+                   GREATEST(token_offset, seq_id * {L}) - seq_id * {L}
+                       AS begin,
+                   LEAST(token_offset + n_tokens, (seq_id + 1) * {L})
+                       - GREATEST(token_offset, seq_id * {L}) AS n_fill
+            FROM psq
+        )
+        SELECT shard, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_fill) AS BIGINT) AS filled,
+               md5(string_agg(doc_id || ':' || begin || ':' || n_fill, ';'
+                   ORDER BY begin, doc_id, n_fill)) AS docs_digest
+        FROM psp GROUP BY shard, seq_id"""
+    )
+
+
+LOCAL_ORACLE["q_ingest_e2e"] = _ingest_e2e_oracle()
+
+
 # image/audio perceptual pairs.  This block must stay LAST: the
 # r8-built functions register their LOCAL_ORACLE rows above, so the
 # pops only resolve after the whole module body ran.
@@ -6622,6 +6767,127 @@ for _name in _ROTATED_OUT_R9:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R9:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
+# ------------------------- r10 rotation: stalest-first refresh (ask #7)
+# POST-DEBT ROTATION POLICY (r9 verdict ask #7): with all 144 queries
+# having held a green driver row at least once, rotation now refreshes
+# the STALEST driver evidence -- the surface is the 50 queries whose
+# last green CORRECTNESS row is oldest (ascending last-green round,
+# alphabetical within a round), with NEW or semantically-CHANGED queries
+# taking priority slots (this round: q_ingest_e2e is new; q_minhash_lsh
+# and q_simhash_pairs changed plans AND oracles, so their old rows no
+# longer witness the current code).  The r9 surface (all green in r9,
+# the freshest evidence in the repo) rotates out wholesale.
+_ROTATED_OUT_R10 = [
+    "q_ann_increment",
+    "q_ann_refit",
+    "q_asof_join",
+    "q_audio_dups",
+    "q_audio_fp",
+    "q_bloom_prune",
+    "q_bm25_search",
+    "q_bpe_merges",
+    "q_bpe_sampled",
+    "q_canon_urls",
+    "q_chunk_docs",
+    "q_corpus_pipeline_v2",
+    "q_dedup_increment",
+    "q_domain_cap",
+    "q_dup_passages",
+    "q_group_split",
+    "q_hdr_quantiles",
+    "q_hdr_windowed",
+    "q_image_ahash",
+    "q_image_dups",
+    "q_key_skew",
+    "q_langid_eval",
+    "q_partition_advisor",
+    "q_ppl_filter",
+    "q_pq_increment",
+    "q_pq_refit",
+    "q_pq_rerank",
+    "q_pq_topk",
+    "q_probe_video",
+    "q_profile_events",
+    "q_props_stats",
+    "q_quality_budget",
+    "q_quality_classifier",
+    "q_semantic_decontam",
+    "q_semantic_dedup",
+    "q_seq_manifest",
+    "q_shared_fit",
+    "q_shared_spans",
+    "q_sla_recommend",
+    "q_softdedup",
+    "q_source_manifest",
+    "q_source_overlap",
+    "q_span_dedup",
+    "q_token_budget",
+    "q_user_features",
+    "q_user_sequences",
+    "q_vocab_drift",
+    "q_watermark_advisor",
+    "q_winnow",
+    "q_zorder",
+]
+_ROTATED_IN_R10 = [
+    "q_ingest_e2e",
+    "q_minhash_lsh",
+    "q_simhash_pairs",
+    "q_ngram_jaccard",
+    "q_sliding_agg",
+    "q_doc_fingerprint",
+    "q_fmt_duration",
+    "q_insight_text",
+    "q_lang_id",
+    "q_token_count",
+    "q_ts_parse",
+    "q_ann_lsh",
+    "q_batch_gate",
+    "q_batch_parse",
+    "q_batch_slice",
+    "q_dedup_corpus",
+    "q_embed_dedup",
+    "q_event_json",
+    "q_exec_groups",
+    "q_executor_cores",
+    "q_executor_metrics",
+    "q_frame_sample",
+    "q_job_executors",
+    "q_job_metrics",
+    "q_job_walltime",
+    "q_label_centroids",
+    "q_media_meta",
+    "q_purge_set",
+    "q_quality_score",
+    "q_results_topk",
+    "q_simhash",
+    "q_sla_resolve",
+    "q_source_recos",
+    "q_stage_metrics",
+    "q_state_buckets",
+    "q_top_customers",
+    "q_batch_bounds",
+    "q_cosine_topk",
+    "q_critical_path",
+    "q_critical_time",
+    "q_decode_image",
+    "q_dedup_exact",
+    "q_discounted_state",
+    "q_hist_quantiles",
+    "q_hll_distinct",
+    "q_islands",
+    "q_kmv_distinct",
+    "q_last_gauges",
+    "q_max_concurrency",
+    "q_pricing_summary",
+]
+for _name in _ROTATED_OUT_R10:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R10:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
 
 if len(ORACLE) != 50:
     raise RuntimeError(

@@ -72,43 +72,37 @@ def test_cosine_broadcasts_query_side(spark):
 
 def test_driver_surface_exactly_fifty(spark):
     """The grading driver evaluates at most 50 correctness queries in dict
-    order (round-1 dropped the 51st silently): the surface stays pinned at
-    exactly 50 and carries the r9 rotation batch -- the 9 r8-built queries
-    that never held a driver row -- per the r8 verdict ask #2."""
+    order (round-1 dropped the 51st silently): the surface stays pinned
+    at exactly 50 and follows the POST-DEBT rotation policy (r9 verdict
+    ask #7) -- with all registry queries driver-proven at least once,
+    each round's surface is the 50 with the STALEST last-green driver
+    row, new or semantically-changed queries taking priority slots."""
     q = registry.queries()
     o = registry.oracle_sql()
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
-    # r9 rotation: the last driver-unproven batch holds its slots
-    for name in registry._ROTATED_IN_R9:
-        assert name in q, f"{name} rotated off the driver surface"
-    # r8 batch stays on the surface (each holds exactly one driver row;
-    # the reshaped refits need their first green row this round)
-    for name in registry._ROTATED_IN_R8:
-        assert name in q, f"{name} rotated off the driver surface"
-    # r7 batch: double-green slots rotated out in r9; the rest stay
-    for name in registry._ROTATED_IN_R7:
-        if name in registry._ROTATED_OUT_R9:
-            continue
-        assert name in q, f"{name} rotated off the driver surface"
-    # family anchors kept on the surface through the r8 rotation
-    # (q_funnel rotated out per the r7 verdict's named candidates; the
-    # event-analytics family anchor is now q_profile_events +
-    # q_user_sequences)
-    for name in ("q_asof_join", "q_bm25_search", "q_ppl_filter", "q_winnow",
-                 "q_zorder", "q_bloom_prune", "q_semantic_dedup",
-                 "q_pq_topk", "q_hdr_quantiles", "q_key_skew",
-                 "q_profile_events", "q_user_sequences", "q_canon_urls",
-                 "q_bpe_merges", "q_vocab_drift", "q_sla_recommend"):
+    # r10 priority slots: the new flagship + the two queries whose plans
+    # AND oracles changed this round (their old green rows no longer
+    # witness the current code)
+    for name in ("q_ingest_e2e", "q_minhash_lsh", "q_simhash_pairs"):
+        assert name in q, f"{name} must hold an r10 priority slot"
+    # the full r10 batch holds its slots
+    for name in registry._ROTATED_IN_R10:
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
     rotated_out = (
         registry._ROTATED_OUT_R7
         + registry._ROTATED_OUT_R8
         + registry._ROTATED_OUT_R9
+        + registry._ROTATED_OUT_R10
     )
     for name in rotated_out:
-        assert name in registry.LOCAL_ORACLE, f"{name} lost its local oracle"
+        # a query rotated out in an earlier round may have rotated back
+        # IN later (stalest-first brings old queries around again); the
+        # invariant is that it lives on exactly one surface
+        assert (name in registry.LOCAL_ORACLE) != (name in registry.ORACLE), (
+            f"{name} lost its oracle (or sits on both surfaces)"
+        )
 
 
 def test_driver_surface_has_no_composite_columns(spark):
