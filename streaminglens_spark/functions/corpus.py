@@ -237,19 +237,23 @@ def ingest_e2e(
     # the slim survivor spine is the checkpoint between cleanup and
     # curation: every downstream stage consumes its input MORE THAN ONCE
     # (the two-level windows read slim + join back; packing reads offsets
-    # + join), and without the persist each consumption would replicate
-    # the entire six-stage cleanup subtree in the plan (measured: 279
-    # exchanges un-persisted vs a bounded plan with the spine pattern --
-    # the q_quality_budget r8 lesson, applied at the composition seam)
-    survivors = track(
-        v2.filter(F.col("final_keep")).select(
-            "doc_id",
-            "score_milli",
-            (F.col("n_tokens") - F.col("n_removed")).cast("long").alias(
-                "clean_tokens"
-            ),
-        )
-    )
+    # + join), and without a barrier each consumption would replicate the
+    # entire six-stage cleanup subtree in the plan (measured: 279
+    # exchanges un-persisted vs 22 with the spine pattern).  The seam is
+    # a lineage CUT (localCheckpoint), not a cache: with a plain persist
+    # every downstream action still carries the full cleanup subtree in
+    # its logical plan and pays Catalyst planning over it -- measured
+    # ~3 s per action at sf0.1 on 305 spine rows, 14.5 s end to end vs
+    # ~8 s with the cut.  At cluster scale this seam is where a real
+    # ingest writes its between-passes table (a reliable checkpoint /
+    # parquet handoff); localCheckpoint is the single-box analog.
+    survivors = v2.filter(F.col("final_keep")).select(
+        "doc_id",
+        "score_milli",
+        (F.col("n_tokens") - F.col("n_removed")).cast("long").alias(
+            "clean_tokens"
+        ),
+    ).localCheckpoint(eager=False)
     # the synthetic URL injection is a pure function of doc_id, so the
     # canonicalization runs over the survivor ids only
     canon = canonicalize_urls(url_corpus(survivors)).select("doc_id", "domain")

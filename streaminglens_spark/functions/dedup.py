@@ -849,7 +849,17 @@ def dedup_against_index(
     ids must be < DUP_SHIFT and new ids >= DUP_SHIFT (the dup-corpus id
     convention); a new doc matches every corpus doc and any EARLIER new
     doc (match_id < new_id), so intra-batch dups resolve to one keeper.
-    Returns (new_id, match_id, verdict, est)."""
+    Returns (new_id, match_id, verdict, est).
+
+    HOT-BUCKET NOTE (r10): the verdict contract emits EVERY matching
+    index entry per new doc, so output (and join work) scales with index
+    bucket population -- bounded only if the index keeps band buckets
+    healthy.  The streaming ingest guarantees exactly that by indexing
+    ONE representative per exact-equal md5 class (``streaming/ingest.py``
+    excludes certain-duplicates from the index shard), which is the
+    guard that matters in practice: template corpora go hot through
+    exact copies, and near-dup sketches are distinct by construction.
+    Callers maintaining their own index should do the same."""
     new_idx = minhash_index(new_docs)
     from ..cache import track
 

@@ -761,8 +761,14 @@ def attach_png_blob_fixed(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
+    from ..plans.shape import scan_parallel
+
+    # the PNG encode is CPU-dense and fuses into the scan stage: on the
+    # single-row-group fixture parquet that stage gets 1-2 splits while
+    # 30 cores idle (measured 12 s -> ~2 s at sf1 for q_image_ahash).
+    # No-op on real multi-split scans and on already-shuffled plans.
     return (
-        documents.filter(F.length("text") > 0)
+        scan_parallel(documents.filter(F.length("text") > 0))
         .select("doc_id", "text")
         .mapInPandas(encode, "doc_id long, payload binary")
     )
@@ -947,8 +953,11 @@ def attach_wav_blob_fixed(
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
+    from ..plans.shape import scan_parallel
+
+    # CPU-dense WAV encode: same scan-parallelism guard as the PNG path
     return (
-        documents.filter(F.length("text") > 0)
+        scan_parallel(documents.filter(F.length("text") > 0))
         .select("doc_id", "text")
         .mapInPandas(encode, "doc_id long, payload binary")
     )

@@ -472,9 +472,33 @@ def corpus_ingest_monitor(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
         if not replayed:
+            # index hygiene (r10, the "group, don't pair" insight applied
+            # to the streaming index): an exact copy adds ZERO dedup
+            # power -- any future doc matching it also matches the
+            # already-indexed original (identical md5 => identical
+            # signature => identical bands), so certain-duplicates stay
+            # OUT of the index and every md5 class is represented by
+            # exactly one row.  Without this, a template-heavy stream
+            # (10k copies of one page) accumulates a hot band bucket and
+            # every later batch's candidate join degrades quadratically
+            # with stream age.  Deterministic under replay: the verdicts
+            # derive from the batch + the pre-batch committed view.
+            certain_losers = (
+                verdicts.filter(
+                    (F.col("verdict") == "certain")
+                    & (F.col("match_id") < F.col("new_id"))
+                )
+                .select(F.col("new_id").alias(key))
+                .distinct()
+            )
+            index_shard = minhash_index(cleaned).join(
+                certain_losers.withColumnRenamed(key, "doc_id"),
+                "doc_id",
+                "left_anti",
+            )
             _write_shard_batch(
                 spark_, state_path, batch_id,
-                {"index": minhash_index(cleaned), "admitted": shard},
+                {"index": index_shard, "admitted": shard},
             )
         shard_rows = shard.collect()
         if state is not None:

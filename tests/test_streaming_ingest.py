@@ -281,3 +281,26 @@ def test_ingest_compaction_end_to_end(spark, tmp_path):
     # restore still byte-identical after the full fold
     final = restore_ingest_state(spark, budgets, state_path)
     assert final.spent == state.spent
+
+
+def test_ingest_index_keeps_one_representative_per_class(spark, tmp_path):
+    """r10 index hygiene: certain-duplicates (exact copies) never enter
+    the index -- every md5 class is represented by exactly one row, so a
+    template-heavy stream cannot grow a hot band bucket -- while later
+    copies are still rejected (they match the representative)."""
+    from streaminglens_spark.streaming.ingest import _committed_index
+
+    b1 = [_doc(1, "a"), _doc(2, "a", tag=1)]    # doc 2 = exact copy of 1
+    b2 = [_doc(11, "a", tag=1), _doc(12, "a")]  # 11 = copy of 1; 12 new
+    state_path = str(tmp_path / "state")
+    sink = []
+    _drive(
+        spark, str(tmp_path / "src"),
+        [("b1.json", b1), ("b2.json", b2)], state_path, sink_log=sink,
+    )
+    delivered = {d for _, ids in sink for d in ids}
+    assert delivered == {1, 12}  # copies rejected in- and cross-batch
+    idx_ids = sorted(
+        r["doc_id"] for r in _committed_index(spark, state_path).collect()
+    )
+    assert idx_ids == [1, 12]  # one representative per exact class
