@@ -6071,7 +6071,7 @@ def q_corpus_pipeline_v2(spark, sf_dir):
     injections as q_corpus_pipeline.  Doc slice (doc_id < 1000) bounds
     the span stage on the self-similar fixture, the q_span_dedup
     convention (full table at sf<=0.01).  One oracle hash covers all six
-    stages.  LOCAL_ORACLE (new this round); r9 rotation candidate."""
+    stages.  Added in r8; earned its driver row in the r9 rotation."""
     from .functions.corpus import corpus_pipeline_v2
     from .functions.text import boilerplate_corpus, dirty_corpus, pii_corpus
 
@@ -6225,8 +6225,7 @@ def q_bpe_sampled(spark, sf_dir):
     hash-sample of the corpus (the at-scale trainer; encode still sees
     every byte via bpe_segment).  The oracle replays the identical
     unrolled training rounds over the identically-filtered doc set, so
-    the hash check proves the sampled trainer end to end.  LOCAL_ORACLE
-    (new this round); r9 rotation candidate."""
+    the hash check proves the sampled trainer end to end.  Added in r8; earned its driver row in the r9 rotation."""
     from .functions.bpe import bpe_train_sampled
 
     return bpe_train_sampled(
@@ -6254,7 +6253,7 @@ def q_domain_cap(spark, sf_dir):
     domain in deterministic affine-hash order -- the C4/RefinedWeb
     domain-balancing pass, ranked TWO-LEVEL so a megadomain never
     serializes onto one reducer (the token_budget scale recipe applied
-    to top-N).  LOCAL_ORACLE (new this round); r9 rotation candidate."""
+    to top-N).  Added in r8; earned its driver row in the r9 rotation."""
     from .functions.urls import (
         DOMAIN_CAP_N,
         canonicalize_urls,
@@ -6274,7 +6273,7 @@ def q_quality_budget(spark, sf_dir):
     token budget BEST-FIRST by the hashed-linear quality score (the
     DCLM-style selection; q_token_budget fills the same budgets with a
     uniform hash sample).  Two-level prefix sum over score-range buckets
-    -- no full-stratum row window.  LOCAL_ORACLE (new this round); r9
+    -- no full-stratum row window.  Added in r8; r9
     rotation candidate."""
     from .functions.sampling import quality_budget_sample
     from .functions.text import qc_score_expr
@@ -6331,8 +6330,7 @@ def q_image_ahash(spark, sf_dir):
     canvas, 8x8 block grid, integer-micro block means, 64 bits as two
     nonnegative 32-bit halves.  The oracle recomputes every block mean
     from the pixel-generating formula with no codec anywhere, so a wrong
-    decode OR a wrong hash hash-mismatches.  LOCAL_ORACLE (new this
-    round); r9 rotation candidate."""
+    decode OR a wrong hash hash-mismatches.  Added in r8; earned its driver row in the r9 rotation."""
     from .functions.multimodal import attach_png_blob_fixed, image_ahash
 
     return image_ahash(attach_png_blob_fixed(_docs(spark, sf_dir)))
@@ -6342,7 +6340,7 @@ def q_image_dups(spark, sf_dir):
     """Perceptual near-dup image pairs (r8): the simhash band recipe on
     the aHash fingerprint over the planted-duplicate corpus (exact text
     copies -> identical canvases -> Hamming 0).  Banded 16-bit equi-join,
-    JVM bit_count Hamming filter.  LOCAL_ORACLE (new this round); r9
+    JVM bit_count Hamming filter.  Added in r8; r9
     rotation candidate."""
     from .functions.dedup import dup_corpus
     from .functions.multimodal import (
@@ -6449,8 +6447,7 @@ def q_audio_fp(spark, sf_dir):
     512-sample canvas, 32 16-sample frames, bit f set iff frame f's
     integer energy exceeds frame f-1's -- the Haitsma-Kalker-shaped
     robust hash, 31 bits.  Codec-free oracle recomputes every frame
-    energy from the generating formula.  LOCAL_ORACLE (new this round);
-    r9 rotation candidate."""
+    energy from the generating formula.  Added in r8; r9-rotation driver row earned."""
     from .functions.multimodal import attach_wav_blob_fixed, audio_fingerprint
 
     return audio_fingerprint(attach_wav_blob_fixed(_docs(spark, sf_dir)))
@@ -6459,7 +6456,7 @@ def q_audio_fp(spark, sf_dir):
 def q_audio_dups(spark, sf_dir):
     """Near-dup audio pairs (r8): two 16-bit bands over the energy-delta
     fingerprint + JVM bit_count Hamming, over the planted-duplicate
-    corpus.  LOCAL_ORACLE (new this round); r9 rotation candidate."""
+    corpus.  Added in r8; earned its driver row in the r9 rotation."""
     from .functions.dedup import dup_corpus
     from .functions.multimodal import (
         attach_wav_blob_fixed,
@@ -6543,8 +6540,7 @@ def q_seq_manifest(spark, sf_dir):
     """Packed-sequence manifest (r8): the seq -> doc-spans inverse of
     q_pack_sequences -- per (shard, sequence): contributing-doc count,
     filled tokens, and the position-sorted span digest.  The loader's
-    random-access index into the packed corpus.  LOCAL_ORACLE (new this
-    round); r9 rotation candidate."""
+    random-access index into the packed corpus.  Added in r8; earned its driver row in the r9 rotation."""
     from .functions.text import sequence_manifest
 
     return sequence_manifest(_docs(spark, sf_dir))

@@ -102,6 +102,9 @@ CASES = [
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     ),
+    # r10 additions
+    ("simhash64", "functions.dedup", "doc_id long, text string"),
+    ("corpus_pipeline_v2", "functions.corpus", "doc_id long, text string"),
 ]
 
 
@@ -130,6 +133,15 @@ def test_multi_arg_operators_empty_safe(spark):
 
     assert key_skew_stats(big, "k").count() == 0
     assert vocab_drift(docs, docs).count() == 0
+    # r10: the composed ingest flagship and the shared LSH bucket cap
+    from streaminglens_spark.functions.corpus import ingest_e2e
+    from streaminglens_spark.functions.lsh import cap_band_buckets
+
+    srcs = _empty(spark, "doc_id long, source string")
+    out = ingest_e2e(docs, srcs, {"src0": 100})
+    assert out.count() == 0 and len(out.columns) == 5
+    fb = _empty(spark, "doc_id long, band int, v long")
+    assert cap_band_buckets(fb, 8).count() == 0
 
 
 def test_funnel_empty_reports_zero_per_step(spark):
