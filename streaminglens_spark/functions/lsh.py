@@ -40,6 +40,7 @@ def cap_band_buckets(
     bucket_cap: int,
     val_col: str = "v",
     id_col: str = "doc_id",
+    band_col: str | None = "band",
 ) -> DataFrame:
     """Keep at most ``bucket_cap`` rows per (band, ``val_col``) bucket, in
     deterministic affine-hash order over ``id_col`` -- the two-level
@@ -48,17 +49,19 @@ def cap_band_buckets(
     cap x 64 per bucket), then row_number within (band, value) over the
     bounded survivors.  Identical kept set to the one-window form
     (removing rows never increases a remaining row's rank), which is the
-    form the DuckDB oracles replicate."""
+    form the DuckDB oracles replicate.  ``band_col=None`` buckets on the
+    value alone (the winnowing minimizer join has no band dimension)."""
     from pyspark.sql import Window
 
     from .sketch import HASH_A, HASH_B, HASH_P
 
+    bucket = [band_col, val_col] if band_col is not None else [val_col]
     h = (F.lit(HASH_A) * F.col(id_col) + F.lit(HASH_B)) % F.lit(HASH_P)
     rows = fb.withColumn("_h", h).withColumn(
         "_sb", F.pmod(F.col("_h"), F.lit(_DUP_CAP_SUBBUCKETS))
     )
-    w1 = Window.partitionBy("band", val_col, "_sb").orderBy("_h", id_col)
-    w2 = Window.partitionBy("band", val_col).orderBy("_h", id_col)
+    w1 = Window.partitionBy(*bucket, "_sb").orderBy("_h", id_col)
+    w2 = Window.partitionBy(*bucket).orderBy("_h", id_col)
     return (
         rows.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= bucket_cap)

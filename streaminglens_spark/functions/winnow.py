@@ -140,15 +140,34 @@ def winnow_pairs(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     min_shared: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Shared-passage candidate pairs: documents sharing >= ``min_shared``
     minimizer values.  Any pair sharing a token run of length
     ``w + k - 1`` shares >= 1 minimizer (the winnowing guarantee); the
     threshold demands corroboration so one coincidental hash collision
-    does not emit a pair.  Returns (doc_a, doc_b, n_shared)."""
+    does not emit a pair.  Returns (doc_a, doc_b, n_shared).
+
+    HOT-BUCKET GUARD (r10): a corpus-wide common passage (boilerplate
+    that survived upstream cleanup, a viral quote) puts thousands of
+    docs in one minimizer bucket and turns this self-join quadratic --
+    the same failure mode as the MinHash/SimHash band joins, guarded the
+    same way: each minimizer bucket is capped at ``bucket_cap`` rows in
+    deterministic affine-hash order (``lsh.cap_band_buckets``,
+    band-less form), replicated bit-exactly in the DuckDB oracles.
+    RECALL TRADE (document, don't guess): a pair whose shared minimizers
+    ALL sit in buckets hotter than the cap is not a candidate.  A bucket
+    goes that hot only when 2048+ documents share a passage -- a
+    template class, which the exact-dedup keeper path (md5 classes)
+    handles before span analysis in the composed pipelines."""
+    from .lsh import DUP_BUCKET_CAP, cap_band_buckets
+
+    if bucket_cap is None:
+        bucket_cap = DUP_BUCKET_CAP
     m = _minimizer_sets(documents, k, w).select(
         "doc_id", F.explode("mins").alias("mz")
     )
+    m = cap_band_buckets(m, bucket_cap, val_col="mz", band_col=None)
     a = m.select(F.col("mz"), F.col("doc_id").alias("doc_a"))
     b = m.select(F.col("mz"), F.col("doc_id").alias("doc_b"))
     return (

@@ -5420,9 +5420,18 @@ def _shared_spans_oracle() -> str:
             FROM grams g JOIN stats s USING (doc_id)
             WHERE s.ng < 4 GROUP BY g.doc_id
         ),
+        selc AS (
+            SELECT doc_id, mz FROM (
+                SELECT doc_id, mz, row_number() OVER (
+                    PARTITION BY mz
+                    ORDER BY (2654435761 * doc_id + 104729) % 2147483647,
+                             doc_id) AS rnk
+                FROM sel
+            ) WHERE rnk <= 2048
+        ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            FROM selc a JOIN selc b ON a.mz = b.mz AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ),
         matches AS (
@@ -5623,9 +5632,18 @@ def _dup_passages_oracle() -> str:
             FROM grams g JOIN stats s USING (doc_id)
             WHERE s.ng < 4 GROUP BY g.doc_id
         ),
+        selc AS (
+            SELECT doc_id, mz FROM (
+                SELECT doc_id, mz, row_number() OVER (
+                    PARTITION BY mz
+                    ORDER BY (2654435761 * doc_id + 104729) % 2147483647,
+                             doc_id) AS rnk
+                FROM sel
+            ) WHERE rnk <= 2048
+        ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            FROM selc a JOIN selc b ON a.mz = b.mz AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ),
         matches AS (
@@ -5945,9 +5963,18 @@ def _span_dedup_oracle() -> str:
             FROM grams g JOIN stats s USING (doc_id)
             WHERE s.ng < 4 GROUP BY g.doc_id
         ),
+        selc AS (
+            SELECT doc_id, mz FROM (
+                SELECT doc_id, mz, row_number() OVER (
+                    PARTITION BY mz
+                    ORDER BY (2654435761 * doc_id + 104729) % 2147483647,
+                             doc_id) AS rnk
+                FROM sel
+            ) WHERE rnk <= 2048
+        ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            FROM selc a JOIN selc b ON a.mz = b.mz AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ),
         matches AS (
@@ -6122,9 +6149,18 @@ def _corpus_pipeline_v2_oracle() -> str:
             FROM grams g JOIN stats s USING (doc_id)
             WHERE s.ng < 4 GROUP BY g.doc_id
         ),
+        selc AS (
+            SELECT doc_id, mz FROM (
+                SELECT doc_id, mz, row_number() OVER (
+                    PARTITION BY mz
+                    ORDER BY (2654435761 * doc_id + 104729) % 2147483647,
+                             doc_id) AS rnk
+                FROM sel
+            ) WHERE rnk <= 2048
+        ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sel a JOIN sel b ON a.mz = b.mz AND a.doc_id < b.doc_id
+            FROM selc a JOIN selc b ON a.mz = b.mz AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ),
         matches AS (

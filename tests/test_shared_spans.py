@@ -167,3 +167,43 @@ def test_remove_shared_spans_merges_overlapping_cuts(spark):
     # the two cuts in doc 3 (positions 4..13 and 8..17) merge to 4..17
     assert out[3]["n_removed"] == 14
     assert out[3]["clean_text"] == " ".join(W[40:43] + W[43:46])
+
+
+def test_winnow_hot_minimizer_bucket_capped(spark):
+    """r10 hot-bucket guard on the minimizer join: n identical docs put
+    every doc in every minimizer bucket; with a binding cap the pair
+    output is C(cap, 2) over the affine-hash-lowest doc ids (not
+    C(n, 2)), each pair corroborated by the full minimizer set."""
+    from streaminglens_spark.functions.sketch import HASH_A, HASH_B, HASH_P
+    from streaminglens_spark.functions.winnow import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    n, cap = 40, 5
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    pairs = winnow_pairs(docs, bucket_cap=cap).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    kept = sorted(range(n), key=lambda d: ((HASH_A * d + HASH_B) % HASH_P, d))[:cap]
+    got_ids = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert got_ids == set(kept)
+    n_mins = winnow_fingerprints(docs).collect()[0]["n_minimizers"]
+    assert all(r["n_shared"] == n_mins for r in pairs)
+
+
+def test_winnow_default_cap_noop_on_fixture(spark):
+    """The default 2048 cap must not change the fixture pair set: no
+    sf0.001 minimizer bucket is hot."""
+    from streaminglens_spark.functions.winnow import winnow_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    capped = {(r["doc_a"], r["doc_b"], r["n_shared"])
+              for r in winnow_pairs(docs).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"], r["n_shared"])
+                for r in winnow_pairs(docs, bucket_cap=10**9).collect()}
+    assert capped == uncapped
