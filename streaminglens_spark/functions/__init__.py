@@ -4,6 +4,7 @@ with a DuckDB-oracle-checked contract (COVERAGE.md maps each to its check)."""
 
 from .dedup import (
     dedup_exact,
+    leakage_safe_split,
     softdedup_weights,
     dup_corpus,
     minhash_lsh_pairs,
@@ -123,6 +124,7 @@ __all__ = [
     "log2_fp",
     "lsh_bucket",
     "media_meta",
+    "leakage_safe_split",
     "minhash_lsh_pairs",
     "negative_samples",
     "ngram_jaccard_pairs",

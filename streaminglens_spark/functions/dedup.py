@@ -913,6 +913,47 @@ def dedup_against_index(
     )
 
 
+def leakage_safe_split(
+    documents: DataFrame, val_frac: float = 0.2, threshold: float = 0.5
+) -> DataFrame:
+    """Cluster-aware train/val split (r10 extension): assign every corpus
+    doc to train or val by hashing its NEAR-DUP CLUSTER id, never its own
+    id -- the split every eval pipeline needs, because a per-doc random
+    split puts one copy of a duplicated page in train and another in val
+    and the "held-out" metric silently measures memorization (the classic
+    eval-contamination pitfall; cf. the decontamination operators, which
+    guard against a FIXED eval set -- this guards the split itself).
+
+    Composition (all previously-oracled components): near-dup pairs
+    (``minhash_lsh_pairs`` at ``threshold``) -> connected components
+    (``dedup_clusters``) -> singletons keep their own id as cluster_id ->
+    split = 'val' iff the affine hash of cluster_id falls under
+    ``val_frac`` of the hash space (the ``hash_sample`` integer-threshold
+    idiom -- deterministic, engine-exact, content-uncorrelated).  Every
+    member of a cluster lands on the same side by construction.
+
+    Scale shape: the pairs/cluster stages are the documented shapes of
+    their operators; the split itself is a broadcastable left join (the
+    cluster table is one row per clustered doc) + a map-only projection.
+    Returns (doc_id, cluster_id, split) over the full dup-corpus."""
+    from .sampling import _threshold
+    from .sketch import HASH_A, HASH_B, HASH_P
+
+    clusters = dedup_clusters(minhash_lsh_pairs(documents, threshold))
+    corpus = dup_corpus(documents).select("doc_id")
+    joined = corpus.join(
+        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+    )
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long")
+    h = (F.lit(HASH_A) * cid + F.lit(HASH_B)) % F.lit(HASH_P)
+    split = F.when(
+        h < F.lit(_threshold(val_frac)), F.lit("val")
+    ).otherwise(F.lit("train"))
+    return joined.select(
+        "doc_id", cid.alias("cluster_id"), split.alias("split")
+    )
+
+
 def softdedup_weights(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     """Soft dedup (r7): DOWN-WEIGHT duplicates instead of dropping them --
     the SoftDeDup training-mixture alternative to hard keeper election

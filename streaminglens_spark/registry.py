@@ -6770,6 +6770,57 @@ def _ingest_e2e_oracle() -> str:
 LOCAL_ORACLE["q_ingest_e2e"] = _ingest_e2e_oracle()
 
 
+# --------------------- r10: leakage-safe train/val split (extension)
+
+LEAKAGE_VAL_FRAC = 0.2
+
+
+def q_leakage_split(spark, sf_dir):
+    """Cluster-aware train/val split (r10): every doc assigned by the
+    affine hash of its NEAR-DUP CLUSTER id, so duplicated pages can
+    never straddle the split and leak train text into the held-out set.
+    Composes the oracled minhash-pairs -> connected-components chain;
+    singletons hash their own id."""
+    from .functions.dedup import leakage_safe_split
+
+    return leakage_safe_split(_docs(spark, sf_dir), val_frac=LEAKAGE_VAL_FRAC)
+
+
+def _leakage_split_oracle() -> str:
+    from .functions.sampling import _threshold
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    # rotation-proof: the cluster SQL may live on either surface
+    cluster_sql = ORACLE.get("q_dedup_clusters") or LOCAL_ORACLE[
+        "q_dedup_clusters"
+    ]
+    marker = "SELECT CAST(node AS BIGINT) AS doc_id,"
+    head, tail = cluster_sql.split(marker, 1)
+    thr = _threshold(LEAKAGE_VAL_FRAC)
+    return (
+        head.rstrip().rstrip(",")
+        + ",\n        clusters AS (\n            "
+        + marker
+        + tail
+        + f"""
+        ),
+        assigned AS (
+            SELECT c.doc_id,
+                   CAST(coalesce(cl.cluster_id, c.doc_id) AS BIGINT)
+                       AS cluster_id
+            FROM corpus c LEFT JOIN clusters cl USING (doc_id)
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN ({HASH_A} * cluster_id + {HASH_B}) % {HASH_P}
+                         < {thr}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM assigned"""
+    )
+
+
+LOCAL_ORACLE["q_leakage_split"] = _leakage_split_oracle()
+
+
 # image/audio perceptual pairs.  This block must stay LAST: the
 # r8-built functions register their LOCAL_ORACLE rows above, so the
 # pops only resolve after the whole module body ran.
@@ -6918,6 +6969,18 @@ _ROTATED_IN_R10 = [
 for _name in _ROTATED_OUT_R10:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R10:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
+# r10b: the round's second new query takes a priority slot per the
+# stalest-first policy (new queries outrank refresh-only slots); the
+# bumped refresh slot keeps its two-SF local check and rotates back in a
+# later round.
+_ROTATED_OUT_R10B = ["q_pricing_summary"]
+_ROTATED_IN_R10B = ["q_leakage_split"]
+for _name in _ROTATED_OUT_R10B:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R10B:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 
 

@@ -170,3 +170,37 @@ def test_tiny_cap_keeps_star_intact(spark, cap):
     assert len(stars) == n
     cross = got - stars
     assert len(cross) == cap * (cap - 1) // 2 * 4
+
+
+def test_leakage_split_never_straddles_near_dup_pairs(spark, duck):
+    """r10 leakage-safe split: every near-dup pair (and so every cluster)
+    lands on ONE side; split fractions are sane; and the engine matches
+    the composed DuckDB oracle at the driver SF."""
+    from streaminglens_spark.functions.dedup import leakage_safe_split
+    from streaminglens_spark.oracle.compare import compare
+    from streaminglens_spark.registry import (
+        LOCAL_ORACLE,
+        ORACLE,
+        q_leakage_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = leakage_safe_split(docs).persist()
+    try:
+        rows = out.collect()
+        side = {r["doc_id"]: r["split"] for r in rows}
+        cid = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert len(rows) == 2 * docs.count()  # full dup-corpus coverage
+        # every member of a cluster shares its keeper's side
+        for d, c in cid.items():
+            assert side[d] == side[c], (d, c)
+        # the constructed +100000 copy always pairs with its original
+        for d in list(side)[:50]:
+            assert side[d] == side[(d + 100000) % 200000 if d >= 100000 else d + 100000]
+        n_val = sum(1 for s in side.values() if s == "val")
+        assert 0 < n_val < len(side)
+    finally:
+        out.unpersist()
+    sql = {**ORACLE, **LOCAL_ORACLE}["q_leakage_split"]
+    r = compare(q_leakage_split(spark, SF_DIR), duck, sql)
+    assert r["ok"], {k: v for k, v in r.items() if "cols" not in k}

@@ -86,8 +86,11 @@ def test_driver_surface_exactly_fifty(spark):
     # witness the current code)
     for name in ("q_ingest_e2e", "q_minhash_lsh", "q_simhash_pairs"):
         assert name in q, f"{name} must hold an r10 priority slot"
-    # the full r10 batch holds its slots
-    for name in registry._ROTATED_IN_R10:
+    # the full r10 batch holds its slots (minus the r10b-bumped refresh
+    # slot -- a second new query outranks a refresh-only slot)
+    for name in registry._ROTATED_IN_R10 + registry._ROTATED_IN_R10B:
+        if name in registry._ROTATED_OUT_R10B:
+            continue
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
     rotated_out = (
@@ -95,6 +98,7 @@ def test_driver_surface_exactly_fifty(spark):
         + registry._ROTATED_OUT_R8
         + registry._ROTATED_OUT_R9
         + registry._ROTATED_OUT_R10
+        + registry._ROTATED_OUT_R10B
     )
     for name in rotated_out:
         # a query rotated out in an earlier round may have rotated back
