@@ -8,7 +8,7 @@ SURVEY.md §2 with their DuckDB oracles (see
 THE 50-SLOT CONTRACT: the grading driver evaluates at most 50 correctness
 queries, in dict order (the round-1 run silently dropped the 51st), so
 ``queries()`` exposes exactly the 50-entry ``registry.ORACLE`` surface --
-never the full registry.  The other 95 registered queries live on
+never the full registry.  The other 97 registered queries live on
 ``registry.LOCAL_ORACLE`` and are hash-checked against their independent
 DuckDB oracles at sf0.001 AND sf0.01 on every test run
 (``tests/test_oracle_queries.py`` iterates ORACLE ∪ LOCAL_ORACLE).
@@ -20,8 +20,8 @@ round's surface is the 50 queries whose last green driver row is oldest
 (ascending last-green round, alphabetical within a round), with NEW or
 semantically-CHANGED queries taking priority slots.  The r10 surface:
 ``q_ingest_e2e`` (new flagship), ``q_minhash_lsh``/``q_simhash_pairs``
-(plans AND oracles changed in r10), plus the 47 stalest (last green
-r2-r5).  A driver that ever evaluates more than 50
+(plans AND oracles changed in r10) and ``q_leakage_split`` (new, r10b),
+plus the stalest refresh slots (last green r2-r5).  A driver that ever evaluates more than 50
 must read LOCAL_ORACLE too -- do NOT widen ``queries()`` without removing
 the cap guard (``registry.py`` raises RuntimeError if len(ORACLE) != 50).
 """

@@ -64,7 +64,11 @@ from .lm import (
 from .search import bm25_search, bm25_search_df, bm25_self_retrieval, build_postings
 from .advisor import partition_advisor, watermark_advisor
 from .profile import key_skew_stats
-from .sampling import negative_samples, token_budget_sample
+from .sampling import (
+    negative_samples,
+    temperature_mixture_plan,
+    token_budget_sample,
+)
 from .sequences import props_stats, rolling_user_features, user_event_sequences
 from .snapshot import (
     corpus_diff,

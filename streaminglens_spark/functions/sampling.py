@@ -591,3 +591,68 @@ def quality_budget_sample_windowed(
         .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
     )
     return out.drop("_budget")
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    total_tokens: int,
+    stratum: str = "source",
+    sqrt_steps: int = 1,
+) -> DataFrame:
+    """Temperature-scaled mixture allocation (r10 extension): turn raw
+    per-stratum token counts into per-stratum TARGET budgets with the
+    ``n^alpha`` up-sampling of low-resource strata used by multilingual /
+    multi-source pretraining mixes (mT5/XLM-R style): weight_s
+    proportional to ``n_s^alpha``, target_s = total * weight_s.  The
+    output feeds ``token_budget_sample`` / ``quality_budget_sample`` as
+    their budgets dict -- this operator PLANS the mixture, those enforce
+    it.
+
+    ENGINE-EXACTNESS (the repo's oracle rule): general ``pow(n, alpha)``
+    is ``exp(alpha*ln n)`` with no cross-engine ulp guarantee, so alpha
+    is restricted to ``2^-sqrt_steps`` (0.5, 0.25, ...) computed by
+    repeated ``sqrt`` -- IEEE-754 sqrt is CORRECTLY ROUNDED, so the
+    doubles are bit-identical in Spark and DuckDB.  The normalizing sum
+    folds over the stratum-sorted weight array sequentially
+    (``F.aggregate`` / ``list_reduce`` -- the repo's deterministic-sum
+    idiom, no aggregation-order dependence); weights are emitted as
+    integer micro units and targets via pure integer arithmetic from the
+    micro weight, so every output column is engine-exact.
+
+    Scale shape: ONE groupBy(stratum) with map-side combine; the
+    normalization operates on the O(#strata) aggregate (collected into
+    an array column via a single-row cross join, never to the driver).
+    Returns (stratum, n_tokens, weight_micro, target_tokens); the
+    integer targets satisfy sum(target) <= total with at most
+    ``#strata`` * total/1e6 rounding slack (documented, deterministic)."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    counts = df.select(F.col(stratum).alias("stratum"), toks.alias("ntok")).groupBy(
+        "stratum"
+    ).agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    w = F.col("n_tokens").cast("double")
+    for _ in range(int(sqrt_steps)):
+        w = F.sqrt(w)
+    weighted = counts.withColumn("_w", w)
+    # one-row denominator: stratum-sorted sequential fold (deterministic)
+    den = weighted.groupBy().agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("stratum", "_w"))),
+                lambda s: s["_w"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("_den")
+    )
+    out = weighted.crossJoin(F.broadcast(den))
+    wm = F.round(F.col("_w") / F.col("_den") * F.lit(1_000_000)).cast("long")
+    return (
+        out.select("stratum", "n_tokens", wm.alias("weight_micro"))
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"CAST(({int(total_tokens)} * weight_micro) div 1000000"
+                " AS BIGINT)"
+            ),
+        )
+    )

@@ -6821,6 +6821,47 @@ def _leakage_split_oracle() -> str:
 LOCAL_ORACLE["q_leakage_split"] = _leakage_split_oracle()
 
 
+# ------------------- r10: temperature-scaled mixture planning (extension)
+
+TEMP_MIX_TOTAL = 10_000_000
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture plan (r10): per-source token counts ->
+    n^0.5-weighted target budgets (the mT5/XLM-R low-resource
+    up-sampling), every output column engine-exact (IEEE sqrt +
+    stratum-sorted sequential fold + integer micro weights).  Feeds the
+    budget samplers as their budgets dict."""
+    from .functions.sampling import temperature_mixture_plan
+
+    return temperature_mixture_plan(_docs(spark, sf_dir), TEMP_MIX_TOTAL)
+
+
+LOCAL_ORACLE["q_temperature_mix"] = f"""
+    WITH counts AS (
+        SELECT source AS stratum,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    wtd AS (
+        SELECT stratum, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS w
+        FROM counts
+    ),
+    den AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(w ORDER BY stratum)),
+                   (a, b) -> a + b) AS d
+        FROM wtd
+    )
+    SELECT stratum, n_tokens,
+           CAST(round(w / d * 1000000) AS BIGINT) AS weight_micro,
+           CAST(({TEMP_MIX_TOTAL} * CAST(round(w / d * 1000000) AS BIGINT))
+                // 1000000 AS BIGINT) AS target_tokens
+    FROM wtd, den"""
+
+
 # image/audio perceptual pairs.  This block must stay LAST: the
 # r8-built functions register their LOCAL_ORACLE rows above, so the
 # pops only resolve after the whole module body ran.

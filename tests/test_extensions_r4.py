@@ -182,3 +182,34 @@ def test_pack_sequences_two_level_bit_equal(spark):
         got = sorted(tuple(r) for r in
                      pack_sequences(docs, bucket_width=bw).collect())
         assert got == ref, f"bucket_width={bw} diverged"
+
+
+def test_temperature_mixture_plan_properties(spark):
+    """r10 temperature mixture: micro weights sum to ~1e6, every stratum
+    gets a positive target, the n^0.5 temperature up-weights low-resource
+    strata (weight/n ratio strictly higher for smaller strata), and
+    targets are exactly (total * weight_micro) div 1e6."""
+    from streaminglens_spark.functions.sampling import temperature_mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (200 if i < 20 else 10) + "end",
+          "big" if i < 20 else "small")
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    total = 1_000_000
+    rows = {r["stratum"]: r for r in
+            temperature_mixture_plan(docs, total).collect()}
+    assert set(rows) == {"big", "small"}
+    wsum = sum(r["weight_micro"] for r in rows.values())
+    assert abs(wsum - 1_000_000) <= 2  # per-stratum rounding only
+    for r in rows.values():
+        assert r["target_tokens"] == total * r["weight_micro"] // 1_000_000
+        assert r["target_tokens"] > 0
+    big, small = rows["big"], rows["small"]
+    assert big["n_tokens"] > small["n_tokens"]
+    # temperature flattens: small stratum's weight share exceeds its
+    # token share
+    assert (small["weight_micro"] / 1e6) > (
+        small["n_tokens"] / (big["n_tokens"] + small["n_tokens"])
+    )
