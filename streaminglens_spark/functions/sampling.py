@@ -178,7 +178,7 @@ def stratified_sample(
 
 
 def corpus_shuffle(
-    df: DataFrame, key: str = "doc_id", n_shards: int = 32
+    df: DataFrame, key: str = "doc_id", n_shards: int = 32, epoch: int = 0
 ) -> DataFrame:
     """Deterministic global training-order shuffle (round-5 extension):
     order the corpus by the affine hash of its key and assign dense
@@ -186,6 +186,16 @@ def corpus_shuffle(
     pure FUNCTION of the key -- reproducible across runs, partitionings
     and engines (no RNG state, no seed file), which is what makes a
     training run's data order auditable and resumable at 100 TB.
+
+    ``epoch`` (r10): multi-epoch training wants a DIFFERENT deterministic
+    order each pass.  Each epoch uses the multiplier ``HASH_A^(epoch+1)
+    mod HASH_P`` -- a distinct affine bijection per epoch (P prime, so
+    every power is nonzero and invertible), not a mere shift of the base
+    hash (adding a constant only rotates the circular order; changing
+    the MULTIPLIER re-interleaves it).  ``epoch=0`` is exactly the
+    pre-r10 permutation (``A^1 = A``).  The multiplier is computed
+    driver-side (``pow(A, e+1, P)``) and baked into the plan as a
+    literal, so the oracle replicates it verbatim.
 
     Spark shape: the hash is map-only; the dense rank reuses
     ``functions/ids.py::assign_row_ids`` (range-sharded two-pass
@@ -197,9 +207,12 @@ def corpus_shuffle(
     cannot collide).  Returns (key, shuffle_pos, shard)."""
     from .ids import assign_row_ids
 
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    a_e = pow(HASH_A, int(epoch) + 1, HASH_P)
     hashed = df.select(
         F.col(key),
-        ((F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)).alias("_h"),
+        ((F.lit(a_e) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)).alias("_h"),
     )
     ranked = assign_row_ids(hashed.select("_h"), order_col="_h")
     return (

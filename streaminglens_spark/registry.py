@@ -6837,6 +6837,43 @@ def q_temperature_mix(spark, sf_dir):
     return temperature_mixture_plan(_docs(spark, sf_dir), TEMP_MIX_TOTAL)
 
 
+# ------------------------ r10: epoch-deterministic shuffle (extension)
+
+EPOCH_SHUFFLE_EPOCH = 2
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Epoch-parameterized training-order shuffle (r10): the
+    corpus_shuffle permutation at epoch 2 -- a distinct affine bijection
+    per epoch via the HASH_A^(epoch+1) multiplier, so every pass of a
+    multi-epoch run gets a fresh, still fully deterministic and
+    auditable, order."""
+    from .functions.sampling import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir), epoch=EPOCH_SHUFFLE_EPOCH)
+
+
+def _epoch_shuffle_oracle() -> str:
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    a_e = pow(HASH_A, EPOCH_SHUFFLE_EPOCH + 1, HASH_P)
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ({a_e} * doc_id + {HASH_B}) % {HASH_P} AS hv
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY hv) - 1 AS BIGINT)
+                   AS shuffle_pos,
+               CAST((row_number() OVER (ORDER BY hv) - 1) % 32 AS INT)
+                   AS shard
+        FROM h"""
+
+
+LOCAL_ORACLE["q_epoch_shuffle"] = _epoch_shuffle_oracle()
+
+
 LOCAL_ORACLE["q_temperature_mix"] = f"""
     WITH counts AS (
         SELECT source AS stratum,

@@ -213,3 +213,30 @@ def test_temperature_mixture_plan_properties(spark):
     assert (small["weight_micro"] / 1e6) > (
         small["n_tokens"] / (big["n_tokens"] + small["n_tokens"])
     )
+
+
+def test_epoch_shuffle_distinct_valid_permutations(spark):
+    """r10 epoch shuffle: each epoch is a dense 0..n-1 permutation,
+    epoch 0 equals the pre-r10 corpus_shuffle order, and different
+    epochs genuinely re-interleave (not a rotation: relative order of
+    many pairs flips)."""
+    from streaminglens_spark.functions.sampling import corpus_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    def order(epoch):
+        rows = corpus_shuffle(docs, epoch=epoch).collect()
+        pos = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+        assert sorted(pos.values()) == list(range(200))  # dense permutation
+        return pos
+
+    p0, p0b, p1, p2 = order(0), order(0), order(1), order(2)
+    assert p0 == p0b  # reproducible
+    assert p0 != p1 != p2 and p0 != p2
+    # not a rotation of each other: the pairwise-order flip count is large
+    ids = list(range(200))
+    flips01 = sum(
+        1 for a in ids for b in ids if a < b and (p0[a] < p0[b]) != (p1[a] < p1[b])
+    )
+    assert flips01 > 200  # a pure rotation flips only pairs spanning the cut
