@@ -8,7 +8,7 @@ SURVEY.md §2 with their DuckDB oracles (see
 THE 50-SLOT CONTRACT: the grading driver evaluates at most 50 correctness
 queries, in dict order (the round-1 run silently dropped the 51st), so
 ``queries()`` exposes exactly the 50-entry ``registry.ORACLE`` surface --
-never the full registry.  The other 98 registered queries live on
+never the full registry.  The other 99 registered queries live on
 ``registry.LOCAL_ORACLE`` and are hash-checked against their independent
 DuckDB oracles at sf0.001 AND sf0.01 on every test run
 (``tests/test_oracle_queries.py`` iterates ORACLE ∪ LOCAL_ORACLE).

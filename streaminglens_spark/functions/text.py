@@ -1011,3 +1011,84 @@ def sequence_manifest(
         F.sum("n_fill").cast("long").alias("filled"),
         digest.alias("docs_digest"),
     )
+
+
+# --- Gopher-style rule filter (r10 extension) --------------------------------
+
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3      # mean word length in [3, 10] (Gopher Table A1)
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_ALPHA_PCT = 80    # >= 80% of words contain an alphabetic char
+GOPHER_MIN_STOPWORDS = 2     # at least 2 stopword occurrences
+GOPHER_MAX_SYMBOL_PCT = 10   # symbol-ish words (#, ...) <= 10% of words
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher-style quality rule verdicts (r10 extension): the named
+    heuristic bundle of Rae et al. 2021 (Gopher, Table A1), the de-facto
+    standard first-pass web filter (reused by MassiveText / Dolma /
+    RefinedWeb variants), as ONE map-only projection -- per doc, each
+    rule's boolean plus the conjunctive ``keep``.  The hashed-linear
+    ``quality_classifier`` scores; this RULE SET explains (every verdict
+    is auditable to a named rule -- the governance view a filtering run
+    must ship).
+
+    INTEGER-EXACT (the repo's oracle rule): every ratio threshold is a
+    cross-multiplied integer comparison -- mean word length in [3, 10]
+    is ``3*n <= sum_len <= 10*n``, the 80% alphabetic floor is
+    ``10 * n_alpha >= 8 * n`` -- so no float division can flip a verdict
+    between engines.  Zero shuffle: filtering 100 TB is a scan.
+    Returns (doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+    n_symbol_words, r_word_count, r_mean_len, r_alpha, r_stopwords,
+    r_symbols, keep)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop_arr, w))
+    ).cast("long")
+    n_sym = F.size(
+        F.filter(
+            toks,
+            lambda w: w.startswith("#") | w.contains("..."),
+        )
+    ).cast("long")
+    base = documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        n_sym.alias("n_symbol_words"),
+    )
+    r_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_mean = (
+        F.col("sum_word_len") >= F.lit(GOPHER_MIN_MEAN_LEN) * F.col("n_words")
+    ) & (F.col("sum_word_len") <= F.lit(GOPHER_MAX_MEAN_LEN) * F.col("n_words"))
+    r_alpha = (
+        F.lit(100) * F.col("n_alpha_words")
+        >= F.lit(GOPHER_MIN_ALPHA_PCT) * F.col("n_words")
+    )
+    r_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    r_sym = (
+        F.lit(100) * F.col("n_symbol_words")
+        <= F.lit(GOPHER_MAX_SYMBOL_PCT) * F.col("n_words")
+    )
+    return base.select(
+        "*",
+        r_count.alias("r_word_count"),
+        r_mean.alias("r_mean_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbols"),
+        (r_count & r_mean & r_alpha & r_stop & r_sym).alias("keep"),
+    )

@@ -6837,6 +6837,80 @@ def q_temperature_mix(spark, sf_dir):
     return temperature_mixture_plan(_docs(spark, sf_dir), TEMP_MIX_TOTAL)
 
 
+# ----------------------- r10: Gopher-rules quality filter (extension)
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-bundle quality verdicts (r10): the named
+    heuristic filter of Rae et al. 2021, one map-only projection with
+    integer cross-multiplied thresholds; each rule auditable per doc."""
+    from .functions.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def _gopher_rules_oracle() -> str:
+    from .functions.text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_PCT,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_PCT,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0)
+                       AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(toks,
+                            w -> CAST(length(w) AS BIGINT))),
+                        (a, x) -> a + x) AS BIGINT) AS sum_word_len,
+                   CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+                       AS n_alpha_words,
+                   CAST(len(list_filter(toks,
+                        w -> list_contains([{_STOP_SQL}], w))) AS BIGINT)
+                       AS n_stopwords,
+                   CAST(len(list_filter(toks,
+                        w -> starts_with(w, '#') OR contains(w, '...')))
+                        AS BIGINT) AS n_symbol_words
+            FROM t
+        )
+        SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+               n_symbol_words,
+               (n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}) AS r_word_count,
+               (sum_word_len >= {GOPHER_MIN_MEAN_LEN} * n_words
+                AND sum_word_len <= {GOPHER_MAX_MEAN_LEN} * n_words)
+                   AS r_mean_len,
+               (100 * n_alpha_words >= {GOPHER_MIN_ALPHA_PCT} * n_words)
+                   AS r_alpha,
+               (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+               (100 * n_symbol_words <= {GOPHER_MAX_SYMBOL_PCT} * n_words)
+                   AS r_symbols,
+               ((n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS})
+                AND (sum_word_len >= {GOPHER_MIN_MEAN_LEN} * n_words
+                     AND sum_word_len <= {GOPHER_MAX_MEAN_LEN} * n_words)
+                AND (100 * n_alpha_words
+                     >= {GOPHER_MIN_ALPHA_PCT} * n_words)
+                AND (n_stopwords >= {GOPHER_MIN_STOPWORDS})
+                AND (100 * n_symbol_words
+                     <= {GOPHER_MAX_SYMBOL_PCT} * n_words)) AS keep
+        FROM m"""
+
+
+LOCAL_ORACLE["q_gopher_rules"] = _gopher_rules_oracle()
+
+
 # ------------------------ r10: epoch-deterministic shuffle (extension)
 
 EPOCH_SHUFFLE_EPOCH = 2

@@ -129,3 +129,43 @@ def test_incremental_boilerplate_index_matches_batch(spark):
         for r in strip_boilerplate_text(docs).collect()
     }
     assert a == b
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    """r10 Gopher-rule bundle: one crafted doc violates exactly one rule
+    each; verdicts are per-rule auditable and keep is their conjunction.
+    All thresholds are integer cross-multiplications, so the verdicts
+    are engine-exact by construction."""
+    from streaminglens_spark.functions.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # passes all
+            (1, "too few"),                              # word count < 5
+            (2, "a a a a a a a a a a"),                  # mean len < 3
+            (3, "the 123 456 789 012 345 678 901 234"),  # <80% alphabetic
+            (4, "zebra quagga okapi tapir dugong numbat wombat"),  # no stopwords
+            (5, "the #tag #tag #tag ... of ..."),        # symbols > 10%
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[0]["keep"]
+    assert not rows[1]["r_word_count"] and not rows[1]["keep"]
+    assert not rows[2]["r_mean_len"] and not rows[2]["keep"]
+    assert not rows[3]["r_alpha"] and not rows[3]["keep"]
+    assert not rows[4]["r_stopwords"] and not rows[4]["keep"]
+    assert not rows[5]["r_symbols"] and not rows[5]["keep"]
+    # non-violated rules still pass on the violating docs (auditable)
+    assert rows[1]["r_alpha"] and rows[2]["r_word_count"]
+
+
+def test_gopher_rules_empty_and_empty_text(spark):
+    from streaminglens_spark.functions.text import gopher_rules
+
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = gopher_rules(docs).collect()[0]
+    assert r["n_words"] == 0 and not r["keep"]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert gopher_rules(empty).count() == 0
