@@ -15,11 +15,22 @@ from streaminglens_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("oracle-check")
     con = duckdb_connect(sf_dir)
     failures = 0
     all_oracle = {**registry.ORACLE, **registry.LOCAL_ORACLE}
+    if only is not None:
+        missing = only - set(all_oracle)
+        if missing:
+            raise SystemExit(f"unknown queries: {sorted(missing)}")
+        all_oracle = {k: v for k, v in all_oracle.items() if k in only}
     for name in sorted(all_oracle):
         t0 = time.time()
         df = getattr(registry, name)(spark, sf_dir)

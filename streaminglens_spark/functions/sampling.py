@@ -634,10 +634,16 @@ def temperature_mixture_plan(
 
     Scale shape: ONE groupBy(stratum) with map-side combine; the
     normalization operates on the O(#strata) aggregate (collected into
-    an array column via a single-row cross join, never to the driver).
-    Returns (stratum, n_tokens, weight_micro, target_tokens); the
-    integer targets satisfy sum(target) <= total with at most
-    ``#strata`` * total/1e6 rounding slack (documented, deterministic)."""
+    an array column on a single row, never to the driver) and explodes
+    back out.  Returns (stratum, n_tokens, weight_micro, target_tokens).
+    The micro weights sum to EXACTLY 1,000,000 (r10 ADVICE: independent
+    half-up rounding could overshoot by ~#strata/2) -- every stratum but
+    the last (stratum-sorted) rounds independently, the last absorbs the
+    residual ``1e6 - sum(others)`` -- so the integer targets satisfy
+    ``sum(target_tokens) <= total_tokens`` unconditionally (each target
+    floors).  The residual assignment assumes the last stratum's true
+    weight share exceeds ``(#strata/2)/1e6`` (any real mixture does);
+    integer arithmetic throughout keeps every column engine-exact."""
     toks = F.size(F.split(F.col("text"), " ")).cast("long")
     counts = df.select(F.col(stratum).alias("stratum"), toks.alias("ntok")).groupBy(
         "stratum"
@@ -646,21 +652,52 @@ def temperature_mixture_plan(
     for _ in range(int(sqrt_steps)):
         w = F.sqrt(w)
     weighted = counts.withColumn("_w", w)
-    # one-row denominator: stratum-sorted sequential fold (deterministic)
-    den = weighted.groupBy().agg(
+    # one row holding the stratum-sorted aggregate: denominator is a
+    # sequential fold (deterministic, no aggregation-order dependence),
+    # rounded micros computed per element, last element rewritten to the
+    # residual so the micros sum exactly to 1e6
+    one = weighted.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("stratum", "n_tokens", "_w"))
+        ).alias("_arr")
+    )
+    one = one.withColumn(
+        "_den",
         F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("stratum", "_w"))),
-                lambda s: s["_w"],
-            ),
+            F.transform("_arr", lambda s: s["_w"]),
             F.lit(0.0),
             lambda a, x: a + x,
-        ).alias("_den")
+        ),
     )
-    out = weighted.crossJoin(F.broadcast(den))
-    wm = F.round(F.col("_w") / F.col("_den") * F.lit(1_000_000)).cast("long")
+    one = one.withColumn(
+        "_rm",
+        F.transform(
+            "_arr",
+            lambda s: F.round(
+                s["_w"] / F.col("_den") * F.lit(1_000_000)
+            ).cast("long"),
+        ),
+    )
+    one = one.withColumn(
+        "_rsum",
+        F.aggregate("_rm", F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    exploded = one.select(
+        F.col("_rsum"),
+        F.size("_arr").alias("_n"),
+        F.posexplode(F.arrays_zip("_arr", "_rm")).alias("_pos", "_z"),
+    )
+    rm_i = F.col("_z").getField("_rm")
+    wm = F.when(
+        F.col("_pos") == F.col("_n") - 1,
+        F.lit(1_000_000).cast("long") - (F.col("_rsum") - rm_i),
+    ).otherwise(rm_i)
     return (
-        out.select("stratum", "n_tokens", wm.alias("weight_micro"))
+        exploded.select(
+            F.col("_z").getField("_arr").getField("stratum").alias("stratum"),
+            F.col("_z").getField("_arr").getField("n_tokens").alias("n_tokens"),
+            wm.alias("weight_micro"),
+        )
         .withColumn(
             "target_tokens",
             F.expr(

@@ -6965,12 +6965,26 @@ LOCAL_ORACLE["q_temperature_mix"] = f"""
                                 list(w ORDER BY stratum)),
                    (a, b) -> a + b) AS d
         FROM wtd
+    ),
+    -- r11: last (stratum-sorted) weight absorbs the residual so micros
+    -- sum EXACTLY to 1e6 (mirrors temperature_mixture_plan)
+    r AS (
+        SELECT stratum, n_tokens,
+               CAST(round(w / d * 1000000) AS BIGINT) AS rm,
+               row_number() OVER (ORDER BY stratum) AS rn,
+               COUNT(*) OVER () AS cnt,
+               CAST(SUM(CAST(round(w / d * 1000000) AS BIGINT)) OVER ()
+                    AS BIGINT) AS rsum
+        FROM wtd, den
     )
     SELECT stratum, n_tokens,
-           CAST(round(w / d * 1000000) AS BIGINT) AS weight_micro,
-           CAST(({TEMP_MIX_TOTAL} * CAST(round(w / d * 1000000) AS BIGINT))
+           CAST(CASE WHEN rn = cnt THEN 1000000 - (rsum - rm)
+                     ELSE rm END AS BIGINT) AS weight_micro,
+           CAST(({TEMP_MIX_TOTAL} *
+                 (CASE WHEN rn = cnt THEN 1000000 - (rsum - rm)
+                       ELSE rm END))
                 // 1000000 AS BIGINT) AS target_tokens
-    FROM wtd, den"""
+    FROM r"""
 
 
 # image/audio perceptual pairs.  This block must stay LAST: the

@@ -101,6 +101,22 @@ def _gen_id_of(gen_dir: str) -> int:
     return int(gen_dir.rstrip("/").rsplit("gen=", 1)[1])
 
 
+def _gen_has_ledger(spark, gen_dir: str) -> bool:
+    """True when a committed generation carries the consolidated
+    ``admitted``/``batches`` ledger tables.  Generations sealed by
+    pre-r10 code are INDEX-ONLY (r10 ADVICE): the ledger for their
+    batches still lives in the per-batch ``admitted`` shards (pre-r10
+    compaction never pruned batch dirs), so readers must fall back to
+    the per-batch fold instead of erroring on the missing paths."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, gen_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    return fs.exists(jpath(f"{gen_dir}/admitted")) and fs.exists(
+        jpath(f"{gen_dir}/batches")
+    )
+
+
 class _BatchDirCache:
     """Driver-side memo of committed batch directories (r9 ADVICE): a
     batch's ``_COMMITTED`` marker never disappears (compaction prunes a
@@ -219,21 +235,40 @@ def compact_index(spark, state_path, dir_cache=None) -> int | None:
         _rm(g)
     gen = gens[-1] if gens else None
     gen_id = _gen_id_of(gen) if gen else -1
+    has_ledger = gen is not None and _gen_has_ledger(spark, gen)
     listed = (
         dir_cache.list(spark, state_path)
         if dir_cache is not None
         else _committed_batch_dirs(spark, state_path)
     )
+    # finish any interrupted POST-SEAL prune (r10 ADVICE): a crash
+    # between sealing a generation and its prune loop leaves the folded
+    # batch dirs holding their index/admitted files forever -- the next
+    # compaction only prunes its OWN dirs.  Reclaim them here, but ONLY
+    # when the generation actually serves the ledger: under a pre-r10
+    # index-only generation the per-batch admitted shards are the
+    # ledger's sole copy (see ``_gen_has_ledger``).
+    if has_ledger:
+        for d in listed:
+            if _batch_id_of(d) <= gen_id:
+                _rm(f"{d}/index")
+                _rm(f"{d}/admitted")
     dirs = [d for d in listed if _batch_id_of(d) > gen_id]
     if not dirs:
         return None
     new_id = max(_batch_id_of(d) for d in dirs)
+    # pre-r10 migration: an index-only generation contributes nothing to
+    # the ledger fold; its batches' admitted shards are still in the
+    # (never-pruned) batch dirs, so the ledger folds from ALL committed
+    # dirs and the new generation becomes the first full-ledger one.
+    ledger_dirs = dirs if has_ledger else listed
 
-    def _fold(sub: str, gen_schema: str, batch_schema: str):
+    def _fold(sub: str, gen_schema: str, batch_schema: str,
+              use_gen: bool, fold_dirs: list[str]):
         parts = []
-        if gen:
+        if use_gen:
             parts.append(spark.read.schema(gen_schema).parquet(f"{gen}/{sub}"))
-        for d in dirs:
+        for d in fold_dirs:
             parts.append(
                 spark.read.schema(batch_schema)
                 .parquet(f"{d}/{sub}")
@@ -245,19 +280,19 @@ def compact_index(spark, state_path, dir_cache=None) -> int | None:
         return merged
 
     out = f"{state_path}/compacted/gen={new_id}"
-    _fold("index", _GEN_SCHEMA, _INDEX_SCHEMA).write.mode("overwrite").parquet(
-        f"{out}/index"
-    )
-    _fold("admitted", _GEN_ADMIT_SCHEMA, _ADMIT_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/admitted")
+    _fold(
+        "index", _GEN_SCHEMA, _INDEX_SCHEMA, gen is not None, dirs
+    ).write.mode("overwrite").parquet(f"{out}/index")
+    _fold(
+        "admitted", _GEN_ADMIT_SCHEMA, _ADMIT_SCHEMA, has_ledger, ledger_dirs
+    ).write.mode("overwrite").parquet(f"{out}/admitted")
     prior_batches = (
         spark.read.schema(_GEN_BATCHES_SCHEMA).parquet(f"{gen}/batches")
-        if gen
+        if has_ledger
         else spark.createDataFrame([], _GEN_BATCHES_SCHEMA)
     )
     new_batches = spark.createDataFrame(
-        [(_batch_id_of(d),) for d in dirs], _GEN_BATCHES_SCHEMA
+        [(_batch_id_of(d),) for d in ledger_dirs], _GEN_BATCHES_SCHEMA
     )
     prior_batches.unionByName(new_batches).write.mode("overwrite").parquet(
         f"{out}/batches"
@@ -269,7 +304,7 @@ def compact_index(spark, state_path, dir_cache=None) -> int | None:
     # now-served batch dirs to their markers
     if gen:
         _rm(gen)
-    for d in dirs:
+    for d in {*dirs, *ledger_dirs}:
         _rm(f"{d}/index")
         _rm(f"{d}/admitted")
     return new_id
@@ -280,9 +315,15 @@ def _fold_committed_admissions(spark, state_path, state, dir_cache=None):
     generation's consolidated ``admitted``/``batches`` tables (TWO parquet
     reads regardless of how many batches were compacted -- r9 verdict
     ask #4: the former per-batch restore was 100k driver reads at 100k
-    batches) plus the per-batch shards newer than the generation."""
+    batches) plus the per-batch shards newer than the generation.  A
+    pre-r10 INDEX-ONLY generation (r10 ADVICE) contributes nothing here;
+    the walk below then folds ALL committed per-batch shards (pre-r10
+    compaction never pruned them)."""
     gens = _committed_generations(spark, state_path)
     gen_id = _gen_id_of(gens[-1]) if gens else -1
+    if gens and not _gen_has_ledger(spark, gens[-1]):
+        gen_id = -1
+        gens = []
     if gens:
         state.fold(
             spark.read.schema(_GEN_ADMIT_SCHEMA)
@@ -426,7 +467,11 @@ def corpus_ingest_monitor(
                 # generation was pruned to its marker; its shard lives in
                 # the generation's admitted table under src_batch.
                 gens = _committed_generations(spark_, state_path)
-                if gens and int(batch_id) <= _gen_id_of(gens[-1]):
+                if (
+                    gens
+                    and int(batch_id) <= _gen_id_of(gens[-1])
+                    and _gen_has_ledger(spark_, gens[-1])
+                ):
                     prior_rows = (
                         spark_.read.schema(_GEN_ADMIT_SCHEMA)
                         .parquet(f"{gens[-1]}/admitted")

@@ -185,7 +185,9 @@ def test_pack_sequences_two_level_bit_equal(spark):
 
 
 def test_temperature_mixture_plan_properties(spark):
-    """r10 temperature mixture: micro weights sum to ~1e6, every stratum
+    """Temperature mixture (r11 form): micro weights sum to EXACTLY 1e6
+    (last stratum absorbs the rounding residual -- r10 ADVICE), so
+    sum(target_tokens) <= total holds unconditionally; every stratum
     gets a positive target, the n^0.5 temperature up-weights low-resource
     strata (weight/n ratio strictly higher for smaller strata), and
     targets are exactly (total * weight_micro) div 1e6."""
@@ -202,7 +204,8 @@ def test_temperature_mixture_plan_properties(spark):
             temperature_mixture_plan(docs, total).collect()}
     assert set(rows) == {"big", "small"}
     wsum = sum(r["weight_micro"] for r in rows.values())
-    assert abs(wsum - 1_000_000) <= 2  # per-stratum rounding only
+    assert wsum == 1_000_000  # residual-last makes the sum exact
+    assert sum(r["target_tokens"] for r in rows.values()) <= total
     for r in rows.values():
         assert r["target_tokens"] == total * r["weight_micro"] // 1_000_000
         assert r["target_tokens"] > 0

@@ -304,3 +304,126 @@ def test_ingest_index_keeps_one_representative_per_class(spark, tmp_path):
         r["doc_id"] for r in _committed_index(spark, state_path).collect()
     )
     assert idx_ids == [1, 12]  # one representative per exact class
+
+
+def test_ingest_pre_r10_index_only_generation_migrates(spark, tmp_path):
+    """r10 ADVICE #1: a state dir whose latest generation was sealed by
+    pre-r10 code carries ONLY the index table (no admitted/batches).
+    Restore must fall back to folding the (never-pruned) per-batch
+    admitted shards instead of erroring on the missing paths, replay of
+    a generation-covered batch must fall back to the per-batch shard,
+    and the next compaction must produce a full-ledger generation that
+    folds EVERY committed batch's admitted rows."""
+    import os as _os
+    import shutil as _shutil
+
+    from streaminglens_spark.streaming.ingest import (
+        _committed_generations,
+        compact_index,
+        corpus_ingest_monitor,
+    )
+
+    budgets = {"a": 1000}
+    batches = [
+        ("b1.json", [_doc(1, "a"), _doc(2, "a")]),
+        ("b2.json", [_doc(11, "a")]),
+        ("b3.json", [_doc(21, "a")]),
+    ]
+    state_path = str(tmp_path / "state")
+    sink = []
+    state, _ = _drive(
+        spark, str(tmp_path / "src"), batches, state_path,
+        budgets=budgets, checkpoint=str(tmp_path / "ckpt"), sink_log=sink,
+    )  # no compaction: all three batch dirs keep index+admitted shards
+
+    # hand-build a PRE-R10 generation covering batches 0..1: index only
+    # (with src_batch provenance), no admitted/batches tables; batch dirs
+    # stay intact -- the pre-r10 on-disk layout
+    from pyspark.sql import functions as _F
+    gen_dir = _os.path.join(state_path, "compacted", "gen=1")
+    parts = []
+    for bid in (0, 1):
+        parts.append(
+            spark.read.parquet(
+                _os.path.join(state_path, f"batch_id={bid}", "index")
+            ).withColumn("src_batch", _F.lit(bid).cast("long"))
+        )
+    parts[0].unionByName(parts[1]).write.parquet(
+        _os.path.join(gen_dir, "index")
+    )
+    open(_os.path.join(gen_dir, "_COMMITTED"), "w").close()
+
+    # restore falls back to the per-batch ledger fold: byte-identical
+    restored = restore_ingest_state(spark, budgets, state_path)
+    assert restored.spent == state.spent
+    assert restored.folded_batches == {0, 1, 2}
+
+    # replay of a generation-covered batch reads its per-batch shard
+    replay_log = []
+    _, body = corpus_ingest_monitor(
+        state_path, budgets=budgets, quality_threshold=ACCEPT_ALL,
+        admitted_sink=lambda df, bid: replay_log.append(
+            sorted(r["doc_id"] for r in df.collect())),
+        spark=spark,
+    )
+    b1_docs = batches[0][1]
+    body(spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in b1_docs], SCHEMA), 0)
+    assert replay_log == [sink[0][1]]
+
+    # the next compaction migrates: ONE full-ledger generation folding
+    # every committed batch's admitted rows, batch dirs pruned
+    assert compact_index(spark, state_path) == 2
+    gens = _committed_generations(spark, state_path)
+    assert len(gens) == 1 and gens[0].endswith("gen=2")
+    local_gen = gens[0].replace("file:", "")
+    for sub in ("index", "admitted", "batches"):
+        assert _os.path.exists(_os.path.join(local_gen, sub)), sub
+    migrated = restore_ingest_state(spark, budgets, state_path)
+    assert migrated.spent == state.spent
+    assert migrated.folded_batches == {0, 1, 2}
+    for name in _os.listdir(state_path):
+        if name.startswith("batch_id="):
+            subs = {f for f in _os.listdir(_os.path.join(state_path, name))
+                    if not f.startswith(".")}
+            assert subs == {"_COMMITTED"}, (name, subs)
+    _shutil.rmtree(str(tmp_path / "src"))
+
+
+def test_ingest_compaction_reclaims_interrupted_prune(spark, tmp_path):
+    """r10 ADVICE #2: a crash between sealing a generation and its
+    post-seal prune loop leaves the folded batch dirs holding their
+    index/admitted shards forever.  The next compact_index call -- even
+    one with nothing new to fold -- must reclaim them (only under a
+    full-ledger generation; the migration test pins the pre-r10 case
+    where those shards must survive)."""
+    import os as _os
+
+    from streaminglens_spark.streaming.ingest import compact_index
+
+    budgets = {"a": 1000}
+    state_path = str(tmp_path / "state")
+    state, _ = _drive(
+        spark, str(tmp_path / "src"),
+        [("b1.json", [_doc(1, "a")]), ("b2.json", [_doc(11, "a")])],
+        state_path, budgets=budgets, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert compact_index(spark, state_path) == 1
+
+    # simulate the interrupted prune: re-materialize leaked shard files
+    # under an already-compacted batch dir (content is irrelevant -- the
+    # reclaim is an unconditional recursive delete)
+    leaked = _os.path.join(state_path, "batch_id=0", "index")
+    _os.makedirs(leaked, exist_ok=True)
+    open(_os.path.join(leaked, "part-leak.parquet"), "w").close()
+    leaked_adm = _os.path.join(state_path, "batch_id=0", "admitted")
+    _os.makedirs(leaked_adm, exist_ok=True)
+    open(_os.path.join(leaked_adm, "part-leak.parquet"), "w").close()
+
+    # nothing new to compact, but the cleanup pass still reclaims
+    assert compact_index(spark, state_path) is None
+    subs = {f for f in _os.listdir(_os.path.join(state_path, "batch_id=0"))
+            if not f.startswith(".")}
+    assert subs == {"_COMMITTED"}, subs
+    # ledger untouched by the reclaim
+    assert restore_ingest_state(spark, budgets, state_path).spent == state.spent
