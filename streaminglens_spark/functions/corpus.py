@@ -226,9 +226,25 @@ def ingest_e2e(
     text column.  Every stage keeps its own documented scale shape
     (two-level windows, broadcast budget/offset tables); the composition
     adds only id-keyed joins."""
+    from .text import sequence_manifest
+
+    admitted = _ingest_admitted(documents, sources, budgets, n_per_domain)
+    return sequence_manifest(admitted, tokens_col="clean_tokens")
+
+
+def _ingest_admitted(
+    documents: DataFrame,
+    sources: DataFrame,
+    budgets: dict[str, int],
+    n_per_domain: int | None = None,
+) -> DataFrame:
+    """The shared cleanup -> cap -> budget front of the ingest flagships:
+    the ADMITTED doc spine (doc_id, source, score_milli, clean_tokens,
+    ...) that ``ingest_e2e`` packs into the shard manifest and
+    ``ingest_full`` threads through the loader tail (split + epoch
+    order).  Returned track()-persisted and zero-token-free."""
     from ..cache import track
     from .sampling import quality_budget_sample
-    from .text import sequence_manifest
     from .urls import DOMAIN_CAP_N, canonicalize_urls, domain_cap, url_corpus
 
     if n_per_domain is None:
@@ -272,5 +288,72 @@ def ingest_e2e(
     # a fully-span-removed doc occupies zero tokens of the packed stream:
     # drop it AFTER admission (it never moved any budget boundary) so the
     # manifest's doc spans are all non-empty
-    admitted = track(admitted.filter(F.col("clean_tokens") > 0))
-    return sequence_manifest(admitted, tokens_col="clean_tokens")
+    return track(admitted.filter(F.col("clean_tokens") > 0))
+
+
+def ingest_full(
+    documents: DataFrame,
+    sources: DataFrame,
+    budgets: dict[str, int],
+    n_per_domain: int | None = None,
+    split_corpus: DataFrame | None = None,
+    val_frac: float = 0.2,
+    epoch: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """The complete raw-docs-to-training-order story (r11, r10 verdict
+    ask #4): the ``ingest_e2e`` front (cleanup -> domain cap -> quality
+    token budgets) composed with the LOADER TAIL -- cluster-aware
+    train/val assignment (``dedup.leakage_safe_split``) and the
+    epoch-deterministic training order (``sampling.corpus_shuffle``).
+    One row per ADMITTED doc: (doc_id, cluster_id, split, shuffle_pos,
+    shard); val docs carry NULL position/shard (they never enter the
+    training stream), train docs carry a dense 0..n_train-1 position and
+    its round-robin shard.  A single value hash over the output covers
+    the whole funnel at once: which docs survived every admission stage,
+    which near-dup cluster each belongs to, which side of the split that
+    cluster landed on, and exactly where each train doc sits in epoch
+    ``epoch``'s order.
+
+    ``split_corpus`` is the corpus the near-dup clusters are computed
+    over (default: ``documents``); a caller whose admission input is a
+    cleaned/injected VIEW of a wider raw corpus passes the raw corpus
+    here so the split sees every duplicate -- the admitted ids must be a
+    subset of its ids.  The never-straddles invariant survives the
+    composition by construction: admission FILTERS the corpus and the
+    split is a pure function of a doc's cluster, so two admitted
+    near-dups still share a cluster and therefore a side.
+
+    Scale shape: the front keeps its documented shapes; the split adds
+    the pairs->components chain over the split corpus plus one
+    broadcastable join of the O(admitted) spine against the cluster
+    table; the epoch order is the map-only affine hash + range-sharded
+    dense rank over the TRAIN side only.  The admitted spine is the
+    lineage-cut seam (see ``_ingest_admitted``); the (admitted x split)
+    join result is consumed twice (train-order input + final projection)
+    so it rides one track() persist."""
+    from ..cache import track
+    from .dedup import leakage_safe_split
+    from .sampling import corpus_shuffle
+
+    admitted = _ingest_admitted(documents, sources, budgets, n_per_domain)
+    split = leakage_safe_split(
+        split_corpus if split_corpus is not None else documents, val_frac
+    )
+    joined = track(
+        admitted.select("doc_id").join(
+            split.select("doc_id", "cluster_id", "split"), "doc_id"
+        )
+    )
+    order = corpus_shuffle(
+        joined.filter(F.col("split") == "train").select("doc_id"),
+        n_shards=n_shards,
+        epoch=epoch,
+    )
+    return joined.join(order, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        "split",
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+        F.col("shard").cast("int").alias("shard"),
+    )

@@ -914,7 +914,10 @@ def dedup_against_index(
 
 
 def leakage_safe_split(
-    documents: DataFrame, val_frac: float = 0.2, threshold: float = 0.5
+    documents: DataFrame,
+    val_frac: float = 0.2,
+    threshold: float = 0.5,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-aware train/val split (r10 extension): assign every corpus
     doc to train or val by hashing its NEAR-DUP CLUSTER id, never its own
@@ -932,6 +935,12 @@ def leakage_safe_split(
     idiom -- deterministic, engine-exact, content-uncorrelated).  Every
     member of a cluster lands on the same side by construction.
 
+    ``clusters`` (r11, r10 verdict ask #3): an optional precomputed
+    (doc_id, cluster_id, ...) table -- the ``softdedup_weights``
+    signature -- so a pipeline that already ran dedup doesn't pay pair
+    formation twice; omitted, the inline chain above runs.  Both paths
+    are bit-identical (pinned in tests/test_ingest_full.py).
+
     Scale shape: the pairs/cluster stages are the documented shapes of
     their operators; the split itself is a broadcastable left join (the
     cluster table is one row per clustered doc) + a map-only projection.
@@ -939,7 +948,11 @@ def leakage_safe_split(
     from .sampling import _threshold
     from .sketch import HASH_A, HASH_B, HASH_P
 
-    clusters = dedup_clusters(minhash_lsh_pairs(documents, threshold))
+    if clusters is None:
+        # inline cluster formation; a pipeline that already ran dedup
+        # passes its (doc_id, cluster_id, ...) table instead (r10
+        # verdict ask #3) and skips pair formation entirely
+        clusters = dedup_clusters(minhash_lsh_pairs(documents, threshold))
     corpus = dup_corpus(documents).select("doc_id")
     joined = corpus.join(
         clusters.select("doc_id", "cluster_id"), "doc_id", "left"

@@ -6987,6 +6987,86 @@ LOCAL_ORACLE["q_temperature_mix"] = f"""
     FROM r"""
 
 
+# -------------- r11: ingest flagship + loader tail (r10 verdict ask #4)
+
+INGEST_FULL_EPOCH = 1
+
+
+def q_ingest_full(spark, sf_dir):
+    """The complete raw-docs-to-training-order flagship (r11, r10
+    verdict ask #4): the q_ingest_e2e front (cleanup -> domain cap ->
+    quality token budgets) composed with the loader tail -- the
+    cluster-aware train/val split (leakage_safe_split over the FULL raw
+    corpus, so the split sees every near-dup) and the epoch-1
+    deterministic training order (corpus_shuffle) over the train side.
+    One row per admitted doc: (doc_id, cluster_id, split, shuffle_pos,
+    shard); val docs carry NULL position/shard.  A single value hash
+    covers the whole funnel: admission verdicts, cluster membership,
+    split side, and the exact training-stream position."""
+    from .functions.corpus import ingest_full
+    from .functions.text import boilerplate_corpus, dirty_corpus, pii_corpus
+
+    raw = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    injected = boilerplate_corpus(dirty_corpus(pii_corpus(raw)))
+    return ingest_full(
+        injected,
+        raw.select("doc_id", "source"),
+        dict(TOKEN_BUDGETS),
+        n_per_domain=E2E_DOMAIN_CAP,
+        split_corpus=_docs(spark, sf_dir),
+        val_frac=LEAKAGE_VAL_FRAC,
+        epoch=INGEST_FULL_EPOCH,
+    )
+
+
+def _ingest_full_oracle() -> str:
+    """Splice of three already-independent oracles: the q_ingest_e2e
+    CTE chain cut at its ``admitted`` table (the packing CTEs dropped),
+    the full q_leakage_split chain (its ``capped``/``scored`` CTEs
+    renamed to dodge the e2e chain's same-named CTEs, its final select
+    wrapped as ``splitv``), and the q_epoch_shuffle arithmetic at
+    epoch=1 over the train side of the joined spine."""
+    import re as _re
+
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    e2e = LOCAL_ORACLE.get("q_ingest_e2e") or ORACLE["q_ingest_e2e"]
+    leak = LOCAL_ORACLE.get("q_leakage_split") or ORACLE["q_leakage_split"]
+    e2e_head = e2e.split(",\n        pbase AS (", 1)[0]
+    leak = _re.sub(r"\bcapped\b", "sp_capped", leak)
+    leak = _re.sub(r"\bscored\b", "sp_scored", leak)
+    leak_body = leak.split("WITH RECURSIVE", 1)[1]
+    leak_ctes, leak_final = leak_body.rsplit("SELECT doc_id, cluster_id,", 1)
+    a_e = pow(HASH_A, INGEST_FULL_EPOCH + 1, HASH_P)
+    return (
+        e2e_head.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n        "
+        + leak_ctes.strip().rstrip(",")
+        + ",\n        splitv AS (\n            SELECT doc_id, cluster_id,"
+        + leak_final
+        + f"""
+        ),
+        joined AS (
+            SELECT a.doc_id, s.cluster_id, s.split
+            FROM admitted a JOIN splitv s USING (doc_id)
+        ),
+        ord AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                            ORDER BY ({a_e} * doc_id + {HASH_B})
+                                     % {HASH_P}) - 1
+                        AS BIGINT) AS shuffle_pos
+            FROM joined WHERE split = 'train'
+        )
+        SELECT j.doc_id, j.cluster_id, j.split, o.shuffle_pos,
+               CAST(o.shuffle_pos % 32 AS INT) AS shard
+        FROM joined j LEFT JOIN ord o USING (doc_id)"""
+    )
+
+
+LOCAL_ORACLE["q_ingest_full"] = _ingest_full_oracle()
+
+
 # image/audio perceptual pairs.  This block must stay LAST: the
 # r8-built functions register their LOCAL_ORACLE rows above, so the
 # pops only resolve after the whole module body ran.
