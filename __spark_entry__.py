@@ -18,10 +18,13 @@ query has held a green driver CORRECTNESS row at least once (debt reached
 zero in r9), so rotation now refreshes the STALEST evidence -- each
 round's surface is the 50 queries whose last green driver row is oldest
 (ascending last-green round, alphabetical within a round), with NEW or
-semantically-CHANGED queries taking priority slots.  The r10 surface:
-``q_ingest_e2e`` (new flagship), ``q_minhash_lsh``/``q_simhash_pairs``
-(plans AND oracles changed in r10) and ``q_leakage_split`` (new, r10b),
-plus the stalest refresh slots (last green r2-r5).  A driver that ever evaluates more than 50
+semantically-CHANGED queries taking priority slots.  The r11 surface:
+``q_ingest_full`` (new -- the loader-tail flagship composition),
+``q_gopher_rules``/``q_temperature_mix``/``q_epoch_shuffle`` (added
+late in r10, never driver-proven; q_temperature_mix also changed
+semantics in r11 -- residual-last micro weights), plus the stalest
+refresh slots: the seven r5-stale, all r6-, r7- and r8-stale queries
+(exactly 46).  A driver that ever evaluates more than 50
 must read LOCAL_ORACLE too -- do NOT widen ``queries()`` without removing
 the cap guard (``registry.py`` raises RuntimeError if len(ORACLE) != 50).
 """

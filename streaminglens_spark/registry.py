@@ -7230,6 +7230,127 @@ for _name in _ROTATED_IN_R10B:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 
 
+# ----------------- r11 rotation: stalest-first refresh (r10 verdict #1)
+# Priority slots: q_ingest_full (NEW this round -- the loader-tail
+# composition), q_gopher_rules / q_temperature_mix / q_epoch_shuffle
+# (added late in r10; the only queries never to hold a driver row --
+# q_temperature_mix additionally CHANGED semantics this round, the
+# residual-last micro weights).  Refresh slots, stalest first per the
+# policy: the seven r5-stale queries, all twenty-two r6-stale, all eight
+# r7-stale, all nine r8-stale -- exactly filling the 50.  The r10
+# surface (all green in r10, the freshest evidence) rotates out
+# wholesale; every rotated-out query keeps its two-SF local oracle
+# check on every test run.
+_ROTATED_OUT_R11 = [
+    "q_ann_lsh",
+    "q_batch_bounds",
+    "q_batch_gate",
+    "q_batch_parse",
+    "q_batch_slice",
+    "q_cosine_topk",
+    "q_critical_path",
+    "q_critical_time",
+    "q_decode_image",
+    "q_dedup_corpus",
+    "q_dedup_exact",
+    "q_discounted_state",
+    "q_doc_fingerprint",
+    "q_embed_dedup",
+    "q_event_json",
+    "q_exec_groups",
+    "q_executor_cores",
+    "q_executor_metrics",
+    "q_fmt_duration",
+    "q_frame_sample",
+    "q_hist_quantiles",
+    "q_hll_distinct",
+    "q_ingest_e2e",
+    "q_insight_text",
+    "q_islands",
+    "q_job_executors",
+    "q_job_metrics",
+    "q_job_walltime",
+    "q_kmv_distinct",
+    "q_label_centroids",
+    "q_lang_id",
+    "q_last_gauges",
+    "q_leakage_split",
+    "q_max_concurrency",
+    "q_media_meta",
+    "q_minhash_lsh",
+    "q_ngram_jaccard",
+    "q_purge_set",
+    "q_quality_score",
+    "q_results_topk",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_sla_resolve",
+    "q_sliding_agg",
+    "q_source_recos",
+    "q_stage_metrics",
+    "q_state_buckets",
+    "q_token_count",
+    "q_top_customers",
+    "q_ts_parse",
+]
+_ROTATED_IN_R11 = [
+    "q_ingest_full",
+    "q_gopher_rules",
+    "q_temperature_mix",
+    "q_epoch_shuffle",
+    "q_pricing_summary",
+    "q_region_volume",
+    "q_session_agg",
+    "q_state_classify",
+    "q_text_stats",
+    "q_time_rollup",
+    "q_tumbling_agg",
+    "q_ann_topk",
+    "q_assign_row_ids",
+    "q_bigram_surprisal",
+    "q_bm25_eval",
+    "q_boilerplate",
+    "q_cms_windowed",
+    "q_corpus_diff",
+    "q_count_min",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_hash_sample",
+    "q_ivf_topk",
+    "q_mixture_sample",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_quantized_topk",
+    "q_random_project",
+    "q_range_join",
+    "q_repetition",
+    "q_salted_join",
+    "q_stratified_sample",
+    "q_tfidf_topk",
+    "q_bpe_segment",
+    "q_domain_stats",
+    "q_duration_anomalies",
+    "q_funnel",
+    "q_normalize_text",
+    "q_pmi",
+    "q_retention",
+    "q_vocab_topk",
+    "q_audio_frames",
+    "q_chunk_dedup",
+    "q_cms_probe",
+    "q_corpus_pipeline",
+    "q_corpus_shuffle",
+    "q_decode_audio",
+    "q_negative_samples",
+    "q_probe_image",
+    "q_resize_image",
+]
+for _name in _ROTATED_OUT_R11:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R11:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
 if len(ORACLE) != 50:
     raise RuntimeError(
         f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"

@@ -81,16 +81,18 @@ def test_driver_surface_exactly_fifty(spark):
     o = registry.oracle_sql()
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
-    # r10 priority slots: the new flagship + the two queries whose plans
-    # AND oracles changed this round (their old green rows no longer
-    # witness the current code)
-    for name in ("q_ingest_e2e", "q_minhash_lsh", "q_simhash_pairs"):
-        assert name in q, f"{name} must hold an r10 priority slot"
-    # the full r10 batch holds its slots (minus the r10b-bumped refresh
-    # slot -- a second new query outranks a refresh-only slot)
-    for name in registry._ROTATED_IN_R10 + registry._ROTATED_IN_R10B:
-        if name in registry._ROTATED_OUT_R10B:
-            continue
+    # r11 priority slots: the new loader-tail flagship, the three
+    # late-r10 queries that have never held a driver row (one of which,
+    # q_temperature_mix, also changed semantics this round)
+    for name in (
+        "q_ingest_full",
+        "q_gopher_rules",
+        "q_temperature_mix",
+        "q_epoch_shuffle",
+    ):
+        assert name in q, f"{name} must hold an r11 priority slot"
+    # the full r11 batch holds its slots
+    for name in registry._ROTATED_IN_R11:
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
     rotated_out = (
@@ -99,6 +101,7 @@ def test_driver_surface_exactly_fifty(spark):
         + registry._ROTATED_OUT_R9
         + registry._ROTATED_OUT_R10
         + registry._ROTATED_OUT_R10B
+        + registry._ROTATED_OUT_R11
     )
     for name in rotated_out:
         # a query rotated out in an earlier round may have rotated back
