@@ -24,7 +24,9 @@ semantically-CHANGED queries taking priority slots.  The r11 surface:
 late in r10, never driver-proven; q_temperature_mix also changed
 semantics in r11 -- residual-last micro weights), plus the stalest
 refresh slots: the seven r5-stale, all r6-, r7- and r8-stale queries
-(exactly 46).  A driver that ever evaluates more than 50
+(exactly 46; r11b then bumps the two freshest refresh slots for the
+late-built ``q_line_dedup``/``q_mixture_schedule``).  A driver that
+ever evaluates more than 50
 must read LOCAL_ORACLE too -- do NOT widen ``queries()`` without removing
 the cap guard (``registry.py`` raises RuntimeError if len(ORACLE) != 50).
 """

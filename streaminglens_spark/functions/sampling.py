@@ -648,6 +648,17 @@ def temperature_mixture_plan(
     counts = df.select(F.col(stratum).alias("stratum"), toks.alias("ntok")).groupBy(
         "stratum"
     ).agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    return _mixture_plan_from_counts(counts, total_tokens, sqrt_steps)
+
+
+def _mixture_plan_from_counts(
+    counts: DataFrame, total_tokens: int, sqrt_steps: int
+) -> DataFrame:
+    """The normalization/rounding core of ``temperature_mixture_plan``
+    over a precomputed (stratum, n_tokens) aggregate -- shared with
+    ``mixture_schedule`` so a multi-phase plan pays the corpus scan
+    once.  ``sqrt_steps=0`` is proportional allocation (w = n, no sqrt;
+    still engine-exact -- a long-to-double cast is exact below 2^53)."""
     w = F.col("n_tokens").cast("double")
     for _ in range(int(sqrt_steps)):
         w = F.sqrt(w)
@@ -706,3 +717,51 @@ def temperature_mixture_plan(
             ),
         )
     )
+
+
+def mixture_schedule(
+    df: DataFrame,
+    phases: list[tuple[int, int, int]],
+    stratum: str = "source",
+) -> DataFrame:
+    """Multi-phase mixture ANNEALING plan (r11 extension): one
+    ``temperature_mixture_plan`` allocation per training phase, with a
+    different temperature and token budget each -- the
+    curriculum-schedule practice of starting flat (high temperature
+    up-weights low-resource strata while the model learns basics) and
+    annealing toward proportional (low temperature, the natural
+    distribution) late in training.  ``phases`` is a list of
+    ``(phase_id, sqrt_steps, phase_tokens)``; ``sqrt_steps`` keeps the
+    engine-exactness contract (alpha restricted to 2^-k; 0 =
+    proportional).
+
+    Scale shape: the per-stratum token counts are aggregated ONCE (one
+    groupBy with map-side combine, track()-persisted) and every phase's
+    normalization runs over that O(#strata) aggregate -- a k-phase
+    schedule costs one corpus scan, not k.  Returns (phase, stratum,
+    n_tokens, weight_micro, target_tokens); per phase the micros sum to
+    exactly 1e6 and targets floor, so each phase independently satisfies
+    sum(target) <= phase_tokens."""
+    from ..cache import track
+
+    if not phases:
+        raise ValueError("mixture_schedule needs at least one phase")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    counts = track(
+        df.select(F.col(stratum).alias("stratum"), toks.alias("ntok"))
+        .groupBy("stratum")
+        .agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    )
+    out = None
+    for phase_id, sqrt_steps, phase_tokens in phases:
+        plan = _mixture_plan_from_counts(
+            counts, int(phase_tokens), int(sqrt_steps)
+        ).select(
+            F.lit(int(phase_id)).cast("int").alias("phase"),
+            "stratum",
+            "n_tokens",
+            "weight_micro",
+            "target_tokens",
+        )
+        out = plan if out is None else out.unionByName(plan)
+    return out

@@ -1092,3 +1092,68 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         r_sym.alias("r_symbols"),
         (r_count & r_mean & r_alpha & r_stop & r_sym).alias("keep"),
     )
+
+
+def line_dedup(documents: DataFrame) -> DataFrame:
+    """Corpus-wide first-occurrence LINE dedup (r11 extension): every
+    distinct nonempty line survives only at its earliest occurrence --
+    (min doc_id, then min position) -- and every later copy is removed
+    from its document.  This is the cross-document line-level pass of
+    the CCNet/RefinedWeb lineage (cf. reference semantics: none -- the
+    reference has no text operators; this extends the repo's
+    ``strip_boilerplate``, which removes lines FREQUENT across docs,
+    with the stricter keep-one-copy rule a dedup pipeline wants for
+    chrome that falls under the frequency threshold).
+
+    Scale shape -- the skew point a naive plan hits is the join back on
+    the LINE content key (a mega-line present in half the corpus sends
+    every occurrence to one reducer).  This plan never joins on content:
+    the keeper election is ONE groupBy(line) with ``min(struct(doc_id,
+    pos))`` -- partial-aggregated, so a hot line collapses to one row
+    per map partition before the shuffle -- and the keeper table IS the
+    kept occurrence set (exactly one row per distinct line), so
+    reassembly is a groupBy(doc_id) over it plus one id-keyed left join
+    for docs that lost every line.  Returns (doc_id, n_lines, n_kept,
+    clean_len, clean_md5), the ``strip_boilerplate`` output convention
+    (digest, not text -- the cleaned text never re-ships)."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).filter(F.length("line") > 0)
+    keeper = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    kept = keeper.select(
+        F.col("k.doc_id").alias("doc_id"),
+        F.col("k.pos").alias("pos"),
+        "line",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean"),
+    )
+    n_lines = F.size(
+        F.filter(F.split("text", "\n"), lambda x: F.length(x) > 0)
+    ).cast("long")
+    return (
+        documents.select("doc_id", n_lines.alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            F.length(F.coalesce(F.col("clean"), F.lit("")))
+            .cast("long")
+            .alias("clean_len"),
+            F.md5(
+                F.coalesce(F.col("clean"), F.lit("")).cast("binary")
+            ).alias("clean_md5"),
+        )
+    )

@@ -7067,6 +7067,139 @@ def _ingest_full_oracle() -> str:
 LOCAL_ORACLE["q_ingest_full"] = _ingest_full_oracle()
 
 
+# ------------- r11: cross-document line dedup (extension, CCNet family)
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence line dedup (r11): every distinct
+    nonempty line survives only at its earliest (doc_id, position)
+    occurrence -- the keep-one-copy complement of strip_boilerplate's
+    frequency threshold.  Runs over the same injected multi-line corpus
+    as q_boilerplate.  Keeper election never joins on the line content
+    key (the keeper table IS the kept set), so a mega-line cannot
+    serialize a reducer."""
+    from .functions.text import boilerplate_corpus, line_dedup
+
+    return line_dedup(boilerplate_corpus(_docs(spark, sf_dir)))
+
+
+# the bp CTE mirrors functions/text.py::boilerplate_corpus verbatim
+# (same injection text as the q_boilerplate oracle)
+_LINE_DEDUP_BP = """
+    WITH bp AS (
+        SELECT doc_id,
+          concat_ws(chr(10),
+            CASE WHEN doc_id % 2 = 0
+                 THEN 'copyright acme corp all rights reserved' END,
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'subscribe to our newsletter for updates' END,
+            text,
+            CASE WHEN doc_id % 4 = 0
+                 THEN 'privacy policy terms of service' END
+          ) AS text
+        FROM documents
+    )
+"""
+
+LOCAL_ORACLE["q_line_dedup"] = _LINE_DEDUP_BP + """
+    , occ AS (
+        SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp)
+    ),
+    nz AS (SELECT * FROM occ WHERE length(line) > 0),
+    -- independent algorithm: rank-to-1 per line (the engine elects the
+    -- keeper via min(struct) aggregation instead)
+    keeper AS (
+        SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, pos) AS rn
+            FROM nz
+        ) WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean
+        FROM keeper GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(list_filter(string_split(b.text, chr(10)),
+                                x -> length(x) > 0)) AS BIGINT) AS n_lines,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(length(COALESCE(r.clean, '')) AS BIGINT) AS clean_len,
+           md5(COALESCE(r.clean, '')) AS clean_md5
+    FROM bp b LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+# --------------- r11: mixture annealing schedule (extension, curriculum)
+
+# anneal alpha 0.25 -> 0.5 -> 1.0 (flat early, proportional late); the
+# phase budgets are the per-phase token allotments of a 10M-token run
+MIX_SCHEDULE_PHASES = [
+    (0, 2, 3_000_000),
+    (1, 1, 4_000_000),
+    (2, 0, 3_000_000),
+]
+
+
+def q_mixture_schedule(spark, sf_dir):
+    """Multi-phase mixture annealing (r11): one temperature allocation
+    per training phase over ONE corpus-count aggregate -- flat early
+    (alpha 0.25 up-weights low-resource sources), proportional late.
+    Every phase keeps the temperature operator's engine-exactness
+    contract (2^-k alphas, residual-last micro weights, floored integer
+    targets)."""
+    from .functions.sampling import mixture_schedule
+
+    return mixture_schedule(_docs(spark, sf_dir), MIX_SCHEDULE_PHASES)
+
+
+def _mixture_schedule_oracle() -> str:
+    """Per-phase re-instantiation of the q_temperature_mix SQL -- the
+    sqrt nesting, the phase's OWN sequential-fold denominator, and the
+    phase budget substituted -- UNION ALL'd with the phase literal."""
+    parts = []
+    for phase_id, sqrt_steps, phase_tokens in MIX_SCHEDULE_PHASES:
+        wexpr = "CAST(n_tokens AS DOUBLE)"
+        for _ in range(int(sqrt_steps)):
+            wexpr = f"sqrt({wexpr})"
+        parts.append(f"""
+    SELECT CAST({int(phase_id)} AS INT) AS phase, stratum, n_tokens,
+           weight_micro,
+           CAST(({int(phase_tokens)} * weight_micro) // 1000000
+                AS BIGINT) AS target_tokens
+    FROM (
+        SELECT stratum, n_tokens,
+               CAST(CASE WHEN rn = cnt THEN 1000000 - (rsum - rm)
+                         ELSE rm END AS BIGINT) AS weight_micro
+        FROM (
+            SELECT stratum, n_tokens,
+                   CAST(round(w / d * 1000000) AS BIGINT) AS rm,
+                   row_number() OVER (ORDER BY stratum) AS rn,
+                   COUNT(*) OVER () AS cnt,
+                   CAST(SUM(CAST(round(w / d * 1000000) AS BIGINT))
+                        OVER () AS BIGINT) AS rsum
+            FROM (SELECT stratum, n_tokens, {wexpr} AS w FROM counts),
+                 (SELECT list_reduce(
+                             list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(w ORDER BY stratum)),
+                             (a, b) -> a + b) AS d
+                  FROM (SELECT stratum, {wexpr} AS w FROM counts))
+        )
+    )""")
+    return (
+        """
+    WITH counts AS (
+        SELECT source AS stratum,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    )"""
+        + " UNION ALL ".join(parts)
+    )
+
+
+LOCAL_ORACLE["q_mixture_schedule"] = _mixture_schedule_oracle()
+
+
 # image/audio perceptual pairs.  This block must stay LAST: the
 # r8-built functions register their LOCAL_ORACLE rows above, so the
 # pops only resolve after the whole module body ran.
@@ -7348,6 +7481,19 @@ _ROTATED_IN_R11 = [
 for _name in _ROTATED_OUT_R11:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R11:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
+# r11b: the round's two late-built queries take priority slots (new
+# queries outrank refresh-only slots, the R10B precedent); the bumped
+# refresh slots are the FRESHEST of the refresh set (r8-stale,
+# alphabetically last), keep their two-SF local check, and rotate back
+# in a later round.
+_ROTATED_OUT_R11B = ["q_probe_image", "q_resize_image"]
+_ROTATED_IN_R11B = ["q_line_dedup", "q_mixture_schedule"]
+for _name in _ROTATED_OUT_R11B:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R11B:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 
 

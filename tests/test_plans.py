@@ -91,8 +91,11 @@ def test_driver_surface_exactly_fifty(spark):
         "q_epoch_shuffle",
     ):
         assert name in q, f"{name} must hold an r11 priority slot"
-    # the full r11 batch holds its slots
-    for name in registry._ROTATED_IN_R11:
+    # the full r11 batch holds its slots (minus the r11b-bumped refresh
+    # slots -- late-built new queries outrank refresh-only slots)
+    for name in registry._ROTATED_IN_R11 + registry._ROTATED_IN_R11B:
+        if name in registry._ROTATED_OUT_R11B:
+            continue
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
     rotated_out = (
@@ -102,6 +105,7 @@ def test_driver_surface_exactly_fifty(spark):
         + registry._ROTATED_OUT_R10
         + registry._ROTATED_OUT_R10B
         + registry._ROTATED_OUT_R11
+        + registry._ROTATED_OUT_R11B
     )
     for name in rotated_out:
         # a query rotated out in an earlier round may have rotated back
