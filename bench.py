@@ -116,8 +116,18 @@ HEAVY_R10 = [
     "q_ingest_e2e",
 ]
 
+# r11: the loader-tail flagship (the e2e front + leakage split + epoch
+# order as one plan -- its cost vs q_ingest_e2e is the measured price of
+# the split/shuffle tail) and the new cross-document line dedup (a full
+# explode + two aggregations over every line in the corpus).
+HEAVY_R11 = [
+    "q_ingest_full",
+    "q_line_dedup",
+]
+
 HEADLINE = (
-    LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9 + HEAVY_R10
+    LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9
+    + HEAVY_R10 + HEAVY_R11
 )
 
 

@@ -14,8 +14,12 @@ from .annmaint import (
 )
 from .budget import (
     BudgetAdmissionState,
+    MixtureBudgetState,
     budget_admission_monitor,
+    mixture_admission_monitor,
     restore_budget_state,
+    restore_mixture_state,
+    temperature_targets,
 )
 from .dedup import loser_ids_of_batch, near_dedup_stream
 from .ingest import corpus_ingest_monitor, restore_ingest_state
@@ -58,6 +62,10 @@ __all__ = [
     "restore_refit_state",
     "BudgetAdmissionState",
     "budget_admission_monitor",
+    "MixtureBudgetState",
+    "mixture_admission_monitor",
+    "restore_mixture_state",
+    "temperature_targets",
     "restore_budget_state",
     "corpus_ingest_monitor",
     "restore_ingest_state",
