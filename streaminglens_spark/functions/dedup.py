@@ -616,7 +616,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """
     from ..cache import track
 
-    edges = pairs.select("doc_a", "doc_b").distinct()
+    # materialize the edge set ONCE (r11): both `nodes` and `sym` derive
+    # from it, and without the barrier the entire upstream PAIR-FORMATION
+    # chain (minhash/simhash banding -- ~5 s at sf0.1) re-executes for
+    # each consumer
+    edges = track(pairs.select("doc_a", "doc_b").distinct())
     nodes = (
         edges.select(F.col("doc_a").alias("node"))
         .unionByName(edges.select(F.col("doc_b").alias("node")))
