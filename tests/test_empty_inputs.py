@@ -105,6 +105,9 @@ CASES = [
     # r10 additions
     ("simhash64", "functions.dedup", "doc_id long, text string"),
     ("corpus_pipeline_v2", "functions.corpus", "doc_id long, text string"),
+    # r11 additions
+    ("line_dedup", "functions.text", "doc_id long, text string"),
+    ("leakage_safe_split", "functions.dedup", "doc_id long, text string"),
 ]
 
 
@@ -142,6 +145,22 @@ def test_multi_arg_operators_empty_safe(spark):
     assert out.count() == 0 and len(out.columns) == 5
     fb = _empty(spark, "doc_id long, band int, v long")
     assert cap_band_buckets(fb, 8).count() == 0
+    # r11: the loader-tail flagship and the mixture planners
+    from streaminglens_spark.functions.corpus import ingest_full
+    from streaminglens_spark.functions.sampling import (
+        mixture_schedule,
+        temperature_mixture_plan,
+    )
+    from streaminglens_spark.streaming.budget import temperature_targets
+
+    out = ingest_full(docs, srcs, {"src0": 100})
+    assert out.count() == 0 and len(out.columns) == 5
+    sdocs = _empty(spark, "doc_id long, text string, source string")
+    assert temperature_mixture_plan(sdocs, 1000).count() == 0
+    out = mixture_schedule(sdocs, [(0, 1, 100), (1, 0, 100)])
+    assert out.count() == 0 and len(out.columns) == 5
+    assert temperature_targets({}, 1000) == {}
+    assert temperature_targets({"a": 0, "b": 0}, 1000) == {"a": 0, "b": 0}
 
 
 def test_funnel_empty_reports_zero_per_step(spark):
