@@ -1001,3 +1001,40 @@ def softdedup_weights(documents: DataFrame, clusters: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("weight_ppm"),
     )
+
+
+def dedup_stats(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Corpus duplication profile (r11 extension): the cluster-size
+    histogram of the near-dup graph -- the governance dashboard number
+    behind every dedup decision (how duplicated IS this corpus; what
+    fraction survives keeper election; is one mega-cluster dominating).
+    One row per observed cluster size: (cluster_size, n_clusters,
+    n_docs); singletons appear as the size-1 row, so ``sum(n_docs)``
+    equals the corpus size and ``sum(n_clusters)`` is the post-dedup
+    corpus size (one keeper per cluster).
+
+    Scale shape: the pairs/components stages are their documented
+    shapes; the histogram is one groupBy over the O(docs) cluster table
+    (map-side combined) plus a single-row corpus count attached with a
+    broadcast cross join -- no new content-keyed joins."""
+    clusters = dedup_clusters(minhash_lsh_pairs(documents, threshold))
+    corpus_n = dup_corpus(documents).select(
+        F.count(F.lit(1)).cast("long").alias("_n_corpus")
+    )
+    clustered = clusters.groupBy("cluster_size").agg(
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    clustered_total = clusters.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_n_clustered")
+    )
+    singletons = (
+        corpus_n.crossJoin(F.broadcast(clustered_total))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("_n_corpus") - F.col("_n_clustered")).alias("n_clusters"),
+            (F.col("_n_corpus") - F.col("_n_clustered")).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return clustered.unionByName(singletons)

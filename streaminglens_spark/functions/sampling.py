@@ -765,3 +765,32 @@ def mixture_schedule(
         )
         out = plan if out is None else out.unionByName(plan)
     return out
+
+
+def shard_balance(
+    df: DataFrame, key: str = "doc_id", n_shards: int = 32, epoch: int = 0
+) -> DataFrame:
+    """Training-shard balance audit (r11 extension): per-shard doc and
+    token counts of the ``corpus_shuffle`` order -- the loader-side QA
+    that catches a skewed shard before a 1000-worker job stalls on it.
+    Returns (shard, n_docs, n_tokens); the round-robin interleave makes
+    doc counts near-equal by construction (|max-min| <= 1), so the
+    TOKEN spread is the number that matters (long docs clumping by
+    chance).
+
+    Scale shape: the shuffle's map-only hash + range-sharded rank, one
+    id-keyed join to carry each doc's token count, one groupBy(shard)
+    with map-side combine."""
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    ).cast("long")
+    order = corpus_shuffle(df.select(key), key=key, n_shards=n_shards,
+                           epoch=epoch)
+    return (
+        order.join(df.select(key, toks.alias("_nt")), key)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )

@@ -7200,6 +7200,89 @@ def _mixture_schedule_oracle() -> str:
 LOCAL_ORACLE["q_mixture_schedule"] = _mixture_schedule_oracle()
 
 
+# ----------------- r11: corpus duplication profile (governance)
+
+def q_dedup_stats(spark, sf_dir):
+    """Cluster-size histogram of the near-dup graph (r11): one row per
+    observed size with cluster and doc counts; singletons are the size-1
+    row, so sum(n_docs) = corpus size and sum(n_clusters) = post-dedup
+    size.  The governance number behind every dedup decision."""
+    from .functions.dedup import dedup_stats
+
+    return dedup_stats(_docs(spark, sf_dir))
+
+
+def _dedup_stats_oracle() -> str:
+    # rotation-proof: the cluster SQL may live on either surface
+    cluster_sql = ORACLE.get("q_dedup_clusters") or LOCAL_ORACLE[
+        "q_dedup_clusters"
+    ]
+    marker = "SELECT CAST(node AS BIGINT) AS doc_id,"
+    head, tail = cluster_sql.split(marker, 1)
+    return (
+        head.rstrip().rstrip(",")
+        + ",\n        clusters AS (\n            "
+        + marker
+        + tail
+        + """
+        ),
+        hist AS (
+            SELECT cluster_size,
+                   CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM clusters GROUP BY cluster_size
+        ),
+        tot AS (SELECT COUNT(*) AS n_clustered FROM clusters),
+        corpusn AS (SELECT 2 * COUNT(*) AS n_corpus FROM documents)
+        SELECT * FROM hist
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               CAST(n_corpus - n_clustered AS BIGINT) AS n_clusters,
+               CAST(n_corpus - n_clustered AS BIGINT) AS n_docs
+        FROM corpusn, tot WHERE n_corpus - n_clustered > 0"""
+    )
+
+
+LOCAL_ORACLE["q_dedup_stats"] = _dedup_stats_oracle()
+
+
+# --------------------- r11: training-shard balance audit (loader QA)
+
+def q_shard_balance(spark, sf_dir):
+    """Per-shard doc/token counts of the corpus_shuffle training order
+    (r11): the loader-side QA that catches a token-skewed shard before
+    a 1000-worker job stalls on it.  Round-robin makes doc counts
+    near-equal by construction; tokens are the number that matters."""
+    from .functions.sampling import shard_balance
+
+    return shard_balance(_docs(spark, sf_dir))
+
+
+def _shard_balance_oracle() -> str:
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} AS hv,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> len(w) > 0)) AS BIGINT) AS nt
+            FROM documents
+        ),
+        o AS (
+            SELECT nt,
+                   CAST((row_number() OVER (ORDER BY hv) - 1) % 32 AS INT)
+                       AS shard
+            FROM h
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM o GROUP BY shard"""
+
+
+LOCAL_ORACLE["q_shard_balance"] = _shard_balance_oracle()
+
+
 # image/audio perceptual pairs.  This block must stay LAST: the
 # r8-built functions register their LOCAL_ORACLE rows above, so the
 # pops only resolve after the whole module body ran.

@@ -134,3 +134,48 @@ def test_mixture_schedule_matches_single_phase_operator(spark):
         }
         for s, v in solo.items():
             assert sched[(phase_id, s)] == v
+
+
+def test_dedup_stats_conservation(spark):
+    """sum(n_docs) over the histogram equals the dup-corpus size;
+    sum(n_clusters) equals the post-dedup (one-keeper-per-cluster)
+    corpus size, which for an exact-copy corpus equals the exact-dedup
+    keeper count."""
+    from streaminglens_spark import cache
+    from streaminglens_spark.functions.dedup import dedup_exact, dedup_stats
+
+    # mutually DISSIMILAR texts (id-derived token soup, distinct shingle
+    # sets) so the only near-dups are the dup_corpus exact copies
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + k * 13) % 97}x{(i + k) % 11}"
+                      for k in range(20)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    try:
+        rows = dedup_stats(docs).collect()
+    finally:
+        cache.release_caches()
+    assert sum(r["n_docs"] for r in rows) == 60  # dup_corpus = 2x docs
+    keepers = dedup_exact(docs).count()
+    assert sum(r["n_clusters"] for r in rows) == keepers
+    # the injected corpus pairs every doc with its shifted copy: the
+    # histogram is exactly one size-2 bucket
+    assert {(r["cluster_size"], r["n_clusters"]) for r in rows} == {(2, 30)}
+
+
+def test_shard_balance_round_robin_invariants(spark):
+    """Doc counts across shards differ by at most 1 (round-robin), token
+    totals conserve the corpus, and shard ids are dense 0..n-1."""
+    from streaminglens_spark.functions.sampling import shard_balance
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + i % 17) + "end") for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = shard_balance(docs, n_shards=8).collect()
+    assert sorted(r["shard"] for r in rows) == list(range(8))
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1 and sum(counts) == 200
+    total_tokens = sum(6 + i % 17 for i in range(200))
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
