@@ -23,6 +23,7 @@ from .budget import (
 )
 from .dedup import loser_ids_of_batch, near_dedup_stream
 from .ingest import corpus_ingest_monitor, restore_ingest_state
+from .lines import dedup_lines_of_batch, line_dedup_monitor
 from .split import assign_splits_of_batch, split_assignment_monitor
 from .live import LiveAnalyzer, ProgressCapture, attach, detach, foreach_batch_monitor
 from .reporters import (
@@ -70,6 +71,8 @@ __all__ = [
     "restore_budget_state",
     "corpus_ingest_monitor",
     "assign_splits_of_batch",
+    "dedup_lines_of_batch",
+    "line_dedup_monitor",
     "split_assignment_monitor",
     "restore_ingest_state",
     "discounted_health_stream",

@@ -1,0 +1,126 @@
+"""Streaming cross-document line dedup (r11): first-occurrence line
+keepers across the stream's history.  Pins: bit-parity with the batch
+operator over the concatenated corpus (ids increasing across batches),
+the dup-line gauges, and the durable exactly-once contract (restart
+needs no driver state; replay re-delivers byte-identically)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from streaminglens_spark.streaming.lines import (
+    LINES_GAUGE_SOURCE,
+    line_dedup_monitor,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _drive(spark, src, files, state_path, checkpoint=None, sink_log=None):
+    os.makedirs(src, exist_ok=True)
+    published = []
+    body = line_dedup_monitor(
+        state_path,
+        cleaned_sink=(
+            (lambda df, bid: sink_log.append(
+                (bid, sorted(tuple(r) for r in df.collect()))))
+            if sink_log is not None else None
+        ),
+        gauge_sinks=[lambda s, g: published.append((s, g))],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    writer = stream.writeStream.foreachBatch(body).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        for name, recs in files:
+            path = os.path.join(src, name)
+            with open(path + ".tmp", "w") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
+            os.rename(path + ".tmp", path)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return published
+
+
+BATCHES = [
+    ("b1.json", [
+        {"doc_id": 1, "text": "alpha\nshared\nalpha"},
+        {"doc_id": 2, "text": "shared\nbeta"},
+    ]),
+    ("b2.json", [
+        {"doc_id": 11, "text": "shared\ngamma"},   # 'shared' seen in b1
+        {"doc_id": 12, "text": "beta"},            # fully emptied
+    ]),
+    ("b3.json", [
+        {"doc_id": 21, "text": "gamma\ndelta\nalpha"},
+    ]),
+]
+
+
+def test_stream_matches_batch_operator_bit_for_bit(spark, tmp_path):
+    """Per-doc digests from the stream equal the batch line_dedup over
+    the concatenated corpus -- the earliest batch holding a line owns
+    its global keeper when ids increase across batches."""
+    from streaminglens_spark.functions.text import line_dedup
+
+    sink = []
+    published = _drive(
+        spark, str(tmp_path / "src"), BATCHES, str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"), sink_log=sink,
+    )
+    streamed = sorted(t for _, rows in sink for t in rows)
+    alldocs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for _, recs in BATCHES for d in recs],
+        SCHEMA,
+    )
+    batch = sorted(tuple(r) for r in line_dedup(alldocs).collect())
+    assert streamed == batch
+    assert all(s == LINES_GAUGE_SOURCE for s, _ in published)
+    g2 = published[1][1]  # batch 2: 3 lines in, 1 kept (gamma), doc 12 emptied
+    assert (g2["inLines"], g2["keptLines"], g2["dupLines"]) == (3, 1, 2)
+    assert g2["emptiedDocs"] == 1
+
+
+def test_stream_lines_restart_and_replay(spark, tmp_path):
+    """A fresh monitor (no driver state) continues against the committed
+    line state; replaying a committed batch re-delivers byte-identically
+    without writing a new shard."""
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    sink1 = []
+    _drive(spark, src, BATCHES[:1], state_path,
+           checkpoint=ckpt, sink_log=sink1)
+    sink2 = []
+    _drive(spark, src, BATCHES[1:2], state_path,
+           checkpoint=ckpt, sink_log=sink2)
+    # 'shared' (kept in batch 0) and 'beta' are dups for the restarted
+    # monitor: doc 11 keeps only gamma, doc 12 empties
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert sink2[-1][1] == sorted([
+        (11, 2, 1, 5, md5("gamma")),
+        (12, 1, 0, 0, md5("")),
+    ])
+
+    replay_log = []
+    body = line_dedup_monitor(
+        state_path,
+        cleaned_sink=lambda df, bid: replay_log.append(
+            sorted(tuple(r) for r in df.collect())),
+    )
+    b1 = BATCHES[0][1]
+    body(spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1], SCHEMA), 0)
+    assert replay_log == [sink1[0][1]]
+    dirs = [n for n in os.listdir(state_path) if n.startswith("batch_id=")]
+    assert sorted(dirs) == ["batch_id=0", "batch_id=1"]
