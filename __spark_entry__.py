@@ -26,8 +26,8 @@ semantics in r11 -- residual-last micro weights), plus the stalest
 refresh slots: the seven r5-stale, all r6-, r7- and r8-stale queries
 (exactly 46; r11b then bumps the two freshest refresh slots for the
 late-built ``q_line_dedup``/``q_mixture_schedule``).  R12 priority
-candidates under this policy: ``q_dedup_stats`` and ``q_shard_balance``
-(added after the r11 rotation; never driver-proven), then the
+candidates under this policy: ``q_dedup_stats``, ``q_shard_balance`` and
+``q_seq_audit`` (added after the r11 rotation; never driver-proven), then the
 r8/r9-stale refresh slots.  A driver that ever evaluates more than 50
 must read LOCAL_ORACLE too -- do NOT widen ``queries()`` without removing
 the cap guard (``registry.py`` raises RuntimeError if len(ORACLE) != 50).

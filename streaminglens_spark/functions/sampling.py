@@ -794,3 +794,49 @@ def shard_balance(
             F.sum("_nt").cast("long").alias("n_tokens"),
         )
     )
+
+
+SEQ_AUDIT_LENGTHS = [128, 512, 1024, 2048]
+
+
+def seq_length_audit(
+    df: DataFrame, lengths: list[int] | None = None
+) -> DataFrame:
+    """Sequence-length / truncation-loss audit (r11 extension): for each
+    candidate ``max_seq_len``, how many docs would truncate and how many
+    tokens the corpus loses vs keeps -- the QA table behind the
+    PACK_SEQ_LEN / max-position-embeddings decision (too short loses
+    long-document signal; too long wastes padding or packing work).
+    Returns (seq_len, n_docs_truncated, tokens_lost, tokens_kept); all
+    pure integer arithmetic, engine-exact.
+
+    Scale shape: one map-only token count per doc, a broadcast cross
+    join against the O(|lengths|) candidate table, one map-side-combined
+    groupBy -- a single corpus scan regardless of candidate count."""
+    if lengths is None:
+        lengths = list(SEQ_AUDIT_LENGTHS)
+    if not lengths or any(int(x) <= 0 for x in lengths):
+        raise ValueError(f"lengths must be positive, got {lengths}")
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(int(x),) for x in lengths], "seq_len long"
+    )
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    ).cast("long")
+    return (
+        df.select(toks.alias("_nt"))
+        .crossJoin(F.broadcast(cand))
+        .groupBy("seq_len")
+        .agg(
+            F.sum(
+                F.when(F.col("_nt") > F.col("seq_len"), 1).otherwise(0)
+            ).cast("long").alias("n_docs_truncated"),
+            F.sum(F.greatest(F.col("_nt") - F.col("seq_len"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+            F.sum(F.least(F.col("_nt"), F.col("seq_len")))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )

@@ -7283,6 +7283,41 @@ def _shard_balance_oracle() -> str:
 LOCAL_ORACLE["q_shard_balance"] = _shard_balance_oracle()
 
 
+# --------------- r11: sequence-length / truncation-loss audit (QA)
+
+def q_seq_audit(spark, sf_dir):
+    """Truncation-loss audit (r11): per candidate max_seq_len, how many
+    docs truncate and how many tokens the corpus loses vs keeps -- the
+    QA table behind the PACK_SEQ_LEN decision.  Pure integers, one
+    corpus scan for all candidates."""
+    from .functions.sampling import seq_length_audit
+
+    return seq_length_audit(_docs(spark, sf_dir))
+
+
+def _seq_audit_oracle() -> str:
+    from .functions.sampling import SEQ_AUDIT_LENGTHS
+
+    vals = ", ".join(f"({int(x)})" for x in SEQ_AUDIT_LENGTHS)
+    return f"""
+        WITH n AS (
+            SELECT CAST(len(list_filter(string_split(text, ' '),
+                                        w -> len(w) > 0)) AS BIGINT) AS nt
+            FROM documents
+        ),
+        L(seq_len) AS (VALUES {vals})
+        SELECT CAST(seq_len AS BIGINT) AS seq_len,
+               CAST(SUM(CASE WHEN nt > seq_len THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_truncated,
+               CAST(SUM(GREATEST(nt - seq_len, 0)) AS BIGINT)
+                   AS tokens_lost,
+               CAST(SUM(LEAST(nt, seq_len)) AS BIGINT) AS tokens_kept
+        FROM n, L GROUP BY seq_len"""
+
+
+LOCAL_ORACLE["q_seq_audit"] = _seq_audit_oracle()
+
+
 # image/audio perceptual pairs.  This block must stay LAST: the
 # r8-built functions register their LOCAL_ORACLE rows above, so the
 # pops only resolve after the whole module body ran.

@@ -179,3 +179,32 @@ def test_shard_balance_round_robin_invariants(spark):
     assert max(counts) - min(counts) <= 1 and sum(counts) == 200
     total_tokens = sum(6 + i % 17 for i in range(200))
     assert sum(r["n_tokens"] for r in rows) == total_tokens
+
+
+def test_seq_length_audit_invariants(spark):
+    """Per candidate length: tokens_lost + tokens_kept conserve the
+    corpus token total; losses are monotone non-increasing in seq_len;
+    a candidate above every doc length truncates nothing; invalid
+    candidates raise."""
+    import pytest
+
+    from streaminglens_spark.functions.sampling import seq_length_audit
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 + 30 * (i % 4)) + "end") for i in range(40)],
+        "doc_id long, text string",
+    )
+    total = sum(11 + 30 * (i % 4) for i in range(40))
+    rows = {r["seq_len"]: r for r in
+            seq_length_audit(docs, [16, 64, 1024]).collect()}
+    assert set(rows) == {16, 64, 1024}
+    for r in rows.values():
+        assert r["tokens_lost"] + r["tokens_kept"] == total
+    losses = [rows[x]["tokens_lost"] for x in (16, 64, 1024)]
+    assert losses[0] >= losses[1] >= losses[2]
+    assert rows[1024]["n_docs_truncated"] == 0
+    assert rows[1024]["tokens_lost"] == 0
+    # docs with i%4==0 have 11 tokens (< 16): the other 30 truncate at 16
+    assert rows[16]["n_docs_truncated"] == 30
+    with pytest.raises(ValueError):
+        seq_length_audit(docs, [0])
