@@ -18,19 +18,18 @@ query has held a green driver CORRECTNESS row at least once (debt reached
 zero in r9), so rotation now refreshes the STALEST evidence -- each
 round's surface is the 50 queries whose last green driver row is oldest
 (ascending last-green round, alphabetical within a round), with NEW or
-semantically-CHANGED queries taking priority slots.  The r11 surface:
-``q_ingest_full`` (new -- the loader-tail flagship composition),
-``q_gopher_rules``/``q_temperature_mix``/``q_epoch_shuffle`` (added
-late in r10, never driver-proven; q_temperature_mix also changed
-semantics in r11 -- residual-last micro weights), plus the stalest
-refresh slots: the seven r5-stale, all r6-, r7- and r8-stale queries
-(exactly 46; r11b then bumps the two freshest refresh slots for the
-late-built ``q_line_dedup``/``q_mixture_schedule``).  R12 priority
-candidates under this policy: ``q_dedup_stats``, ``q_shard_balance`` and
-``q_seq_audit`` (added after the r11 rotation; never driver-proven), then the
-r8/r9-stale refresh slots.  A driver that ever evaluates more than 50
-must read LOCAL_ORACLE too -- do NOT widen ``queries()`` without removing
-the cap guard (``registry.py`` raises RuntimeError if len(ORACLE) != 50).
+semantically-CHANGED queries taking priority slots.  The r12 surface:
+``q_dedup_stats``/``q_shard_balance``/``q_seq_audit`` (built after the
+r11 rotation closed; never driver-proven -- r11 verdict ask #1), plus
+the stalest refresh slots: the two r8-stale queries (bumped by r11b)
+and the first 45 of the r9-stale batch alphabetically.  R13 priority
+candidates under this policy: any query new in r12 that missed the
+r12b bump, then the five remaining r9-stale refresh slots
+(``q_user_sequences``, ``q_vocab_drift``, ``q_watermark_advisor``,
+``q_winnow``, ``q_zorder``) and the r10-stale batch.  A driver that
+ever evaluates more than 50 must read LOCAL_ORACLE too -- do NOT widen
+``queries()`` without removing the cap guard (``registry.py`` raises
+RuntimeError if len(ORACLE) != 50).
 """
 
 from __future__ import annotations

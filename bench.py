@@ -237,11 +237,12 @@ def _env_probe() -> dict:
 
 
 def _wait_for_idle(threshold: float, timeout_sec: float) -> dict:
-    """Idle-gate (r10 verdict ask #2): the sf1 pass used to start while
-    the sf0.1 pass's teardown still had the box at load1 ~14, so the
-    committed artifact never held a rule-compliant sf1 number (the
-    attribution rule requires start load1 < ~2).  Bounded spin: wait for
-    the 1-minute loadavg to decay below ``threshold``, give up after
+    """Idle-gate (r10 verdict ask #2; r11 ask #2 extended it to the suite
+    start): passes used to start under residual load -- the sf1 pass
+    while the sf0.1 teardown had the box at load1 ~14, the whole r11
+    driver suite at load1 7.3 -- so the committed artifact violated the
+    attribution rule (start load1 < ~2).  Bounded spin: wait for the
+    1-minute loadavg to decay below ``threshold``, give up after
     ``timeout_sec`` with a logged forced start.  Returns the gate record
     for the env block."""
     t0 = time.time()
@@ -254,7 +255,7 @@ def _wait_for_idle(threshold: float, timeout_sec: float) -> dict:
             forced = True
             print(
                 f"# idle-gate: TIMEOUT after {timeout_sec:.0f}s "
-                f"(load1={l1:.2f}) -- forcing sf1 start",
+                f"(load1={l1:.2f}) -- forcing start",
                 file=sys.stderr,
             )
             break
@@ -296,6 +297,15 @@ def _sf1_dir() -> str | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # idle-gate the WHOLE suite, not just the sf1 transition (r11 verdict
+    # ask #2: BENCH_r11.json started at load1 7.3 -- an environmental
+    # artifact unusable for round-over-round comparison; the attribution
+    # rule requires start load1 < ~2).  Bounded spin, forced start logged
+    # in the env block like the sf1 gate.
+    start_gate = _wait_for_idle(
+        threshold=float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "2")),
+        timeout_sec=float(os.environ.get("SPARK_GRAFT_IDLE_TIMEOUT", "420")),
+    )
     spark = get_spark("streaminglens-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -319,6 +329,7 @@ def main() -> None:
     # record -- runs FIRST, before any sf1 data generation or sweep can
     # pollute the page cache / worker pool in the same session.
     env = _env_probe()
+    env["idle_gate"] = start_gate
     timings, total, bands = run_suite(spark, sf_dir, runs=2)
     env["load1_after"] = round(os.getloadavg()[0], 2)
 

@@ -641,9 +641,15 @@ def temperature_mixture_plan(
     the last (stratum-sorted) rounds independently, the last absorbs the
     residual ``1e6 - sum(others)`` -- so the integer targets satisfy
     ``sum(target_tokens) <= total_tokens`` unconditionally (each target
-    floors).  The residual assignment assumes the last stratum's true
-    weight share exceeds ``(#strata/2)/1e6`` (any real mixture does);
-    integer arithmetic throughout keeps every column engine-exact."""
+    floors).  Degenerate-residual guard (r11 ADVICE): if the last
+    stratum's true weight share is below the rounding overshoot
+    (~``(#strata/2)/1e6``) the residual would go NEGATIVE -- then the
+    last micro clamps to 0 and the deficit is subtracted from the
+    largest other micro instead (first in stratum order on ties), so
+    micros still sum exactly to 1e6 and no weight is ever negative
+    (the largest micro is >= 1e6/#strata, which dwarfs the <= #strata/2
+    deficit for any #strata < ~1414); integer arithmetic throughout
+    keeps every column engine-exact."""
     toks = F.size(F.split(F.col("text"), " ")).cast("long")
     counts = df.select(F.col(stratum).alias("stratum"), toks.alias("ntok")).groupBy(
         "stratum"
@@ -693,16 +699,42 @@ def _mixture_plan_from_counts(
         "_rsum",
         F.aggregate("_rm", F.lit(0).cast("long"), lambda a, x: a + x),
     )
+    # residual for the last micro; if NEGATIVE (degenerate: the last
+    # stratum's weight share is below the rounding overshoot -- r11
+    # ADVICE) the last clamps to 0 and the deficit comes off the largest
+    # OTHER micro (first occurrence of the max value = first in stratum
+    # order on ties, identical to the SQL/driver mirrors)
+    one = one.withColumn(
+        "_resid",
+        F.lit(1_000_000).cast("long")
+        - (F.col("_rsum") - F.element_at("_rm", -1)),
+    ).withColumn(
+        "_amax",
+        F.when(
+            F.size("_rm") > 1,
+            F.array_position(
+                "_rm",
+                F.array_max(F.slice(F.col("_rm"), F.lit(1), F.size("_rm") - 1)),
+            ),
+        ).otherwise(F.lit(1).cast("long")),
+    )
     exploded = one.select(
         F.col("_rsum"),
+        F.col("_resid"),
+        F.col("_amax"),
         F.size("_arr").alias("_n"),
         F.posexplode(F.arrays_zip("_arr", "_rm")).alias("_pos", "_z"),
     )
     rm_i = F.col("_z").getField("_rm")
+    last = F.col("_pos") == F.col("_n") - 1
     wm = F.when(
-        F.col("_pos") == F.col("_n") - 1,
-        F.lit(1_000_000).cast("long") - (F.col("_rsum") - rm_i),
-    ).otherwise(rm_i)
+        F.col("_resid") >= 0,
+        F.when(last, F.col("_resid")).otherwise(rm_i),
+    ).otherwise(
+        F.when(last, F.lit(0).cast("long"))
+        .when(F.col("_pos") == F.col("_amax") - 1, rm_i + F.col("_resid"))
+        .otherwise(rm_i)
+    )
     return (
         exploded.select(
             F.col("_z").getField("_arr").getField("stratum").alias("stratum"),

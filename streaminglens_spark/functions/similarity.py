@@ -302,20 +302,24 @@ def ivf_topk(
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
+    caller_owned = centroids is not None
     cents = centroids if centroids is not None else ivf_centroids(embeddings)
     # cents feeds TWO consumers (corpus fold + query probes): persist the
     # k-row table so an expensive upstream fit (kmeans_fit) runs once.
-    # ADVICE r6: when the caller already persisted the centroids (the
-    # q_shared_fit fit-once path) they own materialization -- skip the
-    # bookkeeping (track is idempotent since r7).  count() ALWAYS runs:
-    # on a materialized cache it is a ~ms cached-scan job, and on a
-    # persisted-but-never-materialized caller table it fills the cache
-    # BEFORE the two consumer subtrees race to compute the fit on
-    # concurrent broadcast threads (r7 review finding).
+    # Materialization OWNERSHIP (r11 verdict ask #6): caller-supplied
+    # centroids are the caller's to materialize -- building this plan
+    # runs ZERO jobs (q_shared_fit's laziness pin); the persisted table
+    # still computes exactly once at first action (cache substitution at
+    # planning time + block-level get-or-compute locks serialize the
+    # concurrent broadcast threads of the r7 review's race).  The
+    # INTERNAL-fit path keeps the eager fill: count() on a materialized
+    # cache is a ~ms cached-scan job and the fit never leaks out of this
+    # builder anyway.
     from ..cache import track
 
     cents = track(cents)
-    cents.count()
+    if not caller_owned:
+        cents.count()
     # r6 plan fix: the corpus side needs only the ARGMAX cell, so it uses
     # the fold over the cell-ascending broadcast centroid array (a pure
     # projection -- the old row_number window shuffled all n x k scored
@@ -402,11 +406,15 @@ def ann_topk(
     fit -- a real pipeline fits the quantizer ONCE and feeds it to every
     consumer (``ann_topk``, ``semantic_dedup_pairs``, ``ann_increment``);
     see ``registry.q_shared_fit`` for the fit-once composition."""
-    cents = (
-        centroids
-        if centroids is not None
-        else kmeans_fit(embeddings, k=n_cells, iters=iters)
-    )
+    if centroids is None:
+        # internal fit: THIS builder owns materialization (ivf_topk sees
+        # a caller-supplied table and defers per the ownership contract)
+        from ..cache import track
+
+        cents = track(kmeans_fit(embeddings, k=n_cells, iters=iters))
+        cents.count()
+    else:
+        cents = centroids
     return ivf_topk(
         embeddings, n_queries=n_queries, k=k, nprobe=nprobe, centroids=cents
     )
@@ -450,6 +458,7 @@ def semantic_dedup_pairs(
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
+    caller_owned = centroids is not None
     cents = (
         centroids
         if centroids is not None
@@ -463,12 +472,16 @@ def semantic_dedup_pairs(
 
     emb = scan_parallel(emb)
     assign = _fold_assign(emb, cents).select("cell", "vec_id", "v", "nrm")
-    # materialize before the self-join fan-out: both sides would otherwise
-    # recompute the assignment fold (the ivf_topk / minhash lesson)
+    # persist before the self-join fan-out: both sides would otherwise
+    # recompute the assignment fold (the ivf_topk / minhash lesson).
+    # Eager only on the internal-fit path -- a caller-owned fit defers to
+    # first action (the ivf_topk ownership contract, r11 verdict ask #6);
+    # the persisted fold still computes once (block-level locks).
     from ..cache import track
 
     assign = track(assign)
-    assign.count()
+    if not caller_owned:
+        assign.count()
     counts = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     assign = assign.join(F.broadcast(counts), "cell").withColumn(
         "block",

@@ -459,6 +459,8 @@ def pack_sequences(
     n_shards: int = PACK_N_SHARDS,
     bucket_width: int = 8192,
     tokens_col: str | None = None,
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (round-4 extension): the step that
     turns a document corpus into fixed-length training sequences -- every
@@ -485,18 +487,33 @@ def pack_sequences(
     construction, so floor == div; the repo's div-bucketing
     precondition); pinned in ``tests/test_extensions_r4.py``.
     Returns (doc_id, shard, n_tokens, token_offset, first_seq, last_seq,
-    n_seqs)."""
+    n_seqs).
+
+    ``shard_col``/``order_col`` (r12, the epoch-order pack): composed
+    pipelines pack the TRAINING stream, whose shard and concatenation
+    order come from the epoch shuffle (``corpus_shuffle``'s round-robin
+    shard + ``shuffle_pos``), not from the doc id.  Defaults keep the
+    r4 contract (shard = doc_id % n_shards, order = doc_id) bit-exactly;
+    ``order_col`` must be a nonnegative integer monotone in the intended
+    per-shard concatenation order (the div-bucketing precondition)."""
     from pyspark.sql import Window
 
     # tokens_col: composed pipelines (ingest_e2e) pack documents whose
     # cleaned text exists only as a digest + token count; default counts
     # the text column's whitespace tokens
     toks = F.col(tokens_col) if tokens_col is not None else F.size(_tokens())
+    shard = (
+        F.col(shard_col).cast("int")
+        if shard_col is not None
+        else (F.col("doc_id") % n_shards).cast("int")
+    )
+    order = F.col(order_col) if order_col is not None else F.col("doc_id")
     base = documents.select(
         "doc_id",
-        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        shard.alias("shard"),
         toks.cast("long").alias("n_tokens"),
-    ).withColumn("_b", F.expr(f"doc_id div {int(bucket_width)}"))
+        order.cast("long").alias("_ord"),
+    ).withColumn("_b", F.expr(f"_ord div {int(bucket_width)}"))
     wb = Window.partitionBy("shard").orderBy("_b")
     offsets = (
         base.groupBy("shard", "_b")
@@ -510,7 +527,7 @@ def pack_sequences(
         )
         .select("shard", "_b", "_before")
     )
-    wr = Window.partitionBy("shard", "_b").orderBy("doc_id")
+    wr = Window.partitionBy("shard", "_b").orderBy("_ord")
     off = (
         F.col("_before")
         + F.sum("n_tokens").over(
@@ -950,6 +967,8 @@ def sequence_manifest(
     n_shards: int = PACK_N_SHARDS,
     bucket_width: int = 8192,
     tokens_col: str | None = None,
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Loader-side index of the packed stream (r8): one row per (shard,
     sequence) describing exactly which documents fill it and where --
@@ -970,7 +989,8 @@ def sequence_manifest(
     from pyspark.sql import functions as F
 
     packed = pack_sequences(documents, seq_len, n_shards, bucket_width,
-                             tokens_col=tokens_col)
+                             tokens_col=tokens_col, shard_col=shard_col,
+                             order_col=order_col)
     seqs = packed.select(
         "shard",
         "doc_id",

@@ -5036,13 +5036,22 @@ def q_shared_fit(spark, sf_dir):
     of both consumers (src='ann': top-k neighbors; src='sem': semantic
     near-dup pairs), which makes the shared fit oracle-checkable in one
     hash: the DuckDB side unrolls the Lloyd CTEs ONCE and feeds both
-    tails from the same ``assign`` relation."""
+    tails from the same ``assign`` relation.
+
+    Laziness (r11 verdict ask #6): building this DataFrame runs ZERO
+    Spark jobs beyond the table load's parquet-footer metadata read
+    (pinned in tests/test_plans.py) -- the former eager
+    ``cents.count()`` ran the fit before the driver's timer started the
+    returned plan.  The fit still executes exactly once: ``track()``
+    persists the centroids, the cache manager swaps BOTH consumer
+    subtrees for the same InMemoryRelation at first-action planning
+    time, and block-level get-or-compute locks make each cached
+    partition compute once even with both tails in one job."""
     from .cache import track
     from .functions.similarity import ann_topk, kmeans_fit, semantic_dedup_pairs
 
     emb = _emb(spark, sf_dir)
     cents = track(kmeans_fit(emb, k=8, iters=5))
-    cents.count()  # materialize the fit once; both consumers reuse it
     ann = ann_topk(emb, centroids=cents).select(
         F.lit("ann").alias("src"),
         F.col("query_vec_id").alias("id_a"),
@@ -6967,7 +6976,10 @@ LOCAL_ORACLE["q_temperature_mix"] = f"""
         FROM wtd
     ),
     -- r11: last (stratum-sorted) weight absorbs the residual so micros
-    -- sum EXACTLY to 1e6 (mirrors temperature_mixture_plan)
+    -- sum EXACTLY to 1e6 (mirrors temperature_mixture_plan); r12: a
+    -- NEGATIVE residual clamps the last micro to 0 and the deficit
+    -- comes off the largest other micro (first in stratum order on
+    -- ties) -- the degenerate-residual guard, same in all mirrors
     r AS (
         SELECT stratum, n_tokens,
                CAST(round(w / d * 1000000) AS BIGINT) AS rm,
@@ -6976,15 +6988,33 @@ LOCAL_ORACLE["q_temperature_mix"] = f"""
                CAST(SUM(CAST(round(w / d * 1000000) AS BIGINT)) OVER ()
                     AS BIGINT) AS rsum
         FROM wtd, den
+    ),
+    r2 AS (
+        SELECT *,
+               1000000 - (rsum - MAX(CASE WHEN rn = cnt THEN rm END)
+                                 OVER ()) AS resid,
+               MAX(CASE WHEN rn < cnt THEN rm END) OVER () AS max_others
+        FROM r
+    ),
+    r3 AS (
+        SELECT *,
+               MIN(CASE WHEN rn < cnt AND rm = max_others THEN rn END)
+                   OVER () AS amax_rn
+        FROM r2
+    ),
+    wmf AS (
+        SELECT stratum, n_tokens,
+               CAST(CASE WHEN resid >= 0 THEN
+                             (CASE WHEN rn = cnt THEN resid ELSE rm END)
+                         WHEN rn = cnt THEN 0
+                         WHEN rn = amax_rn THEN rm + resid
+                         ELSE rm END AS BIGINT) AS weight_micro
+        FROM r3
     )
-    SELECT stratum, n_tokens,
-           CAST(CASE WHEN rn = cnt THEN 1000000 - (rsum - rm)
-                     ELSE rm END AS BIGINT) AS weight_micro,
-           CAST(({TEMP_MIX_TOTAL} *
-                 (CASE WHEN rn = cnt THEN 1000000 - (rsum - rm)
-                       ELSE rm END))
+    SELECT stratum, n_tokens, weight_micro,
+           CAST(({TEMP_MIX_TOTAL} * weight_micro)
                 // 1000000 AS BIGINT) AS target_tokens
-    FROM r"""
+    FROM wmf"""
 
 
 # -------------- r11: ingest flagship + loader tail (r10 verdict ask #4)
@@ -7168,22 +7198,39 @@ def _mixture_schedule_oracle() -> str:
            CAST(({int(phase_tokens)} * weight_micro) // 1000000
                 AS BIGINT) AS target_tokens
     FROM (
+        -- r12 degenerate-residual guard (see q_temperature_mix)
         SELECT stratum, n_tokens,
-               CAST(CASE WHEN rn = cnt THEN 1000000 - (rsum - rm)
+               CAST(CASE WHEN resid >= 0 THEN
+                             (CASE WHEN rn = cnt THEN resid ELSE rm END)
+                         WHEN rn = cnt THEN 0
+                         WHEN rn = amax_rn THEN rm + resid
                          ELSE rm END AS BIGINT) AS weight_micro
         FROM (
-            SELECT stratum, n_tokens,
-                   CAST(round(w / d * 1000000) AS BIGINT) AS rm,
-                   row_number() OVER (ORDER BY stratum) AS rn,
-                   COUNT(*) OVER () AS cnt,
-                   CAST(SUM(CAST(round(w / d * 1000000) AS BIGINT))
-                        OVER () AS BIGINT) AS rsum
-            FROM (SELECT stratum, n_tokens, {wexpr} AS w FROM counts),
-                 (SELECT list_reduce(
-                             list_prepend(CAST(0.0 AS DOUBLE),
-                                          list(w ORDER BY stratum)),
-                             (a, b) -> a + b) AS d
-                  FROM (SELECT stratum, {wexpr} AS w FROM counts))
+            SELECT *,
+                   MIN(CASE WHEN rn < cnt AND rm = max_others THEN rn END)
+                       OVER () AS amax_rn
+            FROM (
+                SELECT *,
+                       1000000 - (rsum - MAX(CASE WHEN rn = cnt THEN rm
+                                             END) OVER ()) AS resid,
+                       MAX(CASE WHEN rn < cnt THEN rm END) OVER ()
+                           AS max_others
+                FROM (
+                    SELECT stratum, n_tokens,
+                           CAST(round(w / d * 1000000) AS BIGINT) AS rm,
+                           row_number() OVER (ORDER BY stratum) AS rn,
+                           COUNT(*) OVER () AS cnt,
+                           CAST(SUM(CAST(round(w / d * 1000000) AS BIGINT))
+                                OVER () AS BIGINT) AS rsum
+                    FROM (SELECT stratum, n_tokens, {wexpr} AS w
+                          FROM counts),
+                         (SELECT list_reduce(
+                                     list_prepend(CAST(0.0 AS DOUBLE),
+                                                  list(w ORDER BY stratum)),
+                                     (a, b) -> a + b) AS d
+                          FROM (SELECT stratum, {wexpr} AS w FROM counts))
+                )
+            )
         )
     )""")
     return (
@@ -7612,6 +7659,78 @@ _ROTATED_IN_R11B = ["q_line_dedup", "q_mixture_schedule"]
 for _name in _ROTATED_OUT_R11B:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R11B:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
+# ----------------- r12 rotation: stalest-first refresh (r11 verdict #1)
+# Priority slots: q_dedup_stats / q_shard_balance / q_seq_audit (built
+# after the r11 rotation closed -- the only queries never to hold a
+# driver row; r11 verdict ask #1 names them explicitly).  Refresh
+# slots, stalest first per the policy: the two r8-stale queries
+# (q_probe_image / q_resize_image, bumped by r11b), then the r9-stale
+# batch in alphabetical order (45 of its 50 fit; the alphabetically
+# last five -- q_user_sequences, q_vocab_drift, q_watermark_advisor,
+# q_winnow, q_zorder -- wait for r13).  The r11 surface (all green in
+# r11, the freshest evidence) rotates out wholesale; every rotated-out
+# query keeps its two-SF local oracle check on every test run.
+_ROTATED_OUT_R12 = list(_ROTATED_IN_R11) + list(_ROTATED_IN_R11B)
+for _name in _ROTATED_OUT_R11B:
+    _ROTATED_OUT_R12.remove(_name)
+_ROTATED_IN_R12 = [
+    "q_dedup_stats",
+    "q_shard_balance",
+    "q_seq_audit",
+    "q_probe_image",
+    "q_resize_image",
+    "q_ann_increment",
+    "q_ann_refit",
+    "q_asof_join",
+    "q_audio_dups",
+    "q_audio_fp",
+    "q_bloom_prune",
+    "q_bm25_search",
+    "q_bpe_merges",
+    "q_bpe_sampled",
+    "q_canon_urls",
+    "q_chunk_docs",
+    "q_corpus_pipeline_v2",
+    "q_dedup_increment",
+    "q_domain_cap",
+    "q_dup_passages",
+    "q_group_split",
+    "q_hdr_quantiles",
+    "q_hdr_windowed",
+    "q_image_ahash",
+    "q_image_dups",
+    "q_key_skew",
+    "q_langid_eval",
+    "q_partition_advisor",
+    "q_ppl_filter",
+    "q_pq_increment",
+    "q_pq_refit",
+    "q_pq_rerank",
+    "q_pq_topk",
+    "q_probe_video",
+    "q_profile_events",
+    "q_props_stats",
+    "q_quality_budget",
+    "q_quality_classifier",
+    "q_semantic_decontam",
+    "q_semantic_dedup",
+    "q_seq_manifest",
+    "q_shared_fit",
+    "q_shared_spans",
+    "q_sla_recommend",
+    "q_softdedup",
+    "q_source_manifest",
+    "q_source_overlap",
+    "q_span_dedup",
+    "q_token_budget",
+    "q_user_features",
+]
+for _name in _ROTATED_OUT_R12:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R12:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 
 

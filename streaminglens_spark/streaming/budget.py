@@ -56,11 +56,15 @@ class BudgetAdmissionState:
         self.folded_batches: set[int] = set()
 
     def remaining(self) -> dict[str, int]:
-        """Strata that still admit: budget minus ledger, positive only."""
+        """Strata that still admit: budget minus ledger, positive only.
+        ``spent`` may lack keys budgets has (the mixture ledger targets
+        every SEEN stratum, but only ADMITTED strata ever fold -- a
+        stratum whose target floors to 0 in its introducing batch is
+        never admitted; r11 ADVICE), so missing keys read as 0."""
         return {
-            s: b - self.spent[s]
+            s: b - self.spent.get(s, 0)
             for s, b in self.budgets.items()
-            if b - self.spent[s] > 0
+            if b - self.spent.get(s, 0) > 0
         }
 
     def fold(self, admitted_rows, accumulate: bool = True) -> dict:
@@ -77,7 +81,9 @@ class BudgetAdmissionState:
             if accumulate:
                 self.spent[s] = self.spent.get(s, 0) + nt
         exhausted = sum(
-            1 for s, b in self.budgets.items() if self.spent[s] >= b
+            1
+            for s, b in self.budgets.items()
+            if self.spent.get(s, 0) >= b  # .get: see remaining()
         )
         return {
             "admittedDocs": docs,
@@ -95,7 +101,10 @@ def restore_budget_state(
     run's."""
     state = BudgetAdmissionState(budgets)
     for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
-        state.fold(spark.read.parquet(f"{d}/admitted").collect())
+        state.fold(
+            spark.read.schema(_SEEN_SCHEMA)
+            .parquet(f"{d}/admitted").collect()
+        )
         state.folded_batches.add(_batch_id_of(d))
     return state
 
@@ -138,7 +147,10 @@ def budget_admission_monitor(
                 # committed shard into the SAME state object the caller
                 # holds before admitting anything
                 for d in _committed_batch_dirs(spark_, shard_path):
-                    state.fold(spark_.read.parquet(f"{d}/admitted").collect())
+                    state.fold(
+                        spark_.read.schema(_SEEN_SCHEMA)
+                        .parquet(f"{d}/admitted").collect()
+                    )
                     state.folded_batches.add(_batch_id_of(d))
                 restored = True
             replayed = False
@@ -160,7 +172,8 @@ def budget_admission_monitor(
                     replayed = True
                     prior = {
                         r["stratum"]: int(r["n_tokens"])
-                        for r in spark_.read.parquet(f"{out}/admitted").collect()
+                        for r in spark_.read.schema(_SEEN_SCHEMA)
+                        .parquet(f"{out}/admitted").collect()
                     }
                     remaining = {
                         s: b - (state.spent.get(s, 0) - prior.get(s, 0))
@@ -228,8 +241,12 @@ def temperature_targets(
     order, micro weights round HALF_UP on the shortest-roundtrip decimal
     (Spark's ``round(double)`` is ``BigDecimal.valueOf(d).setScale(0,
     HALF_UP)``; ``Decimal(repr(x))`` is the same decimal value), the
-    last stratum absorbs the residual so micros sum exactly to 1e6, and
-    targets floor -- so ``sum(targets) <= total_tokens``."""
+    last stratum absorbs the residual so micros sum exactly to 1e6
+    (with the degenerate-residual clamp: a negative residual zeroes the
+    last micro and the deficit comes off the largest other micro, first
+    in stratum order on ties -- r11 ADVICE, mirrored in
+    ``_mixture_plan_from_counts`` and the oracles), and targets floor --
+    so ``sum(targets) <= total_tokens``."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -253,7 +270,12 @@ def temperature_targets(
         )
         for x in ws
     ]
-    rm[-1] = 1_000_000 - (sum(rm) - rm[-1])
+    resid = 1_000_000 - (sum(rm) - rm[-1])
+    if resid >= 0:
+        rm[-1] = resid
+    else:  # degenerate: clamp last at 0, deficit off the largest other
+        rm[-1] = 0
+        rm[rm.index(max(rm[:-1]))] += resid
     return {
         s: int(total_tokens) * m // 1_000_000 for s, m in zip(strata, rm)
     }
@@ -305,8 +327,13 @@ def restore_mixture_state(
     uninterrupted run's."""
     state = MixtureBudgetState(total_tokens, sqrt_steps)
     for d in _committed_batch_dirs(spark, shard_path) if shard_path else []:
-        state.fold_seen(spark.read.parquet(f"{d}/seen").collect())
-        state.fold(spark.read.parquet(f"{d}/admitted").collect())
+        state.fold_seen(
+            spark.read.schema(_SEEN_SCHEMA).parquet(f"{d}/seen").collect()
+        )
+        state.fold(
+            spark.read.schema(_SEEN_SCHEMA)
+            .parquet(f"{d}/admitted").collect()
+        )
         state.folded_batches.add(_batch_id_of(d))
     state.budgets = state.targets()
     return state
@@ -364,9 +391,13 @@ def mixture_admission_monitor(
             if not restored:
                 for d in _committed_batch_dirs(spark_, shard_path):
                     state.fold_seen(
-                        spark_.read.parquet(f"{d}/seen").collect()
+                        spark_.read.schema(_SEEN_SCHEMA)
+                        .parquet(f"{d}/seen").collect()
                     )
-                    state.fold(spark_.read.parquet(f"{d}/admitted").collect())
+                    state.fold(
+                        spark_.read.schema(_SEEN_SCHEMA)
+                        .parquet(f"{d}/admitted").collect()
+                    )
                     state.folded_batches.add(_batch_id_of(d))
                 restored = True
             toks = F.size(
@@ -398,7 +429,8 @@ def mixture_admission_monitor(
                 targets = state.targets()
                 prior = {
                     r["stratum"]: int(r["n_tokens"])
-                    for r in spark_.read.parquet(f"{out}/admitted").collect()
+                    for r in spark_.read.schema(_SEEN_SCHEMA)
+                    .parquet(f"{out}/admitted").collect()
                 }
                 remaining = {
                     s: t - (state.spent.get(s, 0) - prior.get(s, 0))

@@ -310,6 +310,145 @@ def compact_index(spark, state_path, dir_cache=None) -> int | None:
     return new_id
 
 
+def compact_tables(
+    spark, state_path, tables: dict[str, str], dir_cache=None
+) -> int | None:
+    """GENERIC generation compaction (r11 ADVICE: the lines/split
+    monitors folded every committed per-batch shard on every trigger,
+    O(total batches) per-trigger planning cost forever) for any monitor
+    whose committed state is a set of append-only per-batch tables:
+    fold the latest generation plus the newer batch shards of every
+    table in ``tables`` (sub-table name -> batch schema) into
+    ``<state_path>/compacted/gen=<max_batch_id>`` with ``src_batch``
+    provenance (so a replayed batch's rows can still be excluded from
+    the pre-batch view after its shard was compacted), seal under the
+    atomic ``_COMMITTED`` marker, then drop the superseded generation
+    and prune the folded batch dirs to their markers.  The crash
+    story is ``compact_index``'s: before the seal readers use the old
+    generation, after it the next compaction finishes the cleanup.
+    Returns the new generation id, or None when nothing new exists."""
+    from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, state_path)
+
+    def _rm(path: str) -> None:
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    gens = _committed_generations(spark, state_path)
+    for g in gens[:-1]:  # finish interrupted cleanup: one live generation
+        _rm(g)
+    gen = gens[-1] if gens else None
+    gen_id = _gen_id_of(gen) if gen else -1
+    listed = (
+        dir_cache.list(spark, state_path)
+        if dir_cache is not None
+        else _committed_batch_dirs(spark, state_path)
+    )
+    # finish any interrupted post-seal prune
+    for d in listed:
+        if _batch_id_of(d) <= gen_id:
+            for sub in tables:
+                _rm(f"{d}/{sub}")
+    dirs = [d for d in listed if _batch_id_of(d) > gen_id]
+    if not dirs:
+        return None
+    new_id = max(_batch_id_of(d) for d in dirs)
+    out = f"{state_path}/compacted/gen={new_id}"
+    for sub, schema in tables.items():
+        parts = []
+        if gen is not None:
+            parts.append(
+                spark.read.schema(schema + ", src_batch long").parquet(
+                    f"{gen}/{sub}"
+                )
+            )
+        for d in dirs:
+            parts.append(
+                spark.read.schema(schema)
+                .parquet(f"{d}/{sub}")
+                .withColumn(
+                    "src_batch", F.lit(_batch_id_of(d)).cast("long")
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged.write.mode("overwrite").parquet(f"{out}/{sub}")
+    fs.create(
+        spark._jvm.org.apache.hadoop.fs.Path(f"{out}/{_COMMIT_MARKER}"), True
+    ).close()
+    if gen:
+        _rm(gen)
+    for d in dirs:
+        for sub in tables:
+            _rm(f"{d}/{sub}")
+    return new_id
+
+
+def committed_table_view(
+    spark, state_path, sub, schema, dir_cache=None, exclude_batch=None
+):
+    """One table's cumulative committed view: the latest generation
+    (``compact_tables``) plus the batch shards newer than it -- O(1)
+    generations + O(recent) parquet dirs per trigger.  ``exclude_batch``
+    drops that batch's rows everywhere (the replay path's pre-batch
+    view): newer shards by directory, generation rows by ``src_batch``."""
+    gens = _committed_generations(spark, state_path)
+    gen_id = _gen_id_of(gens[-1]) if gens else -1
+    listed = (
+        dir_cache.list(spark, state_path)
+        if dir_cache is not None
+        else _committed_batch_dirs(spark, state_path)
+    )
+    dirs = [
+        d
+        for d in listed
+        if _batch_id_of(d) > gen_id
+        and (exclude_batch is None or _batch_id_of(d) != exclude_batch)
+    ]
+    parts = []
+    if gens:
+        g = spark.read.schema(schema + ", src_batch long").parquet(
+            f"{gens[-1]}/{sub}"
+        )
+        if exclude_batch is not None:
+            g = g.filter(F.col("src_batch") != int(exclude_batch))
+        parts.append(g.drop("src_batch"))
+    if dirs:
+        parts.append(
+            spark.read.schema(schema).parquet(*[f"{d}/{sub}" for d in dirs])
+        )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def maybe_compact_tables(
+    spark, state_path, tables: dict[str, str], dir_cache, compact_every: int
+) -> int | None:
+    """The compaction cadence shared by the lines/split monitors: once
+    ``compact_every`` batches committed since the last generation, fold
+    them (``compact_tables``).  Call AFTER delivery -- a compaction
+    crash costs nothing, the next batch retries."""
+    if not compact_every:
+        return None
+    gens = _committed_generations(spark, state_path)
+    gen_id = _gen_id_of(gens[-1]) if gens else -1
+    pending = sum(
+        1
+        for d in dir_cache.list(spark, state_path)
+        if _batch_id_of(d) > gen_id
+    )
+    if pending >= compact_every:
+        return compact_tables(spark, state_path, tables, dir_cache=dir_cache)
+    return None
+
+
 def _fold_committed_admissions(spark, state_path, state, dir_cache=None):
     """Fold every committed admission shard into ``state``: the latest
     generation's consolidated ``admitted``/``batches`` tables (TWO parquet

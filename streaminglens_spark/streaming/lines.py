@@ -24,9 +24,12 @@ Durability is the repo's shard contract: per batch ONE atomic
 ``_COMMITTED`` marker seals the ``lines`` table (the batch's NEWLY-kept
 fingerprints).  A replayed batch recomputes against the pre-batch view
 (its own shard excluded) and re-delivers byte-identically; restart
-needs no driver state.  Per-trigger reads are O(committed dirs) parquet
-folds bounded by the committed-dir cache; the ingest generation
-compaction applies verbatim if a deployment needs it.
+needs no driver state.  Per-trigger reads are O(1) generations +
+O(recent) shards: every ``compact_every`` committed batches the
+per-batch ``lines`` shards fold into one generation
+(``ingest.compact_tables``, r11 ADVICE -- without it the per-trigger
+read cost grew O(total batches) over the stream's life), with
+``src_batch`` provenance keeping compacted batches replayable.
 
 Delivery: per batch doc, (doc_id, n_lines, n_kept, clean_len,
 clean_md5) -- the batch operator's output convention (digests, never
@@ -39,24 +42,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .annmaint import _batch_id_of, _write_shard_batch
-from .ingest import _BatchDirCache
+from .annmaint import _write_shard_batch
+from .ingest import (
+    INDEX_COMPACT_EVERY,
+    _BatchDirCache,
+    committed_table_view,
+    maybe_compact_tables,
+)
 
 LINES_GAUGE_SOURCE = "spark.streaming.lineDedup"
 
 _LINES_SCHEMA = "line_md5 string"
+_LINES_TABLES = {"lines": _LINES_SCHEMA}
 
 
 def _committed_lines(spark, state_path, dir_cache, exclude_batch=None):
-    dirs = [
-        d
-        for d in dir_cache.list(spark, state_path)
-        if exclude_batch is None or _batch_id_of(d) != exclude_batch
-    ]
-    if not dirs:
-        return spark.createDataFrame([], _LINES_SCHEMA)
-    return spark.read.schema(_LINES_SCHEMA).parquet(
-        *[f"{d}/lines" for d in dirs]
+    return committed_table_view(
+        spark, state_path, "lines", _LINES_SCHEMA, dir_cache,
+        exclude_batch=exclude_batch,
     )
 
 
@@ -131,12 +134,14 @@ def line_dedup_monitor(
     analyzer=None,
     gauge_sinks=None,
     key: str = "doc_id",
+    compact_every: int = INDEX_COMPACT_EVERY,
 ):
     """Build the ``foreachBatch`` body.  Input stream schema: (doc_id,
     text, ...); document ids must be globally increasing across batches
     (the first-occurrence orientation).  ``cleaned_sink(df, batch_id)``
     receives each batch's cleaned-doc digests -- exactly once under
-    replay."""
+    replay.  Every ``compact_every`` committed batches the lines shards
+    fold into one generation (0 disables)."""
     from ..cache import tracked_caches
     from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
 
@@ -193,5 +198,9 @@ def line_dedup_monitor(
                 pass  # fail-open, the analyzer's sink contract
         if cleaned_sink is not None:
             cleaned_sink(cleaned, batch_id)
+        if not replayed:
+            maybe_compact_tables(
+                spark_, state_path, _LINES_TABLES, dir_cache, compact_every
+            )
 
     return _body

@@ -33,8 +33,9 @@ restart needs no driver state at all -- the roots tables ARE the state.
 
 Scale shape: the per-trigger reads are the ingest monitor's
 (committed-dir cache bounds metadata RPCs; the index/roots folds are
-O(dirs) parquet reads -- the generation-compaction machinery of
-``streaming/ingest.py`` applies verbatim if a deployment needs it); the
+O(1) generations + O(recent) shards -- every ``compact_every``
+committed batches they fold into one generation via
+``ingest.compact_tables``, r11 ADVICE); the
 match join is the banded index join with the hot-bucket hygiene rule;
 the batch-internal clustering is bounded by batch size; everything else
 is id-keyed joins.  Document ids must be globally increasing across
@@ -49,25 +50,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .annmaint import _batch_id_of, _write_shard_batch
-from .ingest import _BatchDirCache
+from .annmaint import _write_shard_batch
+from .ingest import (
+    INDEX_COMPACT_EVERY,
+    _BatchDirCache,
+    committed_table_view,
+    maybe_compact_tables,
+)
 
 SPLIT_GAUGE_SOURCE = "spark.streaming.splitAssignment"
 
 _SPLIT_INDEX_SCHEMA = "doc_id long, md5_fp string, mh array<bigint>"
 _ROOTS_SCHEMA = "doc_id long, root long, split string"
+_SPLIT_TABLES = {"index": _SPLIT_INDEX_SCHEMA, "roots": _ROOTS_SCHEMA}
 
 
 def _committed_table(spark, state_path, sub, schema, dir_cache,
                      exclude_batch=None):
-    dirs = [
-        d
-        for d in dir_cache.list(spark, state_path)
-        if exclude_batch is None or _batch_id_of(d) != exclude_batch
-    ]
-    if not dirs:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*[f"{d}/{sub}" for d in dirs])
+    return committed_table_view(
+        spark, state_path, sub, schema, dir_cache,
+        exclude_batch=exclude_batch,
+    )
 
 
 def assign_splits_of_batch(
@@ -158,11 +161,14 @@ def split_assignment_monitor(
     analyzer=None,
     gauge_sinks=None,
     key: str = "doc_id",
+    compact_every: int = INDEX_COMPACT_EVERY,
 ):
     """Build the ``foreachBatch`` body.  Input stream schema: (doc_id,
     text, ...).  ``assigned_sink(df, batch_id)`` receives each batch's
     (doc_id, root, split, attached) rows -- exactly once under replay
-    (byte-identical re-delivery from the pre-batch committed view)."""
+    (byte-identical re-delivery from the pre-batch committed view).
+    Every ``compact_every`` committed batches the index/roots shards
+    fold into one generation (0 disables)."""
     from ..cache import tracked_caches
     from ..functions.dedup import minhash_index
     from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
@@ -236,5 +242,9 @@ def split_assignment_monitor(
                 pass  # fail-open, the analyzer's sink contract
         if assigned_sink is not None:
             assigned_sink(deliver, batch_id)
+        if not replayed:
+            maybe_compact_tables(
+                spark_, state_path, _SPLIT_TABLES, dir_cache, compact_every
+            )
 
     return _body

@@ -81,21 +81,12 @@ def test_driver_surface_exactly_fifty(spark):
     o = registry.oracle_sql()
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
-    # r11 priority slots: the new loader-tail flagship, the three
-    # late-r10 queries that have never held a driver row (one of which,
-    # q_temperature_mix, also changed semantics this round)
-    for name in (
-        "q_ingest_full",
-        "q_gopher_rules",
-        "q_temperature_mix",
-        "q_epoch_shuffle",
-    ):
-        assert name in q, f"{name} must hold an r11 priority slot"
-    # the full r11 batch holds its slots (minus the r11b-bumped refresh
-    # slots -- late-built new queries outrank refresh-only slots)
-    for name in registry._ROTATED_IN_R11 + registry._ROTATED_IN_R11B:
-        if name in registry._ROTATED_OUT_R11B:
-            continue
+    # r12 priority slots: the three r11-late queries that have never
+    # held a driver row (r11 verdict ask #1 names them)
+    for name in ("q_dedup_stats", "q_shard_balance", "q_seq_audit"):
+        assert name in q, f"{name} must hold an r12 priority slot"
+    # the full r12 batch holds its slots
+    for name in registry._ROTATED_IN_R12:
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
     rotated_out = (
@@ -106,6 +97,7 @@ def test_driver_surface_exactly_fifty(spark):
         + registry._ROTATED_OUT_R10B
         + registry._ROTATED_OUT_R11
         + registry._ROTATED_OUT_R11B
+        + registry._ROTATED_OUT_R12
     )
     for name in rotated_out:
         # a query rotated out in an earlier round may have rotated back
@@ -216,6 +208,34 @@ def test_shared_fit_stays_jvm(spark):
     df = registry.q_shared_fit(spark, SF_DIR)
     assert python_udf_count(df) == 0
     assert uses_broadcast_join(df)
+
+
+def test_shared_fit_builds_lazily(spark):
+    """r11 verdict ask #6: building q_shared_fit must run ZERO Spark
+    jobs beyond the input table's parquet-footer metadata read (the
+    former eager cents.count() ran the whole k-means fit before the
+    driver's timer started the returned plan), and the lazy plan must
+    still produce the oracle-pinned rows."""
+    sc = spark.sparkContext
+    sc.setJobGroup("shared-fit-load", "load-jobs baseline")
+    try:
+        registry._emb(spark, SF_DIR)
+        n_load = len(sc.statusTracker().getJobIdsForGroup("shared-fit-load"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    sc.setJobGroup("shared-fit-laziness", "laziness probe")
+    try:
+        df = registry.q_shared_fit(spark, SF_DIR)
+        n_build = len(
+            sc.statusTracker().getJobIdsForGroup("shared-fit-laziness")
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert n_build <= n_load, (
+        f"building q_shared_fit ran {n_build} jobs vs {n_load} for the "
+        "bare table load -- the k-means fit must stay lazy"
+    )
+    assert df.count() > 0
 
 
 def test_r7_operators_plan_quality(spark):

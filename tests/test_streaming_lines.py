@@ -124,3 +124,81 @@ def test_stream_lines_restart_and_replay(spark, tmp_path):
     assert replay_log == [sink1[0][1]]
     dirs = [n for n in os.listdir(state_path) if n.startswith("batch_id=")]
     assert sorted(dirs) == ["batch_id=0", "batch_id=1"]
+
+
+def test_stream_lines_compaction(spark, tmp_path):
+    """r11 ADVICE: with compact_every=2 the lines shards fold into one
+    generation -- verdicts stay bit-identical to the uncompacted run,
+    batch dirs are pruned to their markers, a replayed COMPACTED batch
+    still re-delivers byte-identically (src_batch exclusion), and a
+    restart continues against the generation."""
+    state_path = str(tmp_path / "state")
+    src = str(tmp_path / "src")
+    sink = []
+    published = []
+    body = line_dedup_monitor(
+        state_path,
+        cleaned_sink=lambda df, bid: sink.append(
+            (bid, sorted(tuple(r) for r in df.collect()))),
+        gauge_sinks=[lambda s, g: published.append((s, g))],
+        compact_every=2,
+    )
+    import json as _json
+    os.makedirs(src, exist_ok=True)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").json(src)
+    )
+    q = (stream.writeStream.foreachBatch(body).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        for name, recs in BATCHES:
+            path = os.path.join(src, name)
+            with open(path + ".tmp", "w") as f:
+                for r in recs:
+                    f.write(_json.dumps(r) + "\n")
+            os.rename(path + ".tmp", path)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # same verdicts as the uncompacted run (bit-parity with batch op)
+    from streaminglens_spark.functions.text import line_dedup
+    alldocs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for _, recs in BATCHES for d in recs],
+        SCHEMA,
+    )
+    assert sorted(t for _, rows in sink for t in rows) == sorted(
+        tuple(r) for r in line_dedup(alldocs).collect()
+    )
+    # a generation exists and the folded dirs are pruned to markers
+    gens = os.listdir(os.path.join(state_path, "compacted"))
+    assert len(gens) == 1 and gens[0].startswith("gen=")
+    gen_id = int(gens[0].split("=")[1])
+    assert gen_id >= 1
+    for n in os.listdir(state_path):
+        if not n.startswith("batch_id="):
+            continue
+        bid = int(n.split("=")[1])
+        entries = os.listdir(os.path.join(state_path, n))
+        if bid <= gen_id:
+            assert "lines" not in entries  # pruned
+        assert "_COMMITTED" in entries  # marker never disappears
+    # replay a COMPACTED batch: byte-identical re-delivery
+    replay_log = []
+    body2 = line_dedup_monitor(
+        state_path,
+        cleaned_sink=lambda df, bid: replay_log.append(
+            sorted(tuple(r) for r in df.collect())),
+        compact_every=2,
+    )
+    b1 = BATCHES[0][1]
+    body2(spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1], SCHEMA), 0)
+    assert replay_log == [sink[0][1]]
+    # restart: a FRESH batch against the generation-backed state
+    body2(spark.createDataFrame(
+        [(31, "delta\nomega")], SCHEMA), 3)
+    assert replay_log[-1] == [
+        (31, 2, 1, 5,
+         __import__("hashlib").md5(b"omega").hexdigest()),
+    ]

@@ -161,3 +161,102 @@ def test_mixture_ledger_restart_and_replay_exactly_once(spark, tmp_path):
     assert replay_log == [sink1[0][1]]
     again = restore_mixture_state(spark, total, 1, shard_path)
     assert again.seen == state2.seen and again.spent == state2.spent
+
+def test_zero_target_stratum_in_introducing_batch(spark, tmp_path):
+    """r11 ADVICE (high): a stratum whose temperature target floors to 0
+    in the very batch that introduces it is never admitted, so the spent
+    ledger has no key for it -- fold()'s exhausted gauge and remaining()
+    must read the missing key as 0 instead of raising KeyError (which
+    crashed the foreachBatch body and the streaming query)."""
+    total = 100
+    assert temperature_targets({"tiny": 1, "big": 10_000}, total) == {
+        "tiny": 0,
+        "big": 99,
+    }
+    batches = [
+        ("b1.json", [_doc(1, "tiny", toks=1), _doc(2, "big", toks=10_000)]),
+    ]
+    shard_path = str(tmp_path / "ledger")
+    state, published = _run(
+        spark, str(tmp_path / "src"), batches, total,
+        shard_path=shard_path, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert state.seen == {"tiny": 1, "big": 10_000}
+    assert "tiny" in state.budgets and "tiny" not in state.spent
+    # the gauges were published (the body did not crash) and the
+    # zero-target stratum counts as exhausted
+    gauges = published[-1][1]
+    assert gauges["exhaustedStrata"] >= 1
+    assert "tiny" not in state.remaining()
+    # restore path hits the same missing-key reads
+    restored = restore_mixture_state(spark, total, 1, shard_path)
+    assert "tiny" not in restored.remaining()
+    assert restored.seen == state.seen and restored.spent == state.spent
+
+
+def test_degenerate_residual_clamps_not_negative(spark):
+    """r11 ADVICE (low): when the last (stratum-sorted) stratum's true
+    weight share is below the rounding overshoot, the raw residual is
+    negative; the guard clamps that micro to 0 and takes the deficit off
+    the largest other micro -- micros still sum exactly to 1e6, nothing
+    negative, and all three mirrors (driver Python, Spark operator,
+    DuckDB oracle SQL) agree bit-for-bit."""
+    import duckdb
+
+    from streaminglens_spark.functions.sampling import (
+        _mixture_plan_from_counts,
+    )
+    from streaminglens_spark.registry import (
+        LOCAL_ORACLE,
+        ORACLE,
+        TEMP_MIX_TOTAL,
+    )
+
+    # six equal heavy strata each rounding UP past 1e6/6, one tiny
+    # last-sorted stratum: raw residual = 1e6 - sum(others) < 0
+    counts = {chr(ord("a") + i): 30_000_000_000 for i in range(6)}
+    counts["z"] = 1
+    import math
+    ws = {s: math.sqrt(n) for s, n in counts.items()}
+    den = 0.0
+    for s in sorted(ws):
+        den += ws[s]
+    raw = {
+        s: round(ws[s] / den * 1_000_000) for s in sorted(ws)
+    }
+    assert sum(v for s, v in raw.items() if s != "z") > 1_000_000  # precondition
+    targets = temperature_targets(counts, TEMP_MIX_TOTAL)
+    # Python mirror invariants
+    micros_py = {}
+    # recompute micros the way temperature_targets does, via its output:
+    # target = total * micro // 1e6 is lossy, so check via the Spark side
+    spark_counts = spark.createDataFrame(
+        [(s, n) for s, n in counts.items()], "stratum string, n_tokens long"
+    )
+    plan = {
+        r["stratum"]: (r["weight_micro"], r["target_tokens"])
+        for r in _mixture_plan_from_counts(
+            spark_counts, TEMP_MIX_TOTAL, 1
+        ).collect()
+    }
+    micros = {s: m for s, (m, _) in plan.items()}
+    assert sum(micros.values()) == 1_000_000
+    assert all(m >= 0 for m in micros.values())
+    assert micros["z"] == 0  # the clamped last stratum
+    assert {s: t for s, (_, t) in plan.items()} == targets
+    # DuckDB oracle SQL on the same counts (counts CTE swapped for VALUES)
+    sql = (ORACLE.get("q_temperature_mix")
+           or LOCAL_ORACLE["q_temperature_mix"])
+    tail = sql.split("wtd AS (", 1)[1]
+    vals = ", ".join(
+        f"('{s}', CAST({n} AS BIGINT))" for s, n in sorted(counts.items())
+    )
+    dsql = (
+        f"WITH counts(stratum, n_tokens) AS (VALUES {vals}),\n    wtd AS ("
+        + tail
+    )
+    duck = {
+        s: (int(m), int(t))
+        for s, _, m, t in duckdb.sql(dsql).fetchall()
+    }
+    assert duck == plan

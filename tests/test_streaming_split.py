@@ -195,3 +195,71 @@ def test_split_index_hygiene_one_rep_per_class(spark, tmp_path):
     )
     assert root_ids == [1, 2, 11, 12]  # every doc assigned
     assert sink[1][1][0] == (11, 1, _side(1), True)
+
+
+def test_split_compaction(spark, tmp_path):
+    """r11 ADVICE: with compact_every=2 the index/roots shards fold into
+    one generation -- assignments stay bit-identical to the uncompacted
+    run (cross-batch attachment still works from the generation-backed
+    index), batch dirs are pruned to their markers, and a replayed
+    COMPACTED batch re-delivers byte-identically (src_batch exclusion)."""
+    b1 = [_doc(1), _doc(2), _doc(3, tag=1)]
+    b2 = [_doc(11, tag=2), _doc(12)]
+    b3 = [_doc(21, tag=1), _doc(22, tag=12)]  # attach to gen-held roots
+    src = str(tmp_path / "src")
+    state_path = str(tmp_path / "state")
+    os.makedirs(src, exist_ok=True)
+    sink = []
+    body = split_assignment_monitor(
+        state_path,
+        assigned_sink=lambda df, bid: sink.append(
+            (bid, sorted((r["doc_id"], r["root"], r["split"],
+                          r["attached"]) for r in df.collect()))),
+        compact_every=2,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").json(src)
+    )
+    q = (stream.writeStream.foreachBatch(body).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        for name, recs in [("b1.json", b1), ("b2.json", b2),
+                           ("b3.json", b3)]:
+            path = os.path.join(src, name)
+            with open(path + ".tmp", "w") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
+            os.rename(path + ".tmp", path)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # batch 3 attaches to roots held ONLY by the generation: doc 21 to
+    # root 1 (copies of doc 1), doc 22 to root 12
+    assert sink[2][1] == sorted([
+        (21, 1, _side(1), True),
+        (22, 12, _side(12), True),
+    ])
+    gens = os.listdir(os.path.join(state_path, "compacted"))
+    assert len(gens) == 1 and gens[0].startswith("gen=")
+    gen_id = int(gens[0].split("=")[1])
+    for n in os.listdir(state_path):
+        if not n.startswith("batch_id="):
+            continue
+        bid = int(n.split("=")[1])
+        entries = os.listdir(os.path.join(state_path, n))
+        if bid <= gen_id:
+            assert "index" not in entries and "roots" not in entries
+        assert "_COMMITTED" in entries
+    # replay a COMPACTED batch: byte-identical re-delivery, no rewrite
+    replay_log = []
+    body2 = split_assignment_monitor(
+        state_path,
+        assigned_sink=lambda df, bid: replay_log.append(
+            sorted((r["doc_id"], r["root"], r["split"], r["attached"])
+                   for r in df.collect())),
+        compact_every=2,
+    )
+    body2(spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b2], SCHEMA), 1)
+    assert replay_log == [sink[1][1]]
