@@ -20,13 +20,14 @@ round's surface is the 50 queries whose last green driver row is oldest
 (ascending last-green round, alphabetical within a round), with NEW or
 semantically-CHANGED queries taking priority slots.  The r12 surface:
 ``q_dedup_stats``/``q_shard_balance``/``q_seq_audit`` (built after the
-r11 rotation closed; never driver-proven -- r11 verdict ask #1), plus
-the stalest refresh slots: the two r8-stale queries (bumped by r11b)
-and the first 45 of the r9-stale batch alphabetically.  R13 priority
-candidates under this policy: any query new in r12 that missed the
-r12b bump, then the five remaining r9-stale refresh slots
-(``q_user_sequences``, ``q_vocab_drift``, ``q_watermark_advisor``,
-``q_winnow``, ``q_zorder``) and the r10-stale batch.  A driver that
+r11 rotation closed; never driver-proven -- r11 verdict ask #1) and
+``q_ingest_packed`` (NEW -- the docs-to-packed-shards flagship, r12b),
+plus the stalest refresh slots: the two r8-stale queries (bumped by
+r11b) and the r9-stale batch alphabetically (45 fit; r12b bumps the
+freshest, ``q_user_features``).  R13 priority candidates under this
+policy: the six remaining r9-stale refresh slots (``q_user_features``,
+``q_user_sequences``, ``q_vocab_drift``, ``q_watermark_advisor``,
+``q_winnow``, ``q_zorder``), then the r10-stale batch.  A driver that
 ever evaluates more than 50 must read LOCAL_ORACLE too -- do NOT widen
 ``queries()`` without removing the cap guard (``registry.py`` raises
 RuntimeError if len(ORACLE) != 50).

@@ -357,3 +357,72 @@ def ingest_full(
         F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
         F.col("shard").cast("int").alias("shard"),
     )
+
+
+def ingest_packed(
+    documents: DataFrame,
+    sources: DataFrame,
+    budgets: dict[str, int],
+    n_per_domain: int | None = None,
+    split_corpus: DataFrame | None = None,
+    val_frac: float = 0.2,
+    epoch: int = 0,
+    n_shards: int = 32,
+    seq_len: int | None = None,
+) -> DataFrame:
+    """``ingest_full`` with the PACKING TAIL composed on (r12, r11
+    verdict ask #3): raw docs -> admission (cleanup -> domain cap ->
+    quality token budgets) -> cluster-aware train/val split -> epoch
+    training order -> fixed-length sequence packing of the TRAIN stream
+    -> the per-shard packed manifest.  This is the artifact a loader
+    actually mounts: one row per (shard, seq_id) with the doc-span
+    digest, where the shard is the epoch shuffle's round-robin shard and
+    each shard's token stream concatenates its train docs in
+    ``shuffle_pos`` order (``pack_sequences``' r12 ``shard_col``/
+    ``order_col`` generalization) -- NOT the doc-id order ``ingest_e2e``
+    packs, which indexes the admitted set before any split/shuffle.
+    One value hash covers the complete funnel: every admission verdict,
+    every cluster's split side, the exact epoch order, and exactly which
+    spans of which docs fill every training sequence.
+
+    Scale shape: everything upstream keeps its documented shapes
+    (``ingest_full``); the pack adds the two-level running-offset
+    recipe over (shard, shuffle_pos div bucket_width) buckets -- no
+    per-shard single-reducer window -- plus one bounded explode of each
+    doc's [first_seq, last_seq] range and one groupBy(shard, seq_id).
+    Returns (shard, seq_id, n_docs, filled, docs_digest)."""
+    from ..cache import track
+    from .dedup import leakage_safe_split
+    from .sampling import corpus_shuffle
+    from .text import PACK_SEQ_LEN, sequence_manifest
+
+    if seq_len is None:
+        seq_len = PACK_SEQ_LEN
+    admitted = _ingest_admitted(documents, sources, budgets, n_per_domain)
+    split = leakage_safe_split(
+        split_corpus if split_corpus is not None else documents, val_frac
+    )
+    train_ids = track(
+        admitted.select("doc_id", "clean_tokens")
+        .join(split.select("doc_id", "split"), "doc_id")
+        .filter(F.col("split") == "train")
+        .select("doc_id", "clean_tokens")
+    )
+    order = corpus_shuffle(
+        train_ids.select("doc_id"), n_shards=n_shards, epoch=epoch
+    )
+    # the pack's two-level recipe consumes its input TWICE (bucket
+    # offsets + join back): without a barrier here the whole order chain
+    # replicates into both subtrees (measured 41 exchanges vs 24).  The
+    # seam is a lineage CUT like the admitted spine (_ingest_admitted):
+    # a plain persist would still carry the full order-chain logical
+    # plan into every downstream action's planning; lazy, so building
+    # the manifest runs no job.
+    train = train_ids.join(order, "doc_id").localCheckpoint(eager=False)
+    return sequence_manifest(
+        train,
+        seq_len=seq_len,
+        tokens_col="clean_tokens",
+        shard_col="shard",
+        order_col="shuffle_pos",
+    )

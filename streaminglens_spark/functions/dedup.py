@@ -591,7 +591,12 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    switch_after: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
     """Connected components over near-duplicate pairs (round-4 extension):
     the cluster-formation step that turns pairwise verdicts into "keep one
     per group" decisions -- pairs alone over-delete when A~B and B~C but
@@ -604,9 +609,23 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     label sum (an O(1) action; labels only ever decrease, so the sum is
     strictly monotone until the fixed point) stops changing, after at most
     graph-diameter rounds.  Near-dup clusters are shallow (duplicates of a
-    common original), so the diameter is small; for adversarially long
-    chains at 100 TB the standard large-star/small-star contraction halves
-    the round count -- same join shape, documented tradeoff.
+    common original), so the diameter is small and propagation wins on
+    constant factors (one pass per round vs contraction's two).
+
+    AUTO-HYBRID (r12, r11 verdict ask #5): if propagation has not
+    converged after ``switch_after`` rounds (default 4 ~ log2 of the
+    deepest plausible organic near-dup chain; a graph still moving past
+    that is adversarially deep -- boilerplate-heavy crawls), the loop
+    hands off to large-star/small-star contraction (``_star_contract``,
+    O(log diameter) rounds) -- ON THE LABEL QUOTIENT, not the raw edges,
+    so the propagation rounds already paid are kept: each current label
+    class is a connected subgraph (a node only ever adopts a label from
+    a neighbor), so contracting edges to (label(u), label(v)) preserves
+    components, and the component minimum of the quotient IS the
+    original component's minimum node id (the min node always keeps its
+    own label).  Labels are BIT-EQUAL to pure propagation's fixed point
+    either way (both compute min-reachable ids); ``stats`` (optional
+    dict) receives {"label_rounds", "star_rounds"} for observability.
 
     Per round: one shuffle join (edges x labels on dst) + one groupBy(src)
     min + one left join back -- all hash-partitioned by node id, no global
@@ -641,7 +660,9 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # tiny collected centroid list).
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iters):
+    label_rounds = 0
+    converged = False
+    for _ in range(min(max_iters, switch_after) if switch_after else max_iters):
         neigh = (
             sym.join(
                 labels.select(
@@ -663,10 +684,52 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
+        label_rounds += 1
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    star_rounds = 0
+    if not converged and switch_after and label_rounds >= switch_after:
+        # hand off to contraction on the LABEL QUOTIENT: connectivity is
+        # preserved (label classes are connected subgraphs), the quotient
+        # is no larger than the edge set, and its component minima are
+        # the original components' minimum node ids
+        lu = labels.select(
+            F.col("node").alias("doc_a"), F.col("label").alias("u")
+        )
+        lv = labels.select(
+            F.col("node").alias("doc_b"), F.col("label").alias("v")
+        )
+        quotient = (
+            edges.join(lu, "doc_a")
+            .join(lv, "doc_b")
+            .select("u", "v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        qlabels, star_rounds = _star_contract(
+            quotient, max(1, max_iters - label_rounds)
+        )
+        labels = (
+            labels.join(
+                qlabels.select(
+                    F.col("u").alias("label"), F.col("label").alias("_qmin")
+                ),
+                "label",
+                "left",
+            )
+            # a label absent from the quotient heads an already-converged
+            # class (all its edges collapsed to self-loops): it IS the min
+            .select(
+                "node",
+                F.coalesce("_qmin", F.col("label")).alias("label"),
+            )
+        )
+    if stats is not None:
+        stats["label_rounds"] = label_rounds
+        stats["star_rounds"] = star_rounds
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

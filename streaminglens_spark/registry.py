@@ -7097,6 +7097,87 @@ def _ingest_full_oracle() -> str:
 LOCAL_ORACLE["q_ingest_full"] = _ingest_full_oracle()
 
 
+# ------- r12: the packed flagship -- docs to packed shards (verdict #3)
+
+def q_ingest_packed(spark, sf_dir):
+    """The complete docs-to-packed-shards flagship (r12, r11 verdict ask
+    #3): ``q_ingest_full``'s funnel (admission -> cluster split -> epoch
+    order) composed with the PACKING TAIL -- the train stream packed
+    into PACK_SEQ_LEN sequences in epoch order (shard = the shuffle's
+    round-robin shard, concatenation order = shuffle_pos), one row per
+    (shard, seq_id) with the position-sorted doc-span digest.  This is
+    the loader-mountable artifact; a single value hash covers every
+    stage's verdicts AND the exact token-level layout of every training
+    sequence."""
+    from .functions.corpus import ingest_packed
+    from .functions.text import boilerplate_corpus, dirty_corpus, pii_corpus
+
+    raw = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    injected = boilerplate_corpus(dirty_corpus(pii_corpus(raw)))
+    return ingest_packed(
+        injected,
+        raw.select("doc_id", "source"),
+        dict(TOKEN_BUDGETS),
+        n_per_domain=E2E_DOMAIN_CAP,
+        split_corpus=_docs(spark, sf_dir),
+        val_frac=LEAKAGE_VAL_FRAC,
+        epoch=INGEST_FULL_EPOCH,
+    )
+
+
+def _ingest_packed_oracle() -> str:
+    """Splice the e2e packing arithmetic (cut from the q_ingest_e2e
+    oracle at ``admitted`` when q_ingest_full was built -- r11 verdict
+    ask #3 asks for them back) onto the FULL chain: the q_ingest_full
+    oracle's final projection is replaced by the train-side pack --
+    per-shard running offsets in shuffle_pos order over the round-robin
+    shard, the [first_seq, last_seq] explode, and the span digest."""
+    from .functions.text import PACK_SEQ_LEN
+
+    full = LOCAL_ORACLE["q_ingest_full"]
+    head = full.rsplit("\n        SELECT j.doc_id, j.cluster_id", 1)[0]
+    L = PACK_SEQ_LEN
+    return (
+        head.rstrip()  # ends at the closed ``ord`` CTE
+        + f""",
+        tr AS (
+            SELECT o.doc_id, o.shuffle_pos,
+                   CAST(o.shuffle_pos % 32 AS INT) AS shard, a.n_tokens
+            FROM ord o JOIN admitted a USING (doc_id)
+        ),
+        kpoff AS (
+            SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY shuffle_pos)
+                      - n_tokens AS BIGINT) AS token_offset
+            FROM tr
+        ),
+        kpsq AS (
+            SELECT shard, doc_id, n_tokens, token_offset,
+                   CAST(s.s AS BIGINT) AS seq_id
+            FROM kpoff,
+                 LATERAL unnest(generate_series(token_offset // {L},
+                     (token_offset + n_tokens - 1) // {L})) AS s(s)
+        ),
+        kpsp AS (
+            SELECT shard, seq_id, doc_id,
+                   GREATEST(token_offset, seq_id * {L}) - seq_id * {L}
+                       AS begin,
+                   LEAST(token_offset + n_tokens, (seq_id + 1) * {L})
+                       - GREATEST(token_offset, seq_id * {L}) AS n_fill
+            FROM kpsq
+        )
+        SELECT shard, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_fill) AS BIGINT) AS filled,
+               md5(string_agg(doc_id || ':' || begin || ':' || n_fill, ';'
+                   ORDER BY begin, doc_id, n_fill)) AS docs_digest
+        FROM kpsp GROUP BY shard, seq_id"""
+    )
+
+
+LOCAL_ORACLE["q_ingest_packed"] = _ingest_packed_oracle()
+
+
 # ------------- r11: cross-document line dedup (extension, CCNet family)
 
 def q_line_dedup(spark, sf_dir):
@@ -7731,6 +7812,19 @@ _ROTATED_IN_R12 = [
 for _name in _ROTATED_OUT_R12:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R12:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
+# r12b: the round's new flagship takes a priority slot (new queries
+# outrank refresh-only slots, the R10B/R11B precedent); the bumped
+# refresh slot is the FRESHEST of the refresh set (r9-stale,
+# alphabetically last), keeps its two-SF local check, and rotates back
+# in a later round.
+_ROTATED_OUT_R12B = ["q_user_features"]
+_ROTATED_IN_R12B = ["q_ingest_packed"]
+for _name in _ROTATED_OUT_R12B:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R12B:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 
 

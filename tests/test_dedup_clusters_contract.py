@@ -131,3 +131,49 @@ def test_softdedup_weight_floor_never_zero(spark):
     )
     out = softdedup_weights(docs, clusters).collect()
     assert all(r["weight_ppm"] == 1 for r in out)
+
+
+def test_hybrid_auto_switch_beats_pure_minlabel_rounds(spark):
+    """r11 verdict ask #5: on an adversarially deep chain the default
+    dedup_clusters auto-switches to contraction after switch_after
+    non-converged propagation rounds -- total rounds far below the
+    diameter pure min-label pays -- with labels BIT-EQUAL to both pure
+    propagation and pure contraction."""
+    chain = _pairs(spark, [(i, i + 1) for i in range(DIAMETER)])
+    want = {(i, 0, DIAMETER + 1) for i in range(DIAMETER + 1)}
+
+    stats = {}
+    got = _clusters(dedup_clusters(chain, max_iters=DIAMETER + 1,
+                                   stats=stats))
+    assert got == want
+    assert stats["label_rounds"] == 4  # switched, did not run the chain out
+    assert stats["star_rounds"] >= 1
+    bound = 4 + 2 * math.ceil(math.log2(DIAMETER)) + 4
+    assert stats["label_rounds"] + stats["star_rounds"] <= bound
+
+    # pure propagation (switch disabled) pays the full diameter...
+    pure_stats = {}
+    pure = _clusters(dedup_clusters(chain, max_iters=DIAMETER + 1,
+                                    switch_after=0, stats=pure_stats))
+    assert pure == want == got  # ...and the hybrid is bit-equal
+    assert pure_stats["label_rounds"] >= DIAMETER
+    assert (stats["label_rounds"] + stats["star_rounds"]
+            < pure_stats["label_rounds"])
+
+
+def test_hybrid_quotient_handoff_on_mixed_graph(spark):
+    """The quotient handoff must be exact on a graph mixing converged
+    components (which vanish from the quotient -- the coalesce fallback
+    path), deep chains (which switch), and singleton-edge components:
+    hybrid == pure propagation == pure contraction, element for element."""
+    edges = (
+        [(i, i + 1) for i in range(30)]                        # deep chain
+        + [(100, 101), (100, 102), (100, 103)]                 # shallow star
+        + [(200, 201)]                                          # pair
+        + [(300, 301), (301, 302), (300, 302), (302, 303)]      # tri + tail
+    )
+    pairs = _pairs(spark, edges)
+    hybrid = _clusters(dedup_clusters(pairs, max_iters=40))
+    pure = _clusters(dedup_clusters(pairs, max_iters=40, switch_after=0))
+    contract = _clusters(dedup_clusters_contract(pairs, max_iters=40))
+    assert hybrid == pure == contract

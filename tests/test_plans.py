@@ -82,11 +82,16 @@ def test_driver_surface_exactly_fifty(spark):
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
     # r12 priority slots: the three r11-late queries that have never
-    # held a driver row (r11 verdict ask #1 names them)
-    for name in ("q_dedup_stats", "q_shard_balance", "q_seq_audit"):
+    # held a driver row (r11 verdict ask #1 names them) and the round's
+    # new packed flagship (r12b)
+    for name in ("q_dedup_stats", "q_shard_balance", "q_seq_audit",
+                 "q_ingest_packed"):
         assert name in q, f"{name} must hold an r12 priority slot"
-    # the full r12 batch holds its slots
-    for name in registry._ROTATED_IN_R12:
+    # the full r12 batch holds its slots (minus the r12b-bumped refresh
+    # slot -- late-built new queries outrank refresh-only slots)
+    for name in registry._ROTATED_IN_R12 + registry._ROTATED_IN_R12B:
+        if name in registry._ROTATED_OUT_R12B:
+            continue
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
     rotated_out = (
@@ -98,6 +103,7 @@ def test_driver_surface_exactly_fifty(spark):
         + registry._ROTATED_OUT_R11
         + registry._ROTATED_OUT_R11B
         + registry._ROTATED_OUT_R12
+        + registry._ROTATED_OUT_R12B
     )
     for name in rotated_out:
         # a query rotated out in an earlier round may have rotated back
