@@ -12,7 +12,14 @@ shifted keys:
 - lineitem/orders/customer: 10x with consistently shifted join keys
 - nation/region/supplier/part: copied (dimension tables)
 
-Usage: python scripts/make_scale_data.py [out_dir]
+Usage: python scripts/make_scale_data.py [out_dir] [K]
+
+K (default 10) is the tiling factor; K=100 derives the sf10 probe point
+(r11 verdict ask #7).  DOCUMENTS cap at 20 copies regardless of K: the
+dedup family's DUP_SHIFT=100000 id convention (minhash raises on ids
+past it, the dup corpora shift by it) ceilings doc ids at 99,999 --
+documented in PERF.md's sf10 section; every other table tiles the full
+K.
 """
 
 from __future__ import annotations
@@ -23,16 +30,21 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-K = 10
+DOC_K_CAP = 20  # doc ids must stay below dedup's DUP_SHIFT (100000)
 
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"
     )
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    doc_k = min(K, DOC_K_CAP)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW ks AS SELECT UNNEST(range(0, {K})) AS k")
+    con.execute(
+        f"CREATE VIEW dks AS SELECT UNNEST(range(0, {doc_k})) AS k"
+    )
     for t in ["events", "documents", "embeddings", "lineitem", "orders",
               "customer", "nation", "region", "supplier", "part"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
@@ -70,7 +82,7 @@ def main() -> None:
                                        CAST(k AS VARCHAR) || '-' ||
                                        CAST(j AS VARCHAR)), 1, 6)), ' ')
                END) AS BIGINT) AS n_chars
-        FROM documents CROSS JOIN ks""")
+        FROM documents CROSS JOIN dks""")
 
     n_vec = con.execute("SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0]
     write("embeddings", f"""
@@ -100,7 +112,7 @@ def main() -> None:
         FROM customer CROSS JOIN ks""")
     for t in ["nation", "region", "supplier", "part"]:
         write(t, f"SELECT * FROM {t}")
-    print(f"sf1 written to {out}")
+    print(f"K={K} scale point written to {out}")
 
 
 if __name__ == "__main__":

@@ -388,13 +388,18 @@ def compact_tables(
 
 
 def committed_table_view(
-    spark, state_path, sub, schema, dir_cache=None, exclude_batch=None
+    spark, state_path, sub, schema, dir_cache=None, exclude_batch=None,
+    before_batch=None,
 ):
     """One table's cumulative committed view: the latest generation
     (``compact_tables``) plus the batch shards newer than it -- O(1)
     generations + O(recent) parquet dirs per trigger.  ``exclude_batch``
     drops that batch's rows everywhere (the replay path's pre-batch
-    view): newer shards by directory, generation rows by ``src_batch``."""
+    view): newer shards by directory, generation rows by ``src_batch``.
+    ``before_batch`` keeps only STRICTLY-EARLIER batches -- the prefix
+    semantics a monotone counter (the loader's training-order position)
+    needs under replay, where batches later than the replayed one are
+    already committed but must not count toward its pre-batch state."""
     gens = _committed_generations(spark, state_path)
     gen_id = _gen_id_of(gens[-1]) if gens else -1
     listed = (
@@ -407,6 +412,7 @@ def committed_table_view(
         for d in listed
         if _batch_id_of(d) > gen_id
         and (exclude_batch is None or _batch_id_of(d) != exclude_batch)
+        and (before_batch is None or _batch_id_of(d) < before_batch)
     ]
     parts = []
     if gens:
@@ -415,6 +421,8 @@ def committed_table_view(
         )
         if exclude_batch is not None:
             g = g.filter(F.col("src_batch") != int(exclude_batch))
+        if before_batch is not None:
+            g = g.filter(F.col("src_batch") < int(before_batch))
         parts.append(g.drop("src_batch"))
     if dirs:
         parts.append(

@@ -1,0 +1,396 @@
+"""The COMPLETE streaming loader story in one monitor (r12, r11 verdict
+ask #4): clean -> score -> incremental near-dup vs the committed index ->
+quality gate -> budget admission -> attachment-time train/val split ->
+append-only training order, per micro-batch, with every batch's FOUR
+state tables (``index``, ``admitted``, ``roots``, ``order``) sealed under
+ONE atomic ``_COMMITTED`` marker -- the single generation ledger the
+pieces (``ingest.py`` admission, ``split.py`` assignment, the order
+counter) previously required a user to wire by hand.
+
+Semantics -- the composition, stage by stage:
+
+- ADMISSION is ``corpus_ingest_monitor``'s exactly: normalize + redact +
+  integer quality score (all JVM regexp chains), dedup against the
+  cumulative minhash index (a doc loses iff it matches any
+  strictly-earlier doc), quality threshold, then token-budget admission
+  against the spent-token ledger (greedy per batch -- the documented
+  stream-order delta vs the batch flagship's global quality-ordered
+  budgets, ``q_ingest_full``).
+- SPLIT is ``split_assignment_monitor``'s attachment-time rule over ALL
+  batch docs (admitted or not -- mirroring ``q_ingest_full``, which
+  splits the full raw corpus so the clusters see every near-dup), and it
+  SHARES the admission's match join: one ``dedup_against_index`` pass
+  feeds both the loser set and the root attachment (the ``verdicts=``
+  hook on ``assign_splits_of_batch``).
+- ORDER is append-only: each batch's admitted TRAIN docs take the next
+  dense positions (within a batch, ascending doc id -- ids increase
+  across batches, so positions follow arrival order) with round-robin
+  shards.  The epoch-shuffle training order stays a batch post-pass
+  (``corpus_shuffle`` / ``q_epoch_shuffle``) once the corpus freezes:
+  a global permutation is not an incremental object; the stream's order
+  is the bootstrap/curriculum order.
+
+Durability: ONE ``_write_shard_batch`` call per batch -- four tables,
+one marker, so admission ledger, dedup index, split roots and the order
+counter can never diverge across a crash.  A replayed batch recomputes
+every stage from the PRE-batch committed view (its own shards excluded
+by directory, or by ``src_batch`` after compaction) and re-delivers
+byte-identically; restart needs no driver state (``restore_loader_state``
+folds the ledger and the committed batch-id set back from disk).  The
+generic generation compaction (``ingest.compact_tables``) folds all four
+tables every ``compact_every`` batches.
+
+Gauges publish under ``spark.streaming.loaderIngest``: the admission
+gauges (inDocs, dupRejects, qualityRejects, admittedDocs/Tokens,
+exhausted/openStrata) plus valDocs/trainDocs/splitConflicts and
+trainPositions (the running order-counter high-water mark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .annmaint import _write_shard_batch
+from .budget import BudgetAdmissionState
+from .ingest import (
+    INDEX_COMPACT_EVERY,
+    _BatchDirCache,
+    _batch_id_of,
+    _committed_batch_dirs,
+    committed_table_view,
+    maybe_compact_tables,
+)
+from .split import assign_splits_of_batch
+
+LOADER_GAUGE_SOURCE = "spark.streaming.loaderIngest"
+
+_IDX_SCHEMA = "doc_id long, md5_fp string, mh array<bigint>"
+_ADMIT_SCHEMA = "stratum string, n_docs long, n_tokens long"
+_ROOTS_SCHEMA = "doc_id long, root long, split string"
+_ORDER_SCHEMA = "doc_id long, train_pos long, shard int"
+_LOADER_TABLES = {
+    "index": _IDX_SCHEMA,
+    "admitted": _ADMIT_SCHEMA,
+    "roots": _ROOTS_SCHEMA,
+    "order": _ORDER_SCHEMA,
+}
+
+
+def _committed_ids(spark, state_path, dir_cache=None) -> set[int]:
+    """Every committed batch id.  Markers are permanent (compaction
+    prunes a dir to its marker, never deletes it), so the dir listing is
+    the complete fold set regardless of compaction state."""
+    listed = (
+        dir_cache.list(spark, state_path)
+        if dir_cache is not None
+        else _committed_batch_dirs(spark, state_path)
+    )
+    return {_batch_id_of(d) for d in listed}
+
+
+def _batch_admitted_rows(spark, state_path, batch_id, dir_cache=None):
+    """One batch's per-stratum admitted shard -- from its batch dir, or
+    from the generation's ``src_batch`` provenance after compaction
+    pruned the dir (the replay path's pre-batch-remaining subtraction)."""
+    from ..sources.sinks import _hadoop_fs
+    from .ingest import _committed_generations
+
+    out = f"{state_path}/batch_id={batch_id}/admitted"
+    fs, hpath = _hadoop_fs(spark, out)
+    if fs.exists(hpath):
+        return spark.read.schema(_ADMIT_SCHEMA).parquet(out).collect()
+    gens = _committed_generations(spark, state_path)
+    if not gens:
+        return []
+    return (
+        spark.read.schema(_ADMIT_SCHEMA + ", src_batch long")
+        .parquet(f"{gens[-1]}/admitted")
+        .filter(F.col("src_batch") == int(batch_id))
+        .drop("src_batch")
+        .collect()
+    )
+
+
+def restore_loader_state(
+    spark, budgets: dict[str, int] | None, state_path: str | None
+):
+    """The budget ledger rebuilt from the committed state: spent tokens
+    fold from the cumulative ``admitted`` view (one generation + recent
+    shards -- O(1) reads at any stream age), the folded-batch set from
+    the permanent markers.  None when the monitor runs without budgets."""
+    if budgets is None:
+        return None
+    state = BudgetAdmissionState(budgets)
+    if state_path:
+        dir_cache = _BatchDirCache()
+        rows = (
+            committed_table_view(
+                spark, state_path, "admitted", _ADMIT_SCHEMA, dir_cache
+            )
+            .groupBy("stratum")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .collect()
+        )
+        state.fold(rows)
+        state.folded_batches = _committed_ids(spark, state_path, dir_cache)
+        state.batches = len(state.folded_batches)
+    return state
+
+
+def loader_ingest_monitor(
+    state_path: str,
+    budgets: dict[str, int] | None = None,
+    quality_threshold: int | None = None,
+    dedup_threshold: float = 0.5,
+    val_frac: float = 0.2,
+    n_shards: int = 32,
+    train_sink=None,
+    assigned_sink=None,
+    analyzer=None,
+    gauge_sinks=None,
+    stratum: str = "source",
+    key: str = "doc_id",
+    spark=None,
+    compact_every: int = INDEX_COMPACT_EVERY,
+):
+    """Build (ledger_state, foreachBatch_body); see the module docstring
+    for the composed semantics.  Input stream schema: (doc_id, text,
+    source, ...); document ids must be globally increasing across
+    batches.  ``train_sink(df, batch_id)`` receives each batch's
+    admitted TRAIN docs as (doc_id, n_tokens, train_pos, shard) --
+    exactly once under replay; ``assigned_sink(df, batch_id)`` the full
+    (doc_id, root, split, attached) assignment.  ``spark`` restores the
+    ledger eagerly; without it the restore runs lazily on the first
+    batch (the r8 zero-ledger lesson)."""
+    from ..functions.dedup import dedup_against_index, minhash_index
+    from ..functions.sampling import token_budget_sample
+    from ..functions.text import (
+        QC_THRESHOLD_MILLI,
+        normalize_expr,
+        qc_score_expr,
+        redact_expr,
+    )
+    from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
+
+    thr = QC_THRESHOLD_MILLI if quality_threshold is None else quality_threshold
+    state = BudgetAdmissionState(budgets) if budgets is not None else None
+    restored = spark is not None or budgets is None
+    if spark is not None:
+        state = restore_loader_state(spark, budgets, state_path)
+
+    dir_cache = _BatchDirCache()
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        from ..cache import track, tracked_caches
+
+        with tracked_caches():
+            _run_batch(batch_df, batch_id, track)
+
+    def _run_batch(batch_df: DataFrame, batch_id: int, track) -> None:
+        nonlocal restored
+        spark_ = batch_df.sparkSession
+        if not restored:
+            fresh = restore_loader_state(spark_, budgets, state_path)
+            state.spent = fresh.spent
+            state.folded_batches = fresh.folded_batches
+            state.batches = fresh.batches
+            restored = True
+        out = f"{state_path}/batch_id={batch_id}"
+        fs, _ = _hadoop_fs(spark_, out)
+        marker = spark_._jvm.org.apache.hadoop.fs.Path(
+            f"{out}/{_COMMIT_MARKER}"
+        )
+        replayed = fs.exists(marker)
+        exclude = int(batch_id) if replayed else None
+
+        index = committed_table_view(
+            spark_, state_path, "index", _IDX_SCHEMA, dir_cache,
+            exclude_batch=exclude,
+        )
+        roots = committed_table_view(
+            spark_, state_path, "roots", _ROOTS_SCHEMA, dir_cache,
+            exclude_batch=exclude,
+        )
+        # pre-batch order counter: committed train positions of STRICTLY
+        # EARLIER batches (prefix semantics -- on replay, later batches
+        # are committed too but must not count toward this batch's base)
+        prev_train = committed_table_view(
+            spark_, state_path, "order", _ORDER_SCHEMA, dir_cache,
+            before_batch=int(batch_id),
+        ).count()
+
+        extras = [c for c in batch_df.columns if c not in (key, "text")]
+        cleaned = track(
+            batch_df.select(
+                key,
+                *extras,
+                redact_expr(normalize_expr(F.col("text"))).alias("text"),
+            ).withColumn(
+                "score_milli", qc_score_expr(F.col("text")).cast("long")
+            )
+        )
+        n_in = cleaned.count()
+
+        # ONE match join feeds both admission dedup and split attachment
+        verdicts = track(
+            dedup_against_index(cleaned, index, dedup_threshold)
+        )
+        losers = (
+            verdicts.filter(F.col("match_id") < F.col("new_id"))
+            .select(F.col("new_id").alias(key))
+            .distinct()
+        )
+        survivors = cleaned.join(losers, key, "left_anti")
+        n_unique = survivors.count()
+        quality = survivors.filter(F.col("score_milli") >= F.lit(int(thr)))
+        n_quality = quality.count()
+
+        # split ALL batch docs (the full-corpus-split contract)
+        assigned, certain_losers = assign_splits_of_batch(
+            cleaned.select(key, "text"), index, roots, val_frac,
+            threshold=dedup_threshold, key=key, verdicts=verdicts,
+        )
+        assigned = track(assigned)
+
+        # budget admission (the ingest monitor's ledger semantics)
+        if state is not None:
+            if replayed and int(batch_id) in state.folded_batches:
+                prior_rows = _batch_admitted_rows(
+                    spark_, state_path, batch_id, dir_cache
+                )
+                prior = {}
+                for r in prior_rows:
+                    prior[r["stratum"]] = (
+                        prior.get(r["stratum"], 0) + int(r["n_tokens"])
+                    )
+                remaining = {
+                    s: b - (state.spent.get(s, 0) - prior.get(s, 0))
+                    for s, b in state.budgets.items()
+                    if b - (state.spent.get(s, 0) - prior.get(s, 0)) > 0
+                }
+            else:
+                remaining = state.remaining()
+            if remaining:
+                admitted = token_budget_sample(
+                    quality, stratum, key, remaining
+                )
+            else:
+                admitted = (
+                    quality.limit(0)
+                    .withColumn("n_tokens", F.lit(0).cast("long"))
+                    .withColumn("cum_tokens", F.lit(0).cast("long"))
+                )
+        else:
+            admitted = quality.withColumn(
+                "n_tokens",
+                F.size(
+                    F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+                ).cast("long"),
+            ).withColumn("cum_tokens", F.lit(None).cast("long"))
+        admitted = track(admitted)
+        admitted.count()
+
+        # append-only training order over the batch's admitted TRAIN docs
+        # (in-batch window is micro-batch-bounded -- not a corpus window)
+        train = admitted.select(key, "n_tokens").join(
+            assigned.filter(F.col("split") == "train").select(
+                F.col("doc_id").alias(key)
+            ),
+            key,
+        )
+        pos = (
+            F.lit(int(prev_train)).cast("long")
+            + F.row_number().over(Window.orderBy(key))
+            - 1
+        )
+        order_df = track(
+            train.select(
+                F.col(key).alias("doc_id"),
+                F.col("n_tokens"),
+                pos.alias("train_pos"),
+            ).withColumn(
+                "shard", (F.col("train_pos") % n_shards).cast("int")
+            )
+        )
+
+        shard = admitted.groupBy(F.col(stratum).alias("stratum")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        if not replayed:
+            index_shard = minhash_index(cleaned.select(key, "text")).join(
+                certain_losers.withColumnRenamed(key, "doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+            _write_shard_batch(
+                spark_, state_path, batch_id,
+                {
+                    "index": index_shard,
+                    "admitted": shard,
+                    "roots": assigned.select("doc_id", "root", "split"),
+                    "order": order_df.select(
+                        "doc_id", "train_pos", "shard"
+                    ),
+                },
+            )
+        shard_rows = shard.collect()
+        if state is not None:
+            accumulate = int(batch_id) not in state.folded_batches
+            gauges = state.fold(shard_rows, accumulate=accumulate)
+            if accumulate:
+                state.folded_batches.add(int(batch_id))
+        else:
+            gauges = {
+                "admittedDocs": sum(int(r["n_docs"]) for r in shard_rows),
+                "admittedTokens": sum(
+                    int(r["n_tokens"]) for r in shard_rows
+                ),
+            }
+        agg = assigned.agg(
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+                "nv"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.when(F.col("_conflict"), F.col("root"))
+            ).alias("nc"),
+        ).collect()[0]
+        n_train_batch = order_df.count()
+        gauges.update(
+            {
+                "inDocs": int(n_in),
+                "dupRejects": int(n_in - n_unique),
+                "qualityRejects": int(n_unique - n_quality),
+                "valDocs": int(agg["nv"] or 0),
+                "trainDocs": int(agg["n"]) - int(agg["nv"] or 0),
+                "splitConflicts": int(agg["nc"] or 0),
+                "trainPositions": int(prev_train) + int(n_train_batch),
+                "batchId": int(batch_id),
+            }
+        )
+        if analyzer is not None:
+            analyzer.set_extra_gauges(LOADER_GAUGE_SOURCE, gauges)
+        for sink in gauge_sinks or []:
+            pub = getattr(sink, "publish", None) or sink
+            try:
+                pub(LOADER_GAUGE_SOURCE, dict(gauges))
+            except Exception:
+                pass  # fail-open, the analyzer's sink contract
+        if assigned_sink is not None:
+            assigned_sink(
+                assigned.select("doc_id", "root", "split", "attached"),
+                batch_id,
+            )
+        if train_sink is not None:
+            train_sink(order_df, batch_id)
+        if not replayed:
+            maybe_compact_tables(
+                spark_, state_path, _LOADER_TABLES, dir_cache, compact_every
+            )
+
+    return state, _body

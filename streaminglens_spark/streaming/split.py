@@ -80,6 +80,7 @@ def assign_splits_of_batch(
     val_frac: float = 0.2,
     threshold: float = 0.5,
     key: str = "doc_id",
+    verdicts: DataFrame | None = None,
 ):
     """The pure batch-shaped core: returns (assigned, certain_losers).
 
@@ -88,13 +89,17 @@ def assign_splits_of_batch(
     whose root is not their own id.  ``certain_losers`` is the doc_id
     set of exact copies of an earlier doc (the rows the index shard must
     exclude, the r10 hygiene rule).  Deterministic: a pure function of
-    (batch, index, old_roots)."""
+    (batch, index, old_roots).  ``verdicts`` (r12): a caller that
+    already ran ``dedup_against_index(batch_df, index, threshold)`` --
+    the composed loader monitor shares ONE match join between admission
+    dedup and split attachment -- passes it to skip the recompute."""
     from ..cache import track
     from ..functions.dedup import dedup_against_index, dedup_clusters
     from ..functions.sampling import _threshold
     from ..functions.sketch import HASH_A, HASH_B, HASH_P
 
-    verdicts = track(dedup_against_index(batch_df, index, threshold))
+    if verdicts is None:
+        verdicts = track(dedup_against_index(batch_df, index, threshold))
     edges = (
         verdicts.filter(F.col("match_id") < F.col("new_id"))
         .select("new_id", "match_id")

@@ -1,0 +1,251 @@
+"""The composed streaming loader monitor (r12, r11 verdict ask #4):
+admission -> split -> training order per batch under ONE atomic marker.
+Pins: compositional parity with the standalone monitors (the admission
+equals corpus_ingest_monitor's on the same stream; the split equals
+split_assignment_monitor's), the append-only dense training order, the
+one-marker/four-table durability layout, restart restoring the ledger
+and counter bit-identically, and byte-identical replay."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from streaminglens_spark.streaming.loader import (
+    LOADER_GAUGE_SOURCE,
+    loader_ingest_monitor,
+    restore_loader_state,
+)
+
+SCHEMA = "doc_id long, text string, source string"
+ACCEPT_ALL = -10**9
+
+
+def _doc(i, src, tag=None):
+    seed = tag if tag is not None else i
+    text = " ".join(f"w{(seed * 7 + k * 13) % 97}x{(seed + k) % 11}"
+                    for k in range(20))
+    return {"doc_id": i, "text": text, "source": src}
+
+
+def _drive(spark, src, files, state_path, budgets=None, checkpoint=None,
+           train_log=None, assigned_log=None,
+           quality_threshold=ACCEPT_ALL, compact_every=None):
+    os.makedirs(src, exist_ok=True)
+    published = []
+    kw = {} if compact_every is None else {"compact_every": compact_every}
+    state, body = loader_ingest_monitor(
+        state_path,
+        budgets=budgets,
+        quality_threshold=quality_threshold,
+        train_sink=(
+            (lambda df, bid: train_log.append(
+                (bid, sorted(tuple(r) for r in df.collect()))))
+            if train_log is not None else None
+        ),
+        assigned_sink=(
+            (lambda df, bid: assigned_log.append(
+                (bid, sorted(tuple(r) for r in df.collect()))))
+            if assigned_log is not None else None
+        ),
+        gauge_sinks=[lambda s, g: published.append((s, g))],
+        spark=spark,
+        **kw,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    writer = stream.writeStream.foreachBatch(body).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        for name, recs in files:
+            path = os.path.join(src, name)
+            with open(path + ".tmp", "w") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
+            os.rename(path + ".tmp", path)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return state, published
+
+
+BATCHES = [
+    ("b1.json", [_doc(1, "web"), _doc(2, "web"), _doc(3, "code", tag=1)]),
+    ("b2.json", [_doc(11, "web", tag=2), _doc(12, "code"),
+                 _doc(13, "web")]),
+    ("b3.json", [_doc(21, "code"), _doc(22, "web", tag=13)]),
+]
+
+
+def test_loader_composition_matches_standalone_monitors(spark, tmp_path):
+    """The composed monitor's admission must equal corpus_ingest_monitor's
+    on the same stream (same docs admitted, same ledger), and its (root,
+    split) assignment must equal split_assignment_monitor's -- with the
+    training order a dense 0..n-1 append in (batch, doc_id) arrival order
+    over the admitted train docs, shard = pos % n_shards."""
+    from streaminglens_spark.streaming.ingest import corpus_ingest_monitor
+    from streaminglens_spark.streaming.split import split_assignment_monitor
+
+    budgets = {"web": 200, "code": 200}
+    train_log, assigned_log = [], []
+    state, published = _drive(
+        spark, str(tmp_path / "src"), BATCHES, str(tmp_path / "state"),
+        budgets=budgets, checkpoint=str(tmp_path / "ckpt"),
+        train_log=train_log, assigned_log=assigned_log,
+    )
+    assert published and all(s == LOADER_GAUGE_SOURCE for s, _ in published)
+
+    # standalone admission over the same batches
+    ing_admitted = []
+    ing_state, ing_body = corpus_ingest_monitor(
+        str(tmp_path / "ing-state"), budgets=budgets,
+        quality_threshold=ACCEPT_ALL,
+        admitted_sink=lambda df, bid: ing_admitted.append(
+            (bid, sorted(r["doc_id"] for r in df.collect()))),
+        spark=spark,
+    )
+    # standalone split over the same batches
+    sp_assigned = []
+    sp_body = split_assignment_monitor(
+        str(tmp_path / "sp-state"),
+        assigned_sink=lambda df, bid: sp_assigned.append(
+            (bid, sorted((r["doc_id"], r["root"], r["split"]) for r in
+                         df.collect()))),
+    )
+    for bid, (_, recs) in enumerate(BATCHES):
+        bdf = spark.createDataFrame(
+            [(d["doc_id"], d["text"], d["source"]) for d in recs], SCHEMA
+        )
+        ing_body(bdf, bid)
+        sp_body(bdf.select("doc_id", "text"), bid)
+
+    # admission parity: same admitted ids per batch, same final ledger
+    got_train_ids = {bid: [t[0] for t in rows] for bid, rows in train_log}
+    got_assigned = {
+        bid: sorted((d, r, s) for d, r, s, _ in rows)
+        for bid, rows in assigned_log
+    }
+    # loader admits the same docs the standalone admission admits
+    # (train_log only holds the train side; recover the full admitted
+    # set from the ledger + split sides)
+    sides = {d: s for rows in got_assigned.values() for d, _, s in rows}
+    for bid, ids in ing_admitted:
+        loader_train = [d for d in ids if sides[d] == "train"]
+        assert got_train_ids.get(bid, []) == sorted(loader_train), bid
+    assert state.spent == ing_state.spent
+
+    # split parity: identical (doc, root, side) triples per batch.  The
+    # composed monitor matches on CLEANED text; on this fixture (no PII /
+    # boilerplate injected) cleaning is identity, so verdicts coincide.
+    for bid, rows in sp_assigned:
+        assert got_assigned[bid] == rows, bid
+
+    # order: dense positions in arrival order, round-robin shards
+    flat = [t for _, rows in train_log for t in rows]
+    flat.sort(key=lambda t: t[2])
+    assert [t[2] for t in flat] == list(range(len(flat)))
+    assert all(t[3] == t[2] % 32 for t in flat)
+    # arrival order: positions sorted == (batch, doc_id) sorted
+    by_pos_ids = [t[0] for t in flat]
+    arrival = [d for _, rows in sorted(
+        ((bid, rows) for bid, rows in train_log)) for d in
+        sorted(t[0] for t in rows)]
+    assert by_pos_ids == arrival
+
+
+def test_loader_one_marker_four_tables(spark, tmp_path):
+    """Durability layout: per committed batch exactly one _COMMITTED
+    marker sealing index + admitted + roots + order together."""
+    state_path = str(tmp_path / "state")
+    _drive(spark, str(tmp_path / "src"), BATCHES, state_path,
+           budgets={"web": 200, "code": 200},
+           checkpoint=str(tmp_path / "ckpt"))
+    dirs = [n for n in os.listdir(state_path) if n.startswith("batch_id=")]
+    assert sorted(dirs) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    for n in dirs:
+        entries = set(os.listdir(os.path.join(state_path, n)))
+        assert "_COMMITTED" in entries
+        assert {"index", "admitted", "roots", "order"} <= entries
+
+
+def test_loader_restart_and_replay_exactly_once(spark, tmp_path):
+    """Kill/restart: a fresh monitor restores ledger + folded set + order
+    counter from the committed shards and continues bit-identically; a
+    replayed batch re-delivers the byte-identical train set (same
+    positions) without writing a shard or double-counting the ledger."""
+    budgets = {"web": 200, "code": 200}
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    t1 = []
+    state1, _ = _drive(spark, src, BATCHES[:2], state_path, budgets=budgets,
+                       checkpoint=ckpt, train_log=t1)
+    t2 = []
+    state2, pub2 = _drive(spark, src, BATCHES[2:], state_path,
+                          budgets=budgets, checkpoint=ckpt, train_log=t2)
+    restored = restore_loader_state(spark, budgets, state_path)
+    assert restored.spent == state2.spent
+    assert restored.folded_batches == {0, 1, 2}
+    # order counter continued where batch 1 left off
+    prev_max = max(t[2] for _, rows in t1 for t in rows)
+    new_min = min(t[2] for _, rows in t2 for t in rows)
+    assert new_min == prev_max + 1
+    # gauges carry the running high-water mark
+    assert pub2[-1][1]["trainPositions"] == new_min + len(t2[-1][1])
+
+    # replay batch 0: byte-identical train delivery, no double-count
+    replay = []
+    _, body = loader_ingest_monitor(
+        state_path, budgets=budgets, quality_threshold=ACCEPT_ALL,
+        train_sink=lambda df, bid: replay.append(
+            sorted(tuple(r) for r in df.collect())),
+        spark=spark,
+    )
+    b1 = BATCHES[0][1]
+    body(spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in b1], SCHEMA), 0)
+    assert replay == [t1[0][1]]
+    again = restore_loader_state(spark, budgets, state_path)
+    assert again.spent == state2.spent
+
+
+def test_loader_compaction_keeps_replay(spark, tmp_path):
+    """With compact_every=2 the four tables fold into one generation;
+    a replayed compacted batch still re-delivers byte-identically (the
+    ledger subtraction reads the generation's src_batch rows) and a
+    post-compaction batch still attaches to generation-held state."""
+    budgets = {"web": 200, "code": 200}
+    state_path = str(tmp_path / "state")
+    t1 = []
+    _drive(spark, str(tmp_path / "src"), BATCHES, state_path,
+           budgets=budgets, checkpoint=str(tmp_path / "ckpt"),
+           train_log=t1, compact_every=2)
+    gens = os.listdir(os.path.join(state_path, "compacted"))
+    assert len(gens) == 1 and gens[0].startswith("gen=")
+    gen_id = int(gens[0].split("=")[1])
+    for n in os.listdir(state_path):
+        if not n.startswith("batch_id="):
+            continue
+        bid = int(n.split("=")[1])
+        entries = os.listdir(os.path.join(state_path, n))
+        assert "_COMMITTED" in entries
+        if bid <= gen_id:
+            assert not any(
+                t in entries for t in ("index", "admitted", "roots", "order")
+            )
+    replay = []
+    _, body = loader_ingest_monitor(
+        state_path, budgets=budgets, quality_threshold=ACCEPT_ALL,
+        train_sink=lambda df, bid: replay.append(
+            sorted(tuple(r) for r in df.collect())),
+        spark=spark, compact_every=2,
+    )
+    b1 = BATCHES[0][1]
+    body(spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in b1], SCHEMA), 0)
+    assert replay == [t1[0][1]]
