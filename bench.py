@@ -125,9 +125,16 @@ HEAVY_R11 = [
     "q_line_dedup",
 ]
 
+# r12: the packed flagship (the full chain + epoch-order sequence
+# packing -- its cost vs q_ingest_full is the measured price of the
+# packing tail).
+HEAVY_R12 = [
+    "q_ingest_packed",
+]
+
 HEADLINE = (
     LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9
-    + HEAVY_R10 + HEAVY_R11
+    + HEAVY_R10 + HEAVY_R11 + HEAVY_R12
 )
 
 

@@ -225,6 +225,67 @@ def corpus_shuffle(
     )
 
 
+# quality-band thresholds for curriculum_order (integer milli-units of
+# qc_score_expr; calibrated on the fixture so all three bands populate)
+CURRICULUM_HI_MILLI = 200
+CURRICULUM_LO_MILLI = 0
+CURRICULUM_N_BANDS = 3
+
+
+def curriculum_order(
+    documents: DataFrame,
+    n_shards: int = 32,
+    key: str = "doc_id",
+    hi_milli: int = CURRICULUM_HI_MILLI,
+    lo_milli: int = CURRICULUM_LO_MILLI,
+) -> DataFrame:
+    """Quality-banded curriculum training order (r12 extension): the
+    deterministic position stream of ``corpus_shuffle`` with a quality
+    CURRICULUM on top -- the highest-quality band streams first, then
+    the middle, then the tail, each band internally shuffled by the
+    affine hash (curriculum learning's standard easy/clean-first
+    schedule, e.g. "Curriculum Learning" Bengio et al. 2009, applied as
+    quality-first pretraining ordering).
+
+    Banding: band 2 iff ``score_milli >= hi_milli``, band 1 iff
+    ``>= lo_milli``, else 0 -- the integer quality score the ingest
+    pipeline already computes (``qc_score_expr``), so the curriculum
+    agrees with the admission gate's notion of quality.
+
+    Engine-exactness + scale shape: the order key is ONE integer,
+    ``(2 - band) * P + affine_hash`` (strictly monotone in (band DESC,
+    hash ASC); hash < P so bands cannot collide), ranked by the same
+    range-sharded two-pass ``assign_row_ids`` as ``corpus_shuffle`` --
+    no global sort; the score is a map-only fold.  Precondition: key
+    unique and < P.  Returns (key, band, curriculum_pos, shard)."""
+    from .text import qc_score_expr
+
+    score = qc_score_expr(F.col("text"))
+    band = (
+        F.when(score >= F.lit(int(hi_milli)), F.lit(2))
+        .when(score >= F.lit(int(lo_milli)), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
+    scored = documents.select(
+        F.col(key),
+        band.alias("band"),
+        (
+            (F.lit(2).cast("long") - band.cast("long")) * F.lit(HASH_P) + h
+        ).alias("_okey"),
+    )
+    from .ids import assign_row_ids
+
+    ranked = assign_row_ids(scored.select("_okey"), order_col="_okey")
+    return scored.join(ranked, "_okey").select(
+        key,
+        "band",
+        F.col("row_id").alias("curriculum_pos"),
+        (F.col("row_id") % n_shards).cast("int").alias("shard"),
+    )
+
+
 SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 
 

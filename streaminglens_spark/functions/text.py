@@ -1033,6 +1033,59 @@ def sequence_manifest(
     )
 
 
+def pack_waste(
+    documents: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_N_SHARDS,
+    bucket_width: int = 8192,
+    tokens_col: str | None = None,
+    shard_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Pack-efficiency report (r12 extension): the QA table behind the
+    ``seq_len``/``n_shards`` decision that ``pack_sequences`` executes --
+    per shard, how much of the packed stream is real tokens vs padding,
+    and how many documents straddle a sequence boundary (each straddle
+    is a doc whose causal context a loader truncates mid-document).
+
+    Per shard: ``n_docs``, ``n_tokens`` (real tokens), ``n_seqs``
+    (sequences the shard occupies), ``n_straddles`` (docs spanning >= 2
+    sequences), ``pad_tokens`` (the final sequence's unfilled tail --
+    concat-and-chunk packing pads nowhere else), and ``pad_micro`` (the
+    padded-stream waste fraction in integer micro units, half-up --
+    pure-integer arithmetic, engine-exact).  Scale shape: one groupBy
+    over ``pack_sequences``' output; everything upstream keeps the
+    two-level recipe."""
+    packed = pack_sequences(
+        documents, seq_len, n_shards, bucket_width,
+        tokens_col=tokens_col, shard_col=shard_col, order_col=order_col,
+    )
+    L = int(seq_len)
+    agg = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.max("last_seq") + 1).cast("long").alias("n_seqs"),
+        (F.sum("n_seqs") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_straddles"),
+    )
+    pad = F.col("n_seqs") * F.lit(L) - F.col("n_tokens")
+    # half-up integer micro fraction: (2*N*1e6 + D) div (2*D), N >= 0
+    micro = F.expr(
+        f"CAST((2 * (n_seqs * {L} - n_tokens) * 1000000"
+        f" + n_seqs * {L}) div (2 * n_seqs * {L}) AS BIGINT)"
+    )
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_seqs",
+        "n_straddles",
+        pad.cast("long").alias("pad_tokens"),
+        micro.alias("pad_micro"),
+    )
+
+
 # --- Gopher-style rule filter (r10 extension) --------------------------------
 
 GOPHER_MIN_WORDS = 5

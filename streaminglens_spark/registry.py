@@ -7178,6 +7178,90 @@ def _ingest_packed_oracle() -> str:
 LOCAL_ORACLE["q_ingest_packed"] = _ingest_packed_oracle()
 
 
+# ---------------- r12: pack-efficiency report (extension, loader QA)
+
+def q_pack_waste(spark, sf_dir):
+    """Pack-efficiency report (r12): per shard, real tokens vs padding
+    and boundary-straddling docs of the ``pack_sequences`` layout -- the
+    QA table behind the seq_len/n_shards decision (a high pad_micro says
+    the shard count is too fine for the corpus; straddles count docs a
+    loader truncates mid-document).  Pure integers, one groupBy over the
+    pack output."""
+    from .functions.text import pack_waste
+
+    return pack_waste(_docs(spark, sf_dir))
+
+
+def _pack_waste_oracle() -> str:
+    """The q_pack_sequences SQL wrapped as a subquery + one GROUP BY;
+    pad_micro via the pure-integer half-up division (2N + D) // 2D."""
+    from .functions.text import PACK_SEQ_LEN
+
+    pack = ORACLE.get("q_pack_sequences") or LOCAL_ORACLE["q_pack_sequences"]
+    L = PACK_SEQ_LEN
+    return f"""
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(n_seqs) - COUNT(*) AS BIGINT) AS n_straddles,
+           CAST((MAX(last_seq) + 1) * {L} - SUM(n_tokens) AS BIGINT)
+               AS pad_tokens,
+           CAST((2 * ((MAX(last_seq) + 1) * {L} - SUM(n_tokens)) * 1000000
+                 + (MAX(last_seq) + 1) * {L})
+                // (2 * (MAX(last_seq) + 1) * {L}) AS BIGINT) AS pad_micro
+    FROM ({pack}) pk
+    GROUP BY shard"""
+
+
+LOCAL_ORACLE["q_pack_waste"] = _pack_waste_oracle()
+
+
+# ----------- r12: quality-banded curriculum order (extension, training)
+
+def q_curriculum_order(spark, sf_dir):
+    """Quality-banded curriculum training order (r12): highest-quality
+    band first, affine-hash shuffle within each band -- one integer
+    order key ((2-band)*P + hash) through the range-sharded dense rank,
+    no global sort.  The band uses the SAME integer quality score as the
+    ingest admission gate."""
+    from .functions.sampling import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir))
+
+
+def _curriculum_order_oracle() -> str:
+    from .functions.sampling import (
+        CURRICULUM_HI_MILLI,
+        CURRICULUM_LO_MILLI,
+    )
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    return f"""
+    WITH {_qc_score_ctes('documents', 'text')},
+    banded AS (
+        SELECT doc_id,
+               CAST(CASE WHEN score_milli >= {CURRICULUM_HI_MILLI} THEN 2
+                         WHEN score_milli >= {CURRICULUM_LO_MILLI} THEN 1
+                         ELSE 0 END AS INT) AS band,
+               ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} AS h
+        FROM scored
+    ),
+    ordered AS (
+        SELECT doc_id, band,
+               CAST(row_number() OVER (
+                   ORDER BY (2 - band) * CAST({HASH_P} AS BIGINT) + h) - 1
+                   AS BIGINT) AS curriculum_pos
+        FROM banded
+    )
+    SELECT doc_id, band, curriculum_pos,
+           CAST(curriculum_pos % 32 AS INT) AS shard
+    FROM ordered"""
+
+
+LOCAL_ORACLE["q_curriculum_order"] = _curriculum_order_oracle()
+
+
 # ------------- r11: cross-document line dedup (extension, CCNet family)
 
 def q_line_dedup(spark, sf_dir):
