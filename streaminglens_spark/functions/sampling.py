@@ -226,9 +226,12 @@ def corpus_shuffle(
 
 
 # quality-band thresholds for curriculum_order (integer milli-units of
-# qc_score_expr; calibrated on the fixture so all three bands populate)
-CURRICULUM_HI_MILLI = 200
-CURRICULUM_LO_MILLI = 0
+# qc_score_expr; calibrated on the fixture's score distribution --
+# min ~-33k, median ~-4.3k, p75 ~-0.2k, max ~+15k at both test SFs --
+# so all three bands populate: band 2 ~ top quartile, band 0 ~ bottom
+# quartile)
+CURRICULUM_HI_MILLI = 0
+CURRICULUM_LO_MILLI = -8500
 CURRICULUM_N_BANDS = 3
 
 
