@@ -1101,3 +1101,62 @@ def dedup_stats(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
         .filter(F.col("n_docs") > 0)
     )
     return clustered.unionByName(singletons)
+
+
+def dedup_attribution(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Dedup ATTRIBUTION table (r12 extension): for every document the
+    near-dup pass would REMOVE (a cluster non-keeper), WHY -- the keeper
+    it lost to (its cluster's canonical min id) and the strongest direct
+    match that pulled it into the cluster (max jaccard, ties to the
+    smaller partner id).  This is the governance row a data owner asks
+    for ("which page displaced mine, and how similar was it?") and the
+    audit trail a removal appeal needs; ``dedup_stats`` gives the
+    aggregate histogram, this gives the per-document evidence.
+
+    Scale shape: the banded pair formation and the cluster chain are the
+    documented ``minhash_lsh_pairs`` / ``dedup_clusters`` shapes (the
+    pair set is track()-persisted and shared); the best-match election
+    is one map-side-combined ``min(struct)`` groupBy over the
+    symmetrized pairs (output-proportional -- never touches non-matched
+    docs), and the final assembly is one id-keyed join.  Returns
+    (doc_id, keeper_id, cluster_size, best_match_id, best_jaccard), one
+    row per non-keeper."""
+    from ..cache import track
+
+    pairs = track(minhash_lsh_pairs(documents, threshold))
+    clusters = dedup_clusters(pairs)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    # min(struct) election: negated jaccard ascending = jaccard
+    # descending (double negation is exact), then partner ascending
+    best = sym.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("jaccard")).alias("nj"),
+                F.col("partner").alias("p"),
+                F.col("jaccard").alias("j"),
+            )
+        ).alias("b")
+    )
+    return (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .join(best, "doc_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("keeper_id"),
+            "cluster_size",
+            F.col("b.p").cast("long").alias("best_match_id"),
+            F.col("b.j").alias("best_jaccard"),
+        )
+    )

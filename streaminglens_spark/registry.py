@@ -7262,6 +7262,59 @@ def _curriculum_order_oracle() -> str:
 LOCAL_ORACLE["q_curriculum_order"] = _curriculum_order_oracle()
 
 
+# ------------- r12: per-document dedup attribution (extension, governance)
+
+def q_dedup_attribution(spark, sf_dir):
+    """Per-document dedup attribution (r12): for every near-dup cluster
+    non-keeper, the keeper it lost to and its strongest direct match
+    (max jaccard, ties to the smaller partner) -- the removal-appeal
+    evidence row behind q_dedup_stats' aggregate histogram."""
+    from .functions.dedup import dedup_attribution
+
+    return dedup_attribution(_docs(spark, sf_dir), 0.5)
+
+
+def _dedup_attribution_oracle() -> str:
+    """The q_dedup_clusters SQL (edges + recursive components) spliced
+    with a best-match window election over the symmetrized edge set."""
+    cluster_sql = (
+        ORACLE.get("q_dedup_clusters") or LOCAL_ORACLE["q_dedup_clusters"]
+    )
+    marker = "\n        SELECT CAST(node AS BIGINT) AS doc_id,"
+    head, tail = cluster_sql.split(marker, 1)
+    return (
+        head
+        + ",\n        clu AS ("
+        + marker
+        + tail
+        + """
+        ),
+        symj AS (
+            SELECT doc_a AS doc_id, doc_b AS partner, jaccard FROM edges
+            UNION ALL SELECT doc_b, doc_a, jaccard FROM edges
+        ),
+        best AS (
+            SELECT doc_id, partner AS best_match_id,
+                   jaccard AS best_jaccard
+            FROM (
+                SELECT doc_id, partner, jaccard,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY jaccard DESC, partner)
+                           AS rn
+                FROM symj
+            ) WHERE rn = 1
+        )
+        SELECT c.doc_id, c.cluster_id AS keeper_id, c.cluster_size,
+               CAST(b.best_match_id AS BIGINT) AS best_match_id,
+               b.best_jaccard
+        FROM clu c JOIN best b USING (doc_id)
+        WHERE c.doc_id != c.cluster_id"""
+    )
+
+
+LOCAL_ORACLE["q_dedup_attribution"] = _dedup_attribution_oracle()
+
+
 # ------------- r11: cross-document line dedup (extension, CCNet family)
 
 def q_line_dedup(spark, sf_dir):

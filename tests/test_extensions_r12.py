@@ -64,3 +64,37 @@ def test_curriculum_order_band_monotone_and_dense(spark):
         assert ids == sorted(ids, key=lambda d: (HASH_A * d + HASH_B) % HASH_P)
     df = registry.q_curriculum_order(spark, SF_DIR)
     assert python_udf_count(df) == 0
+
+
+def test_dedup_attribution_invariants(spark):
+    """Exactly one row per cluster non-keeper; the keeper is the
+    cluster's min id (always < doc_id); the best match lies in the SAME
+    cluster and carries the doc's maximum pair jaccard (ties to the
+    smaller partner)."""
+    from streaminglens_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    att = {r["doc_id"]: r for r in
+           registry.q_dedup_attribution(spark, SF_DIR).collect()}
+    clusters = {r["doc_id"]: r for r in
+                dedup_clusters(minhash_lsh_pairs(docs, 0.5)).collect()}
+    non_keepers = {d for d, r in clusters.items() if r["cluster_id"] != d}
+    assert set(att) == non_keepers
+    pairs = minhash_lsh_pairs(docs, 0.5).collect()
+    best = {}
+    for p in pairs:
+        for d, o in ((p["doc_a"], p["doc_b"]), (p["doc_b"], p["doc_a"])):
+            cur = best.get(d)
+            if cur is None or (-p["jaccard"], o) < cur:
+                best[d] = (-p["jaccard"], o)
+    for d, r in att.items():
+        assert r["keeper_id"] == clusters[d]["cluster_id"] < d
+        assert r["cluster_size"] == clusters[d]["cluster_size"]
+        assert clusters[r["best_match_id"]]["cluster_id"] == r["keeper_id"]
+        nj, o = best[d]
+        assert (r["best_match_id"], r["best_jaccard"]) == (o, -nj)
+    df = registry.q_dedup_attribution(spark, SF_DIR)
+    assert python_udf_count(df) == 0
