@@ -29,6 +29,17 @@ Semantics -- the composition, stage by stage:
   (``corpus_shuffle`` / ``q_epoch_shuffle``) once the corpus freezes:
   a global permutation is not an incremental object; the stream's order
   is the bootstrap/curriculum order.
+- PACKING is append-only too (r12b): sequence packing in arrival order
+  is an incremental object -- each batch's train docs EXTEND their
+  shard's token stream, and earlier offsets/sequence boundaries never
+  move -- so the ``order`` table also carries each doc's
+  ``token_offset`` / ``first_seq`` / ``last_seq`` spans, bit-equal to
+  ``pack_sequences(shard_col="shard", order_col="train_pos")`` over the
+  concatenated stream's train set.  Per-shard base offsets come from
+  the committed strictly-earlier view (one O(n_shards) aggregate,
+  broadcast back -- never driver state); the per-(shard, seq) manifest
+  stays a read-side fold because a sequence straddling the stream head
+  is not final until the next batch writes past it.
 
 Durability: ONE ``_write_shard_batch`` call per batch -- four tables,
 one marker, so admission ledger, dedup index, split roots and the order
@@ -68,7 +79,10 @@ LOADER_GAUGE_SOURCE = "spark.streaming.loaderIngest"
 _IDX_SCHEMA = "doc_id long, md5_fp string, mh array<bigint>"
 _ADMIT_SCHEMA = "stratum string, n_docs long, n_tokens long"
 _ROOTS_SCHEMA = "doc_id long, root long, split string"
-_ORDER_SCHEMA = "doc_id long, train_pos long, shard int"
+_ORDER_SCHEMA = (
+    "doc_id long, n_tokens long, train_pos long, shard int,"
+    " token_offset long, first_seq long, last_seq long"
+)
 _LOADER_TABLES = {
     "index": _IDX_SCHEMA,
     "admitted": _ADMIT_SCHEMA,
@@ -148,6 +162,7 @@ def loader_ingest_monitor(
     dedup_threshold: float = 0.5,
     val_frac: float = 0.2,
     n_shards: int = 32,
+    seq_len: int = 256,
     train_sink=None,
     assigned_sink=None,
     analyzer=None,
@@ -161,8 +176,9 @@ def loader_ingest_monitor(
     for the composed semantics.  Input stream schema: (doc_id, text,
     source, ...); document ids must be globally increasing across
     batches.  ``train_sink(df, batch_id)`` receives each batch's
-    admitted TRAIN docs as (doc_id, n_tokens, train_pos, shard) --
-    exactly once under replay; ``assigned_sink(df, batch_id)`` the full
+    admitted TRAIN docs as (doc_id, n_tokens, train_pos, shard,
+    token_offset, first_seq, last_seq) -- the append-only pack spans at
+    ``seq_len`` -- exactly once under replay; ``assigned_sink(df, batch_id)`` the full
     (doc_id, root, split, attached) assignment.  ``spark`` restores the
     ledger eagerly; without it the restore runs lazily on the first
     batch (the r8 zero-ledger lesson)."""
@@ -215,13 +231,18 @@ def loader_ingest_monitor(
             spark_, state_path, "roots", _ROOTS_SCHEMA, dir_cache,
             exclude_batch=exclude,
         )
-        # pre-batch order counter: committed train positions of STRICTLY
-        # EARLIER batches (prefix semantics -- on replay, later batches
-        # are committed too but must not count toward this batch's base)
-        prev_train = committed_table_view(
+        # pre-batch order counter + per-shard token bases: committed
+        # train rows of STRICTLY EARLIER batches (prefix semantics -- on
+        # replay, later batches are committed too but must not count
+        # toward this batch's base)
+        prev_order = committed_table_view(
             spark_, state_path, "order", _ORDER_SCHEMA, dir_cache,
             before_batch=int(batch_id),
-        ).count()
+        )
+        prev_train = prev_order.count()
+        shard_bases = prev_order.groupBy("shard").agg(
+            F.sum("n_tokens").cast("long").alias("_base")
+        )
 
         extras = [c for c in batch_df.columns if c not in (key, "text")]
         cleaned = track(
@@ -307,13 +328,43 @@ def loader_ingest_monitor(
             + F.row_number().over(Window.orderBy(key))
             - 1
         )
+        ordered = train.select(
+            F.col(key).alias("doc_id"),
+            F.col("n_tokens"),
+            pos.alias("train_pos"),
+        ).withColumn("shard", (F.col("train_pos") % n_shards).cast("int"))
+        # append-only pack spans: per-shard cumulative offsets continue
+        # from the committed prefix's shard totals (broadcast O(n_shards)
+        # aggregate); in-batch windows are micro-batch-bounded
+        wsh = Window.partitionBy("shard").orderBy("train_pos")
+        off = (
+            F.coalesce(F.col("_base"), F.lit(0).cast("long"))
+            + F.sum("n_tokens").over(
+                wsh.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("n_tokens")
+        )
+        L = int(seq_len)
+        with_off = ordered.join(
+            F.broadcast(shard_bases), "shard", "left"
+        ).withColumn("token_offset", off.cast("long"))
         order_df = track(
-            train.select(
-                F.col(key).alias("doc_id"),
-                F.col("n_tokens"),
-                pos.alias("train_pos"),
-            ).withColumn(
-                "shard", (F.col("train_pos") % n_shards).cast("int")
+            with_off.select(
+                "doc_id",
+                "n_tokens",
+                "train_pos",
+                "shard",
+                "token_offset",
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.floor(F.col("token_offset") / L),
+                ).cast("long").alias("first_seq"),
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.floor(
+                        (F.col("token_offset") + F.col("n_tokens") - 1) / L
+                    ),
+                ).cast("long").alias("last_seq"),
             )
         )
 
@@ -333,9 +384,7 @@ def loader_ingest_monitor(
                     "index": index_shard,
                     "admitted": shard,
                     "roots": assigned.select("doc_id", "root", "split"),
-                    "order": order_df.select(
-                        "doc_id", "train_pos", "shard"
-                    ),
+                    "order": order_df,
                 },
             )
         shard_rows = shard.collect()

@@ -249,3 +249,34 @@ def test_loader_compaction_keeps_replay(spark, tmp_path):
     body(spark.createDataFrame(
         [(d["doc_id"], d["text"], d["source"]) for d in b1], SCHEMA), 0)
     assert replay == [t1[0][1]]
+
+
+def test_loader_pack_spans_match_batch_pack(spark, tmp_path):
+    """r12b: the order table's append-only pack spans are bit-equal to
+    pack_sequences(shard_col/order_col) over the concatenated stream's
+    final train set -- earlier offsets and sequence boundaries never
+    moved as batches extended each shard's token stream."""
+    from streaminglens_spark.functions.text import pack_sequences
+
+    train_log = []
+    _drive(
+        spark, str(tmp_path / "src"), BATCHES, str(tmp_path / "state"),
+        budgets={"web": 200, "code": 200},
+        checkpoint=str(tmp_path / "ckpt"), train_log=train_log,
+    )
+    rows = [t for _, rs in train_log for t in rs]
+    assert rows
+    spine = spark.createDataFrame(
+        [(t[0], t[1], t[2], t[3]) for t in rows],
+        "doc_id long, n_tokens long, train_pos long, shard int",
+    )
+    want = {
+        r["doc_id"]: (r["shard"], r["token_offset"],
+                      r["first_seq"], r["last_seq"])
+        for r in pack_sequences(
+            spine, seq_len=256, tokens_col="n_tokens",
+            shard_col="shard", order_col="train_pos",
+        ).collect()
+    }
+    got = {t[0]: (t[3], t[4], t[5], t[6]) for t in rows}
+    assert got == want
