@@ -108,6 +108,10 @@ CASES = [
     # r11 additions
     ("line_dedup", "functions.text", "doc_id long, text string"),
     ("leakage_safe_split", "functions.dedup", "doc_id long, text string"),
+    # r12 additions
+    ("pack_waste", "functions.text", "doc_id long, text string"),
+    ("curriculum_order", "functions.sampling", "doc_id long, text string"),
+    ("dedup_attribution", "functions.dedup", "doc_id long, text string"),
 ]
 
 
@@ -161,6 +165,11 @@ def test_multi_arg_operators_empty_safe(spark):
     assert out.count() == 0 and len(out.columns) == 5
     assert temperature_targets({}, 1000) == {}
     assert temperature_targets({"a": 0, "b": 0}, 1000) == {"a": 0, "b": 0}
+    # r12: the packed flagship
+    from streaminglens_spark.functions.corpus import ingest_packed
+
+    out = ingest_packed(docs, srcs, {"src0": 100})
+    assert out.count() == 0 and len(out.columns) == 5
 
 
 def test_funnel_empty_reports_zero_per_step(spark):
