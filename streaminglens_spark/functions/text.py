@@ -991,6 +991,18 @@ def sequence_manifest(
     packed = pack_sequences(documents, seq_len, n_shards, bucket_width,
                              tokens_col=tokens_col, shard_col=shard_col,
                              order_col=order_col)
+    return manifest_from_packed(packed, seq_len)
+
+
+def manifest_from_packed(packed: DataFrame, seq_len: int = PACK_SEQ_LEN):
+    """``sequence_manifest``'s span-aggregation tail over an ALREADY
+    PACKED table -- (doc_id, shard, n_tokens, token_offset, first_seq,
+    last_seq) rows from ``pack_sequences`` or any table carrying the
+    same columns (r12: the streaming loader's committed ``order`` table,
+    whose spans are append-only and bit-equal to the batch pack).  One
+    bounded explode + one groupBy(shard, seq_id)."""
+    from pyspark.sql import functions as F
+
     seqs = packed.select(
         "shard",
         "doc_id",

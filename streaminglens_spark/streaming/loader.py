@@ -155,6 +155,25 @@ def restore_loader_state(
     return state
 
 
+def loader_manifest(
+    spark, state_path: str, seq_len: int = 256, dir_cache=None
+) -> "DataFrame":
+    """The per-(shard, seq_id) packed manifest of everything the loader
+    stream has committed so far -- the read-side fold the module
+    docstring promises (a sequence straddling the stream head is not
+    final until later batches write past it, so the manifest is a READ
+    of the committed order spans, not a per-batch emission).  One
+    generation + recent shards in, ``sequence_manifest``'s span tail
+    out; bit-equal to the batch manifest over the concatenated stream's
+    train set.  Pass the monitor's ``seq_len``."""
+    from ..functions.text import manifest_from_packed
+
+    order = committed_table_view(
+        spark, state_path, "order", _ORDER_SCHEMA, dir_cache
+    ).filter(F.col("n_tokens") > 0)
+    return manifest_from_packed(order, seq_len)
+
+
 def loader_ingest_monitor(
     state_path: str,
     budgets: dict[str, int] | None = None,

@@ -280,3 +280,35 @@ def test_loader_pack_spans_match_batch_pack(spark, tmp_path):
     }
     got = {t[0]: (t[3], t[4], t[5], t[6]) for t in rows}
     assert got == want
+
+
+def test_loader_manifest_read_side_fold(spark, tmp_path):
+    """loader_manifest folds the committed order spans into the
+    per-(shard, seq) manifest, bit-equal to the batch sequence_manifest
+    over the concatenated stream's train set."""
+    from streaminglens_spark.functions.text import sequence_manifest
+    from streaminglens_spark.streaming.loader import loader_manifest
+
+    state_path = str(tmp_path / "state")
+    train_log = []
+    _drive(
+        spark, str(tmp_path / "src"), BATCHES, state_path,
+        budgets={"web": 200, "code": 200},
+        checkpoint=str(tmp_path / "ckpt"), train_log=train_log,
+    )
+    got = sorted(
+        tuple(r) for r in loader_manifest(spark, state_path, 256).collect()
+    )
+    rows = [t for _, rs in train_log for t in rs]
+    spine = spark.createDataFrame(
+        [(t[0], t[1], t[2], t[3]) for t in rows],
+        "doc_id long, n_tokens long, train_pos long, shard int",
+    )
+    want = sorted(
+        tuple(r)
+        for r in sequence_manifest(
+            spine, seq_len=256, tokens_col="n_tokens",
+            shard_col="shard", order_col="train_pos",
+        ).collect()
+    )
+    assert got == want and got
