@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .annmaint import _write_shard_batch
-from .budget import BudgetAdmissionState
+from .budget import BudgetAdmissionState, MixtureBudgetState
 from .ingest import (
     INDEX_COMPACT_EVERY,
     _BatchDirCache,
@@ -126,32 +126,49 @@ def _batch_admitted_rows(spark, state_path, batch_id, dir_cache=None):
     )
 
 
+def _fold_view(spark, state_path, sub, state_fold, dir_cache):
+    rows = (
+        committed_table_view(
+            spark, state_path, sub, _ADMIT_SCHEMA, dir_cache
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    state_fold(rows)
+
+
 def restore_loader_state(
-    spark, budgets: dict[str, int] | None, state_path: str | None
+    spark,
+    budgets: dict[str, int] | None,
+    state_path: str | None,
+    mixture_total_tokens: int | None = None,
+    mixture_sqrt_steps: int = 1,
 ):
     """The budget ledger rebuilt from the committed state: spent tokens
     fold from the cumulative ``admitted`` view (one generation + recent
     shards -- O(1) reads at any stream age), the folded-batch set from
-    the permanent markers.  None when the monitor runs without budgets."""
-    if budgets is None:
+    the permanent markers.  Mixture mode additionally folds the ``seen``
+    view and recomputes the temperature targets from the rebuilt
+    manifest.  None when the monitor runs without any budget mode."""
+    if budgets is None and mixture_total_tokens is None:
         return None
-    state = BudgetAdmissionState(budgets)
+    if mixture_total_tokens is not None:
+        state = MixtureBudgetState(mixture_total_tokens, mixture_sqrt_steps)
+    else:
+        state = BudgetAdmissionState(budgets)
     if state_path:
         dir_cache = _BatchDirCache()
-        rows = (
-            committed_table_view(
-                spark, state_path, "admitted", _ADMIT_SCHEMA, dir_cache
-            )
-            .groupBy("stratum")
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("n_tokens").cast("long").alias("n_tokens"),
-            )
-            .collect()
-        )
-        state.fold(rows)
+        if mixture_total_tokens is not None:
+            _fold_view(spark, state_path, "seen", state.fold_seen, dir_cache)
+        _fold_view(spark, state_path, "admitted", state.fold, dir_cache)
         state.folded_batches = _committed_ids(spark, state_path, dir_cache)
         state.batches = len(state.folded_batches)
+        if mixture_total_tokens is not None:
+            state.budgets = state.targets()
     return state
 
 
@@ -182,6 +199,8 @@ def loader_ingest_monitor(
     val_frac: float = 0.2,
     n_shards: int = 32,
     seq_len: int = 256,
+    mixture_total_tokens: int | None = None,
+    mixture_sqrt_steps: int = 1,
     train_sink=None,
     assigned_sink=None,
     analyzer=None,
@@ -200,7 +219,19 @@ def loader_ingest_monitor(
     ``seq_len`` -- exactly once under replay; ``assigned_sink(df, batch_id)`` the full
     (doc_id, root, split, attached) assignment.  ``spark`` restores the
     ledger eagerly; without it the restore runs lazily on the first
-    batch (the r8 zero-ledger lesson)."""
+    batch (the r8 zero-ledger lesson).
+
+    MIXTURE MODE (r12b): ``mixture_total_tokens`` replaces the static
+    budgets dict with temperature targets recomputed per batch from the
+    cumulative per-stratum SEEN-token manifest (the r11
+    ``mixture_admission_monitor`` semantics, composed into the full
+    loader) -- a fifth ``seen`` table seals under the same marker so
+    manifest and ledger never diverge; mutually exclusive with
+    ``budgets``."""
+    if budgets is not None and mixture_total_tokens is not None:
+        raise ValueError(
+            "pass budgets OR mixture_total_tokens, not both"
+        )
     from ..functions.dedup import dedup_against_index, minhash_index
     from ..functions.sampling import token_budget_sample
     from ..functions.text import (
@@ -212,12 +243,25 @@ def loader_ingest_monitor(
     from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
 
     thr = QC_THRESHOLD_MILLI if quality_threshold is None else quality_threshold
-    state = BudgetAdmissionState(budgets) if budgets is not None else None
-    restored = spark is not None or budgets is None
+    mixture = mixture_total_tokens is not None
+    if mixture:
+        state = MixtureBudgetState(mixture_total_tokens, mixture_sqrt_steps)
+    elif budgets is not None:
+        state = BudgetAdmissionState(budgets)
+    else:
+        state = None
+    restored = spark is not None or state is None
     if spark is not None:
-        state = restore_loader_state(spark, budgets, state_path)
+        state = restore_loader_state(
+            spark, budgets, state_path,
+            mixture_total_tokens=mixture_total_tokens,
+            mixture_sqrt_steps=mixture_sqrt_steps,
+        )
 
     dir_cache = _BatchDirCache()
+    tables = dict(_LOADER_TABLES)
+    if mixture:
+        tables["seen"] = _ADMIT_SCHEMA
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         from ..cache import track, tracked_caches
@@ -229,10 +273,17 @@ def loader_ingest_monitor(
         nonlocal restored
         spark_ = batch_df.sparkSession
         if not restored:
-            fresh = restore_loader_state(spark_, budgets, state_path)
+            fresh = restore_loader_state(
+                spark_, budgets, state_path,
+                mixture_total_tokens=mixture_total_tokens,
+                mixture_sqrt_steps=mixture_sqrt_steps,
+            )
             state.spent = fresh.spent
             state.folded_batches = fresh.folded_batches
             state.batches = fresh.batches
+            if mixture:
+                state.seen = fresh.seen
+                state.budgets = fresh.budgets
             restored = True
         out = f"{state_path}/batch_id={batch_id}"
         fs, _ = _hadoop_fs(spark_, out)
@@ -296,9 +347,30 @@ def loader_ingest_monitor(
         )
         assigned = track(assigned)
 
-        # budget admission (the ingest monitor's ledger semantics)
+        # budget admission (the ingest monitor's ledger semantics; in
+        # mixture mode the budgets are temperature targets recomputed
+        # from the seen manifest -- the mixture monitor's protocol)
+        seen_rows, batch_seen = [], {}
+        if mixture:
+            toks = F.size(
+                F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+            ).cast("long")
+            seen_rows = cleaned.groupBy(
+                F.col(stratum).alias("stratum")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(toks).cast("long").alias("n_tokens"),
+            ).collect()
+            batch_seen = {
+                r["stratum"]: int(r["n_tokens"]) for r in seen_rows
+            }
         if state is not None:
             if replayed and int(batch_id) in state.folded_batches:
+                if mixture:
+                    # the manifest already folded this batch: targets
+                    # come straight from it (pure function of the
+                    # committed seen THROUGH this batch)
+                    state.budgets = state.targets()
                 prior_rows = _batch_admitted_rows(
                     spark_, state_path, batch_id, dir_cache
                 )
@@ -313,6 +385,11 @@ def loader_ingest_monitor(
                     if b - (state.spent.get(s, 0) - prior.get(s, 0)) > 0
                 }
             else:
+                if mixture:
+                    # fresh batch: size targets INCLUDING the arriving
+                    # batch's seen counts (what a later replay
+                    # reconstructs from the folded manifest)
+                    state.budgets = state.targets(extra_seen=batch_seen)
                 remaining = state.remaining()
             if remaining:
                 admitted = token_budget_sample(
@@ -397,19 +474,29 @@ def loader_ingest_monitor(
                 "doc_id",
                 "left_anti",
             )
+            batch_tables = {
+                "index": index_shard,
+                "admitted": shard,
+                "roots": assigned.select("doc_id", "root", "split"),
+                "order": order_df,
+            }
+            if mixture:
+                batch_tables["seen"] = spark_.createDataFrame(
+                    [(r["stratum"], int(r["n_docs"]), int(r["n_tokens"]))
+                     for r in seen_rows],
+                    _ADMIT_SCHEMA,
+                )
             _write_shard_batch(
-                spark_, state_path, batch_id,
-                {
-                    "index": index_shard,
-                    "admitted": shard,
-                    "roots": assigned.select("doc_id", "root", "split"),
-                    "order": order_df,
-                },
+                spark_, state_path, batch_id, batch_tables
             )
         shard_rows = shard.collect()
         if state is not None:
             accumulate = int(batch_id) not in state.folded_batches
             gauges = state.fold(shard_rows, accumulate=accumulate)
+            if mixture:
+                gauges.update(
+                    state.fold_seen(seen_rows, accumulate=accumulate)
+                )
             if accumulate:
                 state.folded_batches.add(int(batch_id))
         else:
@@ -458,7 +545,7 @@ def loader_ingest_monitor(
             train_sink(order_df, batch_id)
         if not replayed:
             maybe_compact_tables(
-                spark_, state_path, _LOADER_TABLES, dir_cache, compact_every
+                spark_, state_path, tables, dir_cache, compact_every
             )
 
     return state, _body

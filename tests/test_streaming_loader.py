@@ -312,3 +312,81 @@ def test_loader_manifest_read_side_fold(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_loader_mixture_mode(spark, tmp_path):
+    """r12b mixture mode: the loader's budgets are temperature targets
+    recomputed per batch from the cumulative seen manifest (the r11
+    mixture monitor composed into the full loader) -- five tables under
+    one marker, restart restores manifest + ledger + targets
+    bit-identically, replay re-delivers byte-identically, and a
+    zero-target stratum in its introducing batch does not crash."""
+    from streaminglens_spark.streaming.budget import temperature_targets
+
+    total = 100
+    b1 = [_doc(1, "tiny"), _doc(2, "big")]     # 20 tokens each
+    b2 = [_doc(11, "big"), _doc(12, "big")]
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    train_log, published = [], []
+    state, body = loader_ingest_monitor(
+        state_path,
+        mixture_total_tokens=total,
+        quality_threshold=ACCEPT_ALL,
+        train_sink=lambda df, bid: train_log.append(
+            (bid, sorted(tuple(r) for r in df.collect()))),
+        gauge_sinks=[lambda s, g: published.append((s, g))],
+        spark=spark,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").json(src)
+    )
+    q = (stream.writeStream.foreachBatch(body).outputMode("append")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        for name, recs in [("b1.json", b1), ("b2.json", b2)]:
+            path = os.path.join(src, name)
+            with open(path + ".tmp", "w") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
+            os.rename(path + ".tmp", path)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # manifest tracked every batch; final targets follow the manifest
+    assert state.seen == {"tiny": 20, "big": 60}
+    assert state.budgets == temperature_targets(state.seen, total)
+    assert published[-1][1]["seenTokens"] == 40
+    # five tables sealed per batch
+    for n in os.listdir(state_path):
+        if n.startswith("batch_id="):
+            entries = set(os.listdir(os.path.join(state_path, n)))
+            assert {"index", "admitted", "roots", "order",
+                    "seen", "_COMMITTED"} <= entries
+    # restart restores manifest + ledger + targets bit-identically
+    restored = restore_loader_state(
+        spark, None, state_path, mixture_total_tokens=total
+    )
+    assert restored.seen == state.seen
+    assert restored.spent == state.spent
+    assert restored.budgets == state.budgets
+    assert restored.folded_batches == {0, 1}
+    # replay batch 0: byte-identical train delivery, no double count
+    replay = []
+    _, body2 = loader_ingest_monitor(
+        state_path, mixture_total_tokens=total,
+        quality_threshold=ACCEPT_ALL,
+        train_sink=lambda df, bid: replay.append(
+            sorted(tuple(r) for r in df.collect())),
+        spark=spark,
+    )
+    body2(spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in b1], SCHEMA), 0)
+    assert replay == [train_log[0][1]]
+    again = restore_loader_state(
+        spark, None, state_path, mixture_total_tokens=total
+    )
+    assert again.seen == state.seen and again.spent == state.spent
