@@ -7262,6 +7262,82 @@ def _curriculum_order_oracle() -> str:
 LOCAL_ORACLE["q_curriculum_order"] = _curriculum_order_oracle()
 
 
+# ---------- r12: curriculum-packed manifest (extension, training order)
+
+def q_curriculum_packed(spark, sf_dir):
+    """The curriculum order PACKED (r12): ``curriculum_order``'s
+    quality-first stream tiled into PACK_SEQ_LEN sequences -- the second
+    ordering the generalized pack composes with (the epoch shuffle being
+    the first, ``q_ingest_packed``); one row per (shard, seq_id) with
+    the span digest, so a single hash covers the banding, the in-band
+    shuffle AND the token layout."""
+    from .functions.sampling import curriculum_order
+    from .functions.text import sequence_manifest
+
+    docs = _docs(spark, sf_dir)
+    order = curriculum_order(docs)
+    spine = order.join(
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    return sequence_manifest(
+        spine,
+        tokens_col="n_tokens",
+        shard_col="shard",
+        order_col="curriculum_pos",
+    )
+
+
+def _curriculum_packed_oracle() -> str:
+    """The q_curriculum_order CTE chain + the e2e pack arithmetic keyed
+    to curriculum_pos order over the round-robin shard."""
+    from .functions.text import PACK_SEQ_LEN
+
+    cur = LOCAL_ORACLE.get("q_curriculum_order") or ORACLE[
+        "q_curriculum_order"
+    ]
+    L = PACK_SEQ_LEN
+    return f"""
+    WITH cur AS ({cur}),
+    kbase AS (
+        SELECT c.doc_id, c.shard, c.curriculum_pos,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM cur c JOIN documents d USING (doc_id)
+    ),
+    kpoff AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY curriculum_pos)
+                  - n_tokens AS BIGINT) AS token_offset
+        FROM kbase
+    ),
+    kpsq AS (
+        SELECT shard, doc_id, n_tokens, token_offset,
+               CAST(s.s AS BIGINT) AS seq_id
+        FROM kpoff,
+             LATERAL unnest(generate_series(token_offset // {L},
+                 (token_offset + n_tokens - 1) // {L})) AS s(s)
+    ),
+    kpsp AS (
+        SELECT shard, seq_id, doc_id,
+               GREATEST(token_offset, seq_id * {L}) - seq_id * {L} AS begin,
+               LEAST(token_offset + n_tokens, (seq_id + 1) * {L})
+                   - GREATEST(token_offset, seq_id * {L}) AS n_fill
+        FROM kpsq
+    )
+    SELECT shard, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_fill) AS BIGINT) AS filled,
+           md5(string_agg(doc_id || ':' || begin || ':' || n_fill, ';'
+               ORDER BY begin, doc_id, n_fill)) AS docs_digest
+    FROM kpsp GROUP BY shard, seq_id"""
+
+
+LOCAL_ORACLE["q_curriculum_packed"] = _curriculum_packed_oracle()
+
+
 # ------------- r12: per-document dedup attribution (extension, governance)
 
 def q_dedup_attribution(spark, sf_dir):

@@ -98,3 +98,34 @@ def test_dedup_attribution_invariants(spark):
         assert (r["best_match_id"], r["best_jaccard"]) == (o, -nj)
     df = registry.q_dedup_attribution(spark, SF_DIR)
     assert python_udf_count(df) == 0
+
+
+def test_curriculum_packed_tiles_the_curriculum_stream(spark):
+    """The packed manifest tiles the curriculum stream consistently:
+    per shard, sequences dense, every non-final sequence exactly full,
+    fill totals equal the shard's curriculum token totals."""
+    from streaminglens_spark.functions.text import PACK_SEQ_LEN
+
+    rows = registry.q_curriculum_packed(spark, SF_DIR).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    order = registry.q_curriculum_order(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+            "doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n_tokens"
+        ).collect()
+    }
+    shard_tokens = {}
+    for r in order:
+        shard_tokens[r["shard"]] = (
+            shard_tokens.get(r["shard"], 0) + docs[r["doc_id"]]
+        )
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r["filled"] == PACK_SEQ_LEN
+        assert sum(r["filled"] for r in rs) == shard_tokens[shard]
