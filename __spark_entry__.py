@@ -25,9 +25,12 @@ r11 rotation closed; never driver-proven -- r11 verdict ask #1) and
 plus the stalest refresh slots: the two r8-stale queries (bumped by
 r11b) and the r9-stale batch alphabetically (45 fit; r12b bumps the
 freshest, ``q_user_features``).  R13 priority candidates under this
-policy: the six remaining r9-stale refresh slots (``q_user_features``,
-``q_user_sequences``, ``q_vocab_drift``, ``q_watermark_advisor``,
-``q_winnow``, ``q_zorder``), then the r10-stale batch.  A driver that
+policy: the never-driver-proven r12-late queries (``q_pack_waste``,
+``q_curriculum_order``, ``q_curriculum_packed``,
+``q_dedup_attribution``, ``q_sampled_fit``), then the six remaining
+r9-stale refresh slots (``q_user_features``, ``q_user_sequences``,
+``q_vocab_drift``, ``q_watermark_advisor``, ``q_winnow``,
+``q_zorder``), then the r10-stale batch.  A driver that
 ever evaluates more than 50 must read LOCAL_ORACLE too -- do NOT widen
 ``queries()`` without removing the cap guard (``registry.py`` raises
 RuntimeError if len(ORACLE) != 50).

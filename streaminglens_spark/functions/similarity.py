@@ -220,7 +220,10 @@ def ivf_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def kmeans_fit(
-    embeddings: DataFrame, k: int = 8, iters: int = 5
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means for the IVF coarse quantizer -- the
     iterative-algorithm path when no natural cells (labels) exist.
@@ -247,18 +250,38 @@ def kmeans_fit(
     the iteration's only exchange.  Scores, tie-breaks, and therefore
     centroids are bit-identical (the fold/window equality is pinned in
     ``tests/test_streaming_stateless_ops.py``); the q_ann_topk /
-    q_semantic_dedup / q_shared_fit oracles are untouched."""
+    q_semantic_dedup / q_shared_fit oracles are untouched.
+
+    r12 ``sample_fraction``: the sf10 probe measured the full-corpus
+    fit as the pipeline's first linear wall (~linear in vectors: 10x
+    embeddings -> 7.7x wall; PERF.md) -- the fit is STATISTICS, not
+    inventory, so at scale the Lloyd passes should run over a
+    deterministic hash-sample and only the final assignment should see
+    every vector.  When set, init and every iteration read only the
+    rows whose affine vec_id hash falls under the fraction
+    (``hash_sample`` -- map-only, engine-independent, so the oracle
+    replays the exact sample), cutting the per-iteration argmax-fold
+    and re-estimation cost by ~1/fraction.  ``sample_fraction=1.0``
+    keeps every row and is bit-identical to the unsampled fit (the
+    hash filter at threshold P keeps the whole space -- pinned in
+    tests/test_sampled_fit.py).  The returned centroids remain a
+    drop-in for ``ivf_topk(centroids=...)`` consumers, which always
+    score the FULL corpus."""
     from ..plans.shape import scan_parallel
+    from .sampling import hash_sample
 
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
+    fit = emb if sample_fraction is None else hash_sample(
+        emb, "vec_id", sample_fraction
+    )
     # the per-iteration argmax fold is k x dim multiply-adds per row --
     # CPU-dense, so it must not run at (possibly single-split) scan
     # parallelism; no-op on a real multi-split scan
-    body = scan_parallel(emb)
+    body = scan_parallel(fit)
     cents = (
-        emb.orderBy("vec_id")
+        fit.orderBy("vec_id")
         .limit(k)
         .withColumn(
             "cell", F.row_number().over(Window.orderBy("vec_id")) - 1

@@ -1687,7 +1687,9 @@ ORACLE: dict[str, str | None] = {
 }
 
 
-def _kmeans_assign_ctes(n_cells: int, iters: int) -> list[str]:
+def _kmeans_assign_ctes(
+    n_cells: int, iters: int, fit_where: str | None = None
+) -> list[str]:
     """The ``iters`` deterministic Lloyd iterations of ``kmeans_fit``
     unrolled as CTEs (init = the ``n_cells`` lowest vec_ids; assignment =
     argmax cosine with ties to the lower cell; re-estimation =
@@ -1695,7 +1697,13 @@ def _kmeans_assign_ctes(n_cells: int, iters: int) -> list[str]:
     (final scoring + rank) and ``assign`` (cell, vec_id, v, nrm).  Shared
     by the q_ann_topk and q_semantic_dedup oracles; every float fold is
     the identical left-fold expression tree as the Spark plan, so the fit
-    hash-matches bit-exactly."""
+    hash-matches bit-exactly.
+
+    ``fit_where`` (r12, the sampled-fit mirror): when given, the init
+    and every Lloyd iteration read only ``normed`` rows satisfying the
+    predicate (the engine's ``kmeans_fit(sample_fraction=...)`` hash
+    filter), while the final ``cscored``/``assign`` still score the
+    FULL corpus against the sampled-fit centroids."""
     dot_vc = """list_reduce(list_prepend(0.0,
                        list_transform(range(1, 65),
                            i -> n.v[CAST(i AS INT)] * c.cv[CAST(i AS INT)])),
@@ -1711,11 +1719,15 @@ def _kmeans_assign_ctes(n_cells: int, iters: int) -> list[str]:
                                     (a, b) -> a + b)) AS nrm
             FROM emb
         )""",
+        (
+            "fitset AS (SELECT * FROM normed"
+            + (f" WHERE {fit_where})" if fit_where else ")")
+        ),
         f"""c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                    v AS cv,
                    nrm AS cnrm
-            FROM (SELECT * FROM normed ORDER BY vec_id LIMIT {n_cells})
+            FROM (SELECT * FROM fitset ORDER BY vec_id LIMIT {n_cells})
         )""",
     ]
     for t in range(iters):
@@ -1724,7 +1736,7 @@ def _kmeans_assign_ctes(n_cells: int, iters: int) -> list[str]:
             SELECT vec_id, v, cell, cscore FROM (
                 SELECT n.vec_id, n.v, c.cell,
                        {dot_vc} / (n.nrm * c.cnrm) AS cscore
-                FROM normed n CROSS JOIN c{t} c
+                FROM fitset n CROSS JOIN c{t} c
             )
         )"""
         )
@@ -1777,12 +1789,14 @@ def _kmeans_assign_ctes(n_cells: int, iters: int) -> list[str]:
 
 
 def _ann_topk_oracle(
-    n_cells: int = 8, iters: int = 5, nprobe: int = 3, n_queries: int = 5, k: int = 10
+    n_cells: int = 8, iters: int = 5, nprobe: int = 3, n_queries: int = 5,
+    k: int = 10, fit_where: str | None = None,
 ) -> str:
     """DuckDB oracle for ``q_ann_topk``: the shared unrolled k-means fit
     (``_kmeans_assign_ctes``), then the same probe/re-rank tail as the
-    q_ivf_topk oracle."""
-    ctes = _kmeans_assign_ctes(n_cells, iters)
+    q_ivf_topk oracle.  ``fit_where`` passes through to the fit CTEs
+    (the q_sampled_fit mirror)."""
+    ctes = _kmeans_assign_ctes(n_cells, iters, fit_where=fit_where)
     ctes.append(
         f"""probes AS (
             SELECT cell, vec_id AS query_vec_id, v AS qv, nrm AS qn
@@ -7389,6 +7403,47 @@ def _dedup_attribution_oracle() -> str:
 
 
 LOCAL_ORACLE["q_dedup_attribution"] = _dedup_attribution_oracle()
+
+
+# ------------------ r12: hash-sampled quantizer fit (extension, ANN scale)
+
+SAMPLED_FIT_FRACTION = 0.25
+
+
+def q_sampled_fit(spark, sf_dir):
+    """ANN over a HASH-SAMPLED quantizer fit (r12): the sf10 probe
+    measured the full-corpus k-means fit as the pipeline's first linear
+    wall (10x embeddings -> 7.7x wall, PERF.md) and named the standard
+    fix -- the fit is statistics, not inventory, so the Lloyd passes
+    run over a deterministic ``hash_sample`` of the corpus while the
+    assignment/probe tail still scores every vector.  Same probe/
+    re-rank tail as ``q_ann_topk``; the oracle replays the exact
+    affine-hash sample, so the sampled fit is hash-checkable end to
+    end, and ``tests/test_sampled_fit.py`` pins both the
+    fraction=1.0 == unsampled bit-equality and the recall floor vs
+    the exact top-k."""
+    from .cache import track
+    from .functions.similarity import ann_topk, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = track(
+        kmeans_fit(emb, k=8, iters=5, sample_fraction=SAMPLED_FIT_FRACTION)
+    )
+    return ann_topk(emb, centroids=cents)
+
+
+def _sampled_fit_where() -> str:
+    from .functions.sampling import _threshold
+
+    return (
+        f"({_SK_A} * vec_id + {_SK_B}) % {_SK_P}"
+        f" < {_threshold(SAMPLED_FIT_FRACTION)}"
+    )
+
+
+LOCAL_ORACLE["q_sampled_fit"] = _ann_topk_oracle(
+    fit_where=_sampled_fit_where()
+)
 
 
 # ------------- r11: cross-document line dedup (extension, CCNet family)
