@@ -7446,6 +7446,81 @@ LOCAL_ORACLE["q_sampled_fit"] = _ann_topk_oracle(
 )
 
 
+# -------------- r12: DSIR importance resampling (extension, data selection)
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance resampling (r12): the deterministic top-k
+    variant of Xie et al. 2023 -- hashed unigram+bigram bag-of-features
+    models for the target slice (lang='en') and the full pool, add-1
+    smoothed, per-document importance = summed per-occurrence
+    log-likelihood ratio in integer micro-bits (``log2_fp`` -- no libm,
+    so the score hash-matches DuckDB exactly).  Fit is one
+    map-side-combined groupBy to <= dim rows; scoring is ZERO-shuffle
+    map-only (dense weight array broadcast as one row); selection is
+    TakeOrderedAndProject.  See ``functions/dsir.py``."""
+    from .functions.dsir import dsir_select
+
+    return dsir_select(_docs(spark, sf_dir))
+
+
+def _dsir_oracle() -> str:
+    from .functions.dsir import DSIR_KEEP_N
+    from .functions.intlog import log2_fp_sql
+    from .functions.text import QC_DIM
+
+    fold = _qc_fold_sql
+    dim = QC_DIM
+    w = (
+        f"{log2_fp_sql('c_t + 1')} - {log2_fp_sql(f'n_t + {dim}')}"
+        f" - {log2_fp_sql('c_q + 1')} + {log2_fp_sql(f'n_q + {dim}')}"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS is_target,
+                      string_split(text, ' ') AS toks FROM documents),
+    feats AS (
+        SELECT doc_id, is_target,
+               list_concat(
+                   list_transform(toks, tok -> {fold('tok')} % {dim}),
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                           i -> {fold("(toks[CAST(i AS INT)] || '_' || toks[CAST(i + 1 AS INT)])")} % {dim})
+                   ELSE [] END
+               ) AS fs
+        FROM t
+    ),
+    fx AS (SELECT is_target, UNNEST(fs) AS bucket FROM feats),
+    counts AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+               COUNT(*) AS c_q
+        FROM fx GROUP BY 1
+    ),
+    dense AS (
+        SELECT s.bucket,
+               CAST(COALESCE(c.c_t, 0) AS BIGINT) AS c_t,
+               CAST(COALESCE(c.c_q, 0) AS BIGINT) AS c_q
+        FROM (SELECT UNNEST(range({dim})) AS bucket) s
+        LEFT JOIN counts c USING (bucket)
+    ),
+    tot AS (SELECT SUM(c_t) AS n_t, SUM(c_q) AS n_q FROM dense),
+    wt AS (SELECT bucket, {w} AS w FROM dense, tot),
+    warr AS (SELECT list(w ORDER BY bucket) AS arr FROM wt),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(fs) AS BIGINT) AS n_feats,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(fs,
+                            b -> CAST(arr[CAST(b + 1 AS INT)] AS BIGINT))),
+                    (a, x) -> a + x) AS BIGINT) AS score_micro
+        FROM feats, warr
+    )
+    SELECT doc_id, n_feats, score_micro FROM scored
+    ORDER BY score_micro DESC, doc_id LIMIT {DSIR_KEEP_N}"""
+
+
+LOCAL_ORACLE["q_dsir_select"] = _dsir_oracle()
+
+
 # ------------- r11: cross-document line dedup (extension, CCNet family)
 
 def q_line_dedup(spark, sf_dir):

@@ -112,6 +112,8 @@ CASES = [
     ("pack_waste", "functions.text", "doc_id long, text string"),
     ("curriculum_order", "functions.sampling", "doc_id long, text string"),
     ("dedup_attribution", "functions.dedup", "doc_id long, text string"),
+    ("dsir_scores", "functions.dsir", "doc_id long, text string, lang string"),
+    ("dsir_select", "functions.dsir", "doc_id long, text string, lang string"),
 ]
 
 
