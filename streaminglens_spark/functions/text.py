@@ -1179,6 +1179,116 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     )
 
 
+# --- C4-style rule filter (r12 extension) ------------------------------------
+
+C4_MIN_LINE_WORDS = 5    # a kept line has at least 5 words (C4 / Raffel 2020)
+C4_MIN_SENTENCES = 3     # a kept page has at least 3 sentences
+
+
+def c4_corpus(documents: DataFrame) -> DataFrame:
+    """Derived corpus with the crawl artifacts C4's rules exist to
+    catch, injected as a pure function of doc_id (the
+    ``boilerplate_corpus`` convention, reproduced verbatim in the
+    oracle): a lorem-ipsum filler line on %7 ids, a curly-brace code
+    line on %11, a 'please enable javascript' plea on %13, the
+    unpunctuated copyright footer on %2, a too-short teaser on %5 and
+    a well-formed keeper sentence on %3.  The fixture text becomes the
+    content line with sentence structure added deterministically
+    (a period before every ' table ' occurrence plus a terminal one),
+    so the page-level sentence count varies doc to doc."""
+    d = F.col("doc_id")
+    content = F.concat(
+        F.replace(F.col("text"), F.lit(" table "), F.lit(". table ")),
+        F.lit("."),
+    )
+    parts = F.array(
+        F.when(d % 7 == 0, F.lit("lorem ipsum dolor sit amet consectetur.")),
+        F.when(d % 11 == 0, F.lit("var config = { mode: fast };")),
+        F.when(d % 13 == 0, F.lit("please enable javascript to continue now.")),
+        F.when(d % 2 == 0, F.lit("copyright acme corp all rights reserved")),
+        content,
+        F.when(d % 5 == 0, F.lit("Read more!")),
+        F.when(d % 3 == 0, F.lit("This is a perfectly good sentence to keep.")),
+    )
+    return documents.select(
+        "doc_id",
+        F.array_join(F.filter(parts, lambda x: x.isNotNull()), "\n").alias("text"),
+    )
+
+
+def c4_rules(documents: DataFrame) -> DataFrame:
+    """C4-style cleaning verdicts (r12 extension): the line and page
+    heuristics of Raffel et al. 2020 (T5's C4 corpus, section 2.2) --
+    the OTHER canonical first-pass web filter next to ``gopher_rules``
+    (C4 cleans line-granular where Gopher scores whole pages).  One
+    map-only projection; filtering 100 TB is a scan.
+
+    Line rule (applied first): keep a line iff it has at least
+    ``C4_MIN_LINE_WORDS`` words, ends in terminal punctuation
+    (``. ! ? "``), and does not mention javascript.  Page rules (on
+    the cleaned page): at least ``C4_MIN_SENTENCES`` sentences
+    (terminal-punctuation count over kept lines); no 'lorem ipsum';
+    no curly brace (both checked on the RAW page, as C4 does --
+    they signal boilerplate/code whatever the line shapes).  C4's
+    badword-list rule is deliberately out of scope (the public list
+    is not shipped here); its three-sentence-span dedup lives in
+    ``span_dedup``.
+
+    Everything is integer/string-exact -- word counts are nonempty
+    space-splits, the sentence count is a character-class strip --
+    so verdicts and the kept-page digest hash-match across engines.
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, r_sentences,
+    r_lorem, r_brace, keep, clean_md5)."""
+    lines = F.split(F.col("text"), "\n")
+
+    def line_keep(line):
+        words = F.filter(F.split(line, " "), lambda w: F.length(w) > 0)
+        terminal = (
+            line.endswith(".")
+            | line.endswith("!")
+            | line.endswith("?")
+            | line.endswith('"')
+        )
+        return (
+            (F.size(words) >= C4_MIN_LINE_WORDS)
+            & terminal
+            & ~F.lower(line).contains("javascript")
+        )
+
+    base = documents.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.array_join(F.filter(lines, line_keep), "\n").alias("clean"),
+        (~F.lower(F.col("text")).contains("lorem ipsum")).alias("r_lorem"),
+        (~F.col("text").contains("{")).alias("r_brace"),
+    )
+    n_kept = F.when(
+        F.length("clean") == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.col("clean"), "\n")))
+    n_sent = F.length(F.regexp_replace(F.col("clean"), r"[^.!?]", ""))
+    base = base.select(
+        "doc_id",
+        "n_lines",
+        n_kept.cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        "r_lorem",
+        "r_brace",
+        F.md5(F.col("clean")).alias("clean_md5"),
+    )
+    r_sent = F.col("n_sentences") >= C4_MIN_SENTENCES
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        r_sent.alias("r_sentences"),
+        "r_lorem",
+        "r_brace",
+        (r_sent & F.col("r_lorem") & F.col("r_brace")).alias("keep"),
+        "clean_md5",
+    )
+
+
 def line_dedup(documents: DataFrame) -> DataFrame:
     """Corpus-wide first-occurrence LINE dedup (r11 extension): every
     distinct nonempty line survives only at its earliest occurrence --

@@ -7521,6 +7521,80 @@ def _dsir_oracle() -> str:
 LOCAL_ORACLE["q_dsir_select"] = _dsir_oracle()
 
 
+# ----------------- r12: C4-style rule filter (extension, quality heuristics)
+
+def q_c4_rules(spark, sf_dir):
+    """C4-style cleaning verdicts (r12): the line+page heuristics of
+    Raffel et al. 2020 over the deterministically-injected c4_corpus
+    (lorem-ipsum/brace/javascript/unpunctuated-chrome lines keyed on
+    doc_id) -- per-doc rule booleans, the conjunctive keep, and the
+    kept-page md5 so the hash covers the line filter itself.  Map-only;
+    the governance complement of q_gopher_rules (C4 cleans
+    line-granular where Gopher scores whole pages)."""
+    from .functions.text import c4_corpus, c4_rules
+
+    return c4_rules(c4_corpus(_docs(spark, sf_dir)))
+
+
+def _c4_rules_oracle() -> str:
+    from .functions.text import C4_MIN_LINE_WORDS, C4_MIN_SENTENCES
+
+    return f"""
+    WITH c4 AS (
+        SELECT doc_id, concat_ws(chr(10),
+            CASE WHEN doc_id % 7 = 0
+                 THEN 'lorem ipsum dolor sit amet consectetur.' END,
+            CASE WHEN doc_id % 11 = 0
+                 THEN 'var config = {{ mode: fast }};' END,
+            CASE WHEN doc_id % 13 = 0
+                 THEN 'please enable javascript to continue now.' END,
+            CASE WHEN doc_id % 2 = 0
+                 THEN 'copyright acme corp all rights reserved' END,
+            replace(text, ' table ', '. table ') || '.',
+            CASE WHEN doc_id % 5 = 0 THEN 'Read more!' END,
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'This is a perfectly good sentence to keep.' END
+        ) AS text FROM documents
+    ),
+    l AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines,
+               NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
+               NOT contains(text, '{{') AS r_brace
+        FROM c4
+    ),
+    k AS (
+        SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, r_lorem, r_brace,
+               array_to_string(list_filter(lines, ln ->
+                   len(list_filter(string_split(ln, ' '),
+                       w -> length(w) > 0)) >= {C4_MIN_LINE_WORDS}
+                   AND (ends_with(ln, '.') OR ends_with(ln, '!')
+                        OR ends_with(ln, '?') OR ends_with(ln, '"'))
+                   AND NOT contains(lower(ln), 'javascript')
+               ), chr(10)) AS clean
+        FROM l
+    ),
+    s AS (
+        SELECT doc_id, n_lines,
+               CAST(CASE WHEN length(clean) = 0 THEN 0
+                    ELSE len(string_split(clean, chr(10))) END AS BIGINT)
+                   AS n_kept_lines,
+               CAST(length(regexp_replace(clean, '[^.!?]', '', 'g'))
+                   AS BIGINT) AS n_sentences,
+               r_lorem, r_brace, md5(clean) AS clean_md5
+        FROM k
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           n_sentences >= {C4_MIN_SENTENCES} AS r_sentences,
+           r_lorem, r_brace,
+           (n_sentences >= {C4_MIN_SENTENCES} AND r_lorem AND r_brace)
+               AS keep,
+           clean_md5
+    FROM s"""
+
+
+LOCAL_ORACLE["q_c4_rules"] = _c4_rules_oracle()
+
+
 # ------------- r11: cross-document line dedup (extension, CCNet family)
 
 def q_line_dedup(spark, sf_dir):

@@ -114,6 +114,8 @@ CASES = [
     ("dedup_attribution", "functions.dedup", "doc_id long, text string"),
     ("dsir_scores", "functions.dsir", "doc_id long, text string, lang string"),
     ("dsir_select", "functions.dsir", "doc_id long, text string, lang string"),
+    ("c4_corpus", "functions.text", "doc_id long, text string"),
+    ("c4_rules", "functions.text", "doc_id long, text string"),
 ]
 
 
