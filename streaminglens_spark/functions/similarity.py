@@ -1165,3 +1165,66 @@ def semantic_decontaminate(
         cos6.alias("max_eval_cosine"),
         (cos6 >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def embed_outliers(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    n_outliers: int = 5,
+    centroids: DataFrame | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-cluster embedding OUTLIERS (r12 extension): the
+    least-prototypical vectors of each k-means cell -- the
+    prototypicality-filtering companion of SemDeDup (Abbas et al. 2023
+    rank within-cluster items by similarity to the centroid; DataComp's
+    CLIP-score family drops the low end).  Flags the ``n_outliers``
+    lowest assignment cosines per cell: the candidates a curation pass
+    reviews as noise/off-distribution before training.
+
+    Spark shape: the fit is the shared deterministic ``kmeans_fit``
+    (caller-suppliable, so a fitted quantizer is reused -- the
+    ``q_shared_fit`` ownership contract); assignment is the map-only
+    broadcast argmax fold; the bottom-n election is the repo's
+    SKEW-SAFE two-level window -- rank within (cell, vec_id % n_buckets)
+    first (k x n_buckets reducers, never k single-reducer partitions for
+    a 100 TB corpus), keep rank <= n, then the true per-cell rank over
+    the <= k * n_buckets * n survivors.  Kept-set identical to a single
+    per-cell window because each bucket's bottom-n is a superset
+    contribution of the cell's bottom-n.
+
+    Returns (cell, vec_id, cosine, rank) for flagged rows only --
+    rank 1 = farthest from its centroid, ties to the lower vec_id."""
+    from ..cache import track
+    from ..plans.shape import scan_parallel
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    cents = centroids if centroids is not None else kmeans_fit(
+        embeddings, k=k, iters=iters
+    )
+    cents = track(cents)
+    assign = _fold_assign(scan_parallel(emb), cents).select(
+        "cell", "vec_id", "cscore"
+    )
+    w1 = Window.partitionBy(
+        "cell", (F.col("vec_id") % n_buckets).alias("bucket")
+    ).orderBy(F.col("cscore").asc(), F.col("vec_id"))
+    lvl1 = assign.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= n_outliers
+    )
+    w2 = Window.partitionBy("cell").orderBy(
+        F.col("cscore").asc(), F.col("vec_id")
+    )
+    return (
+        lvl1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n_outliers)
+        .select(
+            F.col("cell").cast("int"),
+            "vec_id",
+            F.round(F.col("cscore"), 6).alias("cosine"),
+            F.col("rank").cast("long"),
+        )
+    )

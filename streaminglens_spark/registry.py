@@ -7595,6 +7595,45 @@ def _c4_rules_oracle() -> str:
 LOCAL_ORACLE["q_c4_rules"] = _c4_rules_oracle()
 
 
+# ----------- r12: per-cluster embedding outliers (extension, curation)
+
+def q_embed_outliers(spark, sf_dir):
+    """Per-cluster embedding outliers (r12): the n least-prototypical
+    vectors of each k-means cell (lowest assignment cosine) -- the
+    prototypicality-filtering companion of SemDeDup / DataComp-style
+    curation.  Fit = the shared deterministic kmeans; assignment =
+    broadcast argmax fold (map-only); bottom-n election = the skew-safe
+    two-level window (never k single-reducer partitions).  See
+    ``functions/similarity.py::embed_outliers``."""
+    from .functions.similarity import embed_outliers
+
+    return embed_outliers(_emb(spark, sf_dir))
+
+
+def _embed_outliers_oracle(
+    n_cells: int = 8, iters: int = 5, n_outliers: int = 5
+) -> str:
+    """The shared unrolled Lloyd fit; outliers = the per-cell ascending
+    rank over the final assignment cosines (a single window per cell is
+    kept-set identical to the engine's two-level form)."""
+    ctes = _kmeans_assign_ctes(n_cells, iters)
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT cell, vec_id, cosine, rank FROM (
+            SELECT CAST(cell AS INT) AS cell, vec_id,
+                   round(cscore, 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY cell
+                            ORDER BY cscore ASC, vec_id) AS BIGINT) AS rank
+            FROM cscored WHERE crn = 1
+        ) WHERE rank <= {n_outliers}"""
+    )
+
+
+LOCAL_ORACLE["q_embed_outliers"] = _embed_outliers_oracle()
+
+
 # ------------- r11: cross-document line dedup (extension, CCNet family)
 
 def q_line_dedup(spark, sf_dir):

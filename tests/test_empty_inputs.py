@@ -116,6 +116,8 @@ CASES = [
     ("dsir_select", "functions.dsir", "doc_id long, text string, lang string"),
     ("c4_corpus", "functions.text", "doc_id long, text string"),
     ("c4_rules", "functions.text", "doc_id long, text string"),
+    ("embed_outliers", "functions.similarity",
+     "vec_id long, embedding array<float>, label int"),
 ]
 
 
