@@ -54,25 +54,23 @@ from .text import QC_DIM, qc_feats_expr
 DSIR_KEEP_N = 100
 
 
-def dsir_scores(
+def dsir_fit(
     documents: DataFrame,
     target_lang: str = "en",
     dim: int = QC_DIM,
 ) -> DataFrame:
-    """Per-document DSIR importance scores over the FULL pool.
-
-    Returns (doc_id, n_feats, score_micro): ``score_micro`` is the
-    summed per-occurrence log-likelihood ratio in micro-bits (exact
-    BIGINT -- order-independent), ``n_feats`` the feature count.  Docs
-    with no features (empty text) score 0 (an empty product has
-    importance weight 1)."""
+    """Fit the per-bucket log-likelihood-ratio weights: ONE corpus scan
+    (map-side-combined groupBy bounded by ``dim``), densified over the
+    full bucket spine with the totals attached as a broadcast scalar
+    row.  Returns a ONE-ROW DataFrame with ``warr`` -- the dense
+    bucket-ascending weight array (micro-bits, exact BIGINTs) -- the
+    frozen model a scorer broadcasts (the fit-offline / score-on-arrival
+    recipe ``pq_encode``/``ann_assign_fold`` established)."""
     spark = documents.sparkSession
-    feats = documents.select(
-        "doc_id",
+    fx = documents.select(
         (F.col("lang") == target_lang).alias("is_target"),
-        qc_feats_expr(F.col("text"), dim).alias("fs"),
+        F.explode(qc_feats_expr(F.col("text"), dim)).alias("bucket"),
     )
-    fx = feats.select("is_target", F.explode("fs").alias("bucket"))
     counts = fx.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
         F.count(F.lit(1)).alias("c_q"),
@@ -100,20 +98,53 @@ def dsir_scores(
             + log2_fp(F.col("n_q") + dim)
         ).alias("w"),
     )
-    warr = weights.groupBy().agg(
+    return weights.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("bucket", "w"))),
             lambda s: s["w"],
         ).alias("warr")
     )
-    return feats.crossJoin(F.broadcast(warr)).select(
-        "doc_id",
-        F.size("fs").cast("long").alias("n_feats"),
+
+
+def dsir_score_with(
+    documents: DataFrame, weights: DataFrame, dim: int = QC_DIM
+) -> DataFrame:
+    """Score documents against FROZEN fitted weights (``dsir_fit``'s
+    one-row ``warr`` table): a pure projection after the one-row
+    broadcast -- zero shuffle over the corpus, and because each row's
+    score depends only on itself and the frozen weights, the SAME
+    projection scores a streaming micro-batch bit-identically to the
+    batch operator (``streaming/dsirstream.py``).  Preserves every
+    input column and appends (n_feats, score_micro)."""
+    fs = qc_feats_expr(F.col("text"), dim)
+    cols = list(documents.columns)
+    return documents.crossJoin(F.broadcast(weights)).select(
+        *cols,
+        F.size(fs).cast("long").alias("n_feats"),
         F.aggregate(
-            "fs",
+            fs,
             F.lit(0).cast("long"),
             lambda acc, b: acc + F.element_at("warr", (b + 1).cast("int")),
         ).alias("score_micro"),
+    )
+
+
+def dsir_scores(
+    documents: DataFrame,
+    target_lang: str = "en",
+    dim: int = QC_DIM,
+) -> DataFrame:
+    """Per-document DSIR importance scores over the FULL pool
+    (fit + score composed).
+
+    Returns (doc_id, n_feats, score_micro): ``score_micro`` is the
+    summed per-occurrence log-likelihood ratio in micro-bits (exact
+    BIGINT -- order-independent), ``n_feats`` the feature count.  Docs
+    with no features (empty text) score 0 (an empty product has
+    importance weight 1)."""
+    warr = dsir_fit(documents, target_lang=target_lang, dim=dim)
+    return dsir_score_with(documents, warr, dim=dim).select(
+        "doc_id", "n_feats", "score_micro"
     )
 
 
