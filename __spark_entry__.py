@@ -28,7 +28,8 @@ freshest, ``q_user_features``).  R13 priority candidates under this
 policy: the never-driver-proven r12-late queries (``q_pack_waste``,
 ``q_curriculum_order``, ``q_curriculum_packed``,
 ``q_dedup_attribution``, ``q_sampled_fit``, ``q_dsir_select``,
-``q_c4_rules``, ``q_embed_outliers``), then the six remaining
+``q_c4_rules``, ``q_embed_outliers``, ``q_source_quality_report``),
+then the six remaining
 r9-stale refresh slots (``q_user_features``, ``q_user_sequences``,
 ``q_vocab_drift``, ``q_watermark_advisor``, ``q_winnow``,
 ``q_zorder``), then the r10-stale batch.  A driver that

@@ -1100,6 +1100,48 @@ def pack_waste(
 
 # --- Gopher-style rule filter (r10 extension) --------------------------------
 
+def gopher_counter_exprs(text: F.Column) -> dict[str, F.Column]:
+    """The five Gopher rule counters as reusable column expressions
+    (r12 factoring for ``source_quality_report``'s single-scan
+    composition -- ``gopher_rules`` builds the identical projection)."""
+    toks = F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return {
+        "n_words": F.size(toks).cast("long"),
+        "sum_word_len": F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+        "n_alpha_words": F.size(
+            F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+        ).cast("long"),
+        "n_stopwords": F.size(
+            F.filter(toks, lambda w: F.array_contains(stop_arr, w))
+        ).cast("long"),
+        "n_symbol_words": F.size(
+            F.filter(toks, lambda w: w.startswith("#") | w.contains("..."))
+        ).cast("long"),
+    }
+
+
+def gopher_keep_expr(text: F.Column) -> F.Column:
+    """The conjunctive Gopher keep as ONE inline expression over raw
+    counters -- value-identical to ``gopher_rules``'s ``keep`` column
+    (pinned by ``tests/test_source_report.py``), usable inside any
+    single-scan projection."""
+    c = gopher_counter_exprs(text)
+    return (
+        (c["n_words"] >= GOPHER_MIN_WORDS)
+        & (c["n_words"] <= GOPHER_MAX_WORDS)
+        & (c["sum_word_len"] >= F.lit(GOPHER_MIN_MEAN_LEN) * c["n_words"])
+        & (c["sum_word_len"] <= F.lit(GOPHER_MAX_MEAN_LEN) * c["n_words"])
+        & (F.lit(100) * c["n_alpha_words"] >= F.lit(GOPHER_MIN_ALPHA_PCT) * c["n_words"])
+        & (c["n_stopwords"] >= GOPHER_MIN_STOPWORDS)
+        & (F.lit(100) * c["n_symbol_words"] <= F.lit(GOPHER_MAX_SYMBOL_PCT) * c["n_words"])
+    )
+
+
 GOPHER_MIN_WORDS = 5
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_MEAN_LEN = 3      # mean word length in [3, 10] (Gopher Table A1)
@@ -1127,31 +1169,10 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     Returns (doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
     n_symbol_words, r_word_count, r_mean_len, r_alpha, r_stopwords,
     r_symbols, keep)."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
-    n = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    n_alpha = F.size(
-        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
-    ).cast("long")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(
-        F.filter(toks, lambda w: F.array_contains(stop_arr, w))
-    ).cast("long")
-    n_sym = F.size(
-        F.filter(
-            toks,
-            lambda w: w.startswith("#") | w.contains("..."),
-        )
-    ).cast("long")
+    counters = gopher_counter_exprs(F.col("text"))
     base = documents.select(
         "doc_id",
-        n.alias("n_words"),
-        sum_len.alias("sum_word_len"),
-        n_alpha.alias("n_alpha_words"),
-        n_stop.alias("n_stopwords"),
-        n_sym.alias("n_symbol_words"),
+        *[expr.alias(name) for name, expr in counters.items()],
     )
     r_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
@@ -1185,20 +1206,12 @@ C4_MIN_LINE_WORDS = 5    # a kept line has at least 5 words (C4 / Raffel 2020)
 C4_MIN_SENTENCES = 3     # a kept page has at least 3 sentences
 
 
-def c4_corpus(documents: DataFrame) -> DataFrame:
-    """Derived corpus with the crawl artifacts C4's rules exist to
-    catch, injected as a pure function of doc_id (the
-    ``boilerplate_corpus`` convention, reproduced verbatim in the
-    oracle): a lorem-ipsum filler line on %7 ids, a curly-brace code
-    line on %11, a 'please enable javascript' plea on %13, the
-    unpunctuated copyright footer on %2, a too-short teaser on %5 and
-    a well-formed keeper sentence on %3.  The fixture text becomes the
-    content line with sentence structure added deterministically
-    (a period before every ' table ' occurrence plus a terminal one),
-    so the page-level sentence count varies doc to doc."""
-    d = F.col("doc_id")
+def c4_text_expr(d: F.Column, t: F.Column) -> F.Column:
+    """The c4_corpus injection as a reusable column expression over
+    (doc_id, text) -- shared by ``c4_corpus`` and the single-scan
+    ``source_quality_report`` composition."""
     content = F.concat(
-        F.replace(F.col("text"), F.lit(" table "), F.lit(". table ")),
+        F.replace(t, F.lit(" table "), F.lit(". table ")),
         F.lit("."),
     )
     parts = F.array(
@@ -1210,9 +1223,55 @@ def c4_corpus(documents: DataFrame) -> DataFrame:
         F.when(d % 5 == 0, F.lit("Read more!")),
         F.when(d % 3 == 0, F.lit("This is a perfectly good sentence to keep.")),
     )
+    return F.array_join(F.filter(parts, lambda x: x.isNotNull()), "\n")
+
+
+def c4_corpus(documents: DataFrame) -> DataFrame:
+    """Derived corpus with the crawl artifacts C4's rules exist to
+    catch, injected as a pure function of doc_id (the
+    ``boilerplate_corpus`` convention, reproduced verbatim in the
+    oracle): a lorem-ipsum filler line on %7 ids, a curly-brace code
+    line on %11, a 'please enable javascript' plea on %13, the
+    unpunctuated copyright footer on %2, a too-short teaser on %5 and
+    a well-formed keeper sentence on %3.  The fixture text becomes the
+    content line with sentence structure added deterministically
+    (a period before every ' table ' occurrence plus a terminal one),
+    so the page-level sentence count varies doc to doc."""
     return documents.select(
         "doc_id",
-        F.array_join(F.filter(parts, lambda x: x.isNotNull()), "\n").alias("text"),
+        c4_text_expr(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+
+
+def _c4_line_keep(line: F.Column) -> F.Column:
+    """The C4 line rule as an expression (see ``c4_rules``)."""
+    words = F.filter(F.split(line, " "), lambda w: F.length(w) > 0)
+    terminal = (
+        line.endswith(".")
+        | line.endswith("!")
+        | line.endswith("?")
+        | line.endswith('"')
+    )
+    return (
+        (F.size(words) >= C4_MIN_LINE_WORDS)
+        & terminal
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_keep_expr(text: F.Column) -> F.Column:
+    """The conjunctive C4 page keep as ONE inline expression --
+    value-identical to ``c4_rules``'s ``keep`` column (pinned by
+    ``tests/test_source_report.py``), usable inside any single-scan
+    projection."""
+    clean = F.array_join(
+        F.filter(F.split(text, "\n"), _c4_line_keep), "\n"
+    )
+    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    return (
+        (n_sent >= C4_MIN_SENTENCES)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
     )
 
 
@@ -1240,25 +1299,10 @@ def c4_rules(documents: DataFrame) -> DataFrame:
     Returns (doc_id, n_lines, n_kept_lines, n_sentences, r_sentences,
     r_lorem, r_brace, keep, clean_md5)."""
     lines = F.split(F.col("text"), "\n")
-
-    def line_keep(line):
-        words = F.filter(F.split(line, " "), lambda w: F.length(w) > 0)
-        terminal = (
-            line.endswith(".")
-            | line.endswith("!")
-            | line.endswith("?")
-            | line.endswith('"')
-        )
-        return (
-            (F.size(words) >= C4_MIN_LINE_WORDS)
-            & terminal
-            & ~F.lower(line).contains("javascript")
-        )
-
     base = documents.select(
         "doc_id",
         F.size(lines).cast("long").alias("n_lines"),
-        F.array_join(F.filter(lines, line_keep), "\n").alias("clean"),
+        F.array_join(F.filter(lines, _c4_line_keep), "\n").alias("clean"),
         (~F.lower(F.col("text")).contains("lorem ipsum")).alias("r_lorem"),
         (~F.col("text").contains("{")).alias("r_brace"),
     )
@@ -1286,6 +1330,42 @@ def c4_rules(documents: DataFrame) -> DataFrame:
         "r_brace",
         (r_sent & F.col("r_lorem") & F.col("r_brace")).alias("keep"),
         "clean_md5",
+    )
+
+
+def source_quality_report(
+    documents: DataFrame, threshold_milli: int = QC_THRESHOLD_MILLI
+) -> DataFrame:
+    """Per-source quality governance rollup (r12 extension): the table
+    a filtering run ships upstream -- for every source, how many docs
+    each of the three quality families keeps (the Gopher rule bundle,
+    the C4 line+page rules over the injected c4 corpus, the hashed
+    linear classifier) and how many survive ALL of them.
+
+    Spark shape: ONE corpus scan -- all three keep verdicts are pure
+    per-row expressions (``gopher_keep_expr`` / ``c4_keep_expr`` /
+    ``qc_score_expr``, the same expressions the per-doc audit queries
+    ship, pinned value-identical by ``tests/test_source_report.py``)
+    computed in a single projection -- followed by one
+    map-side-combined groupBy to O(#sources) rows.  Composing the
+    audited operators by doc_id joins instead would scan the corpus
+    three times and shuffle it twice for the same numbers.
+    Returns (source, n_docs, gopher_keep, c4_keep, clf_keep,
+    all_keep)."""
+    g = gopher_keep_expr(F.col("text"))
+    c = c4_keep_expr(c4_text_expr(F.col("doc_id"), F.col("text")))
+    q = qc_score_expr(F.col("text")) >= threshold_milli
+    one = documents.select(
+        "source", g.alias("g"), c.alias("c"), q.alias("q")
+    )
+    return one.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("g").cast("int")).cast("long").alias("gopher_keep"),
+        F.sum(F.col("c").cast("int")).cast("long").alias("c4_keep"),
+        F.sum(F.col("q").cast("int")).cast("long").alias("clf_keep"),
+        F.sum((F.col("g") & F.col("c") & F.col("q")).cast("int"))
+        .cast("long")
+        .alias("all_keep"),
     )
 
 

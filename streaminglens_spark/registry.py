@@ -7634,6 +7634,54 @@ def _embed_outliers_oracle(
 LOCAL_ORACLE["q_embed_outliers"] = _embed_outliers_oracle()
 
 
+# ------------- r12: per-source quality governance rollup (extension)
+
+def q_source_quality_report(spark, sf_dir):
+    """Per-source quality governance rollup (r12): for every source,
+    the keep counts of the three quality families (Gopher rules, C4
+    rules over the injected corpus, hashed linear classifier) and the
+    all-families survivor count -- ONE corpus scan (all three verdicts
+    are per-row expressions in a single projection) + one map-side-
+    combined groupBy to O(#sources) rows.  The oracle composes the
+    three audited per-doc oracle SQLs by doc_id joins -- a deliberately
+    DIFFERENT algorithm whose agreement also re-proves the engine's
+    single-scan expressions equal the per-doc operators'."""
+    from .functions.text import source_quality_report
+
+    return source_quality_report(_docs(spark, sf_dir))
+
+
+def _source_quality_report_oracle() -> str:
+    gop = ORACLE.get("q_gopher_rules") or LOCAL_ORACLE["q_gopher_rules"]
+    c4v = ORACLE.get("q_c4_rules") or LOCAL_ORACLE["q_c4_rules"]
+    clf = (
+        ORACLE.get("q_quality_classifier")
+        or LOCAL_ORACLE["q_quality_classifier"]
+    )
+    return f"""
+    WITH gop AS ({gop}),
+    c4v AS ({c4v}),
+    clf AS ({clf})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS gopher_keep,
+           CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS c4_keep,
+           CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS clf_keep,
+           CAST(SUM(CASE WHEN g.keep AND c.keep AND q.keep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS all_keep
+    FROM documents d
+    JOIN gop g USING (doc_id)
+    JOIN c4v c USING (doc_id)
+    JOIN clf q USING (doc_id)
+    GROUP BY d.source"""
+
+
+LOCAL_ORACLE["q_source_quality_report"] = _source_quality_report_oracle()
+
+
 # ------------- r11: cross-document line dedup (extension, CCNet family)
 
 def q_line_dedup(spark, sf_dir):

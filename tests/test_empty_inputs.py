@@ -118,6 +118,8 @@ CASES = [
     ("c4_rules", "functions.text", "doc_id long, text string"),
     ("embed_outliers", "functions.similarity",
      "vec_id long, embedding array<float>, label int"),
+    ("source_quality_report", "functions.text",
+     "doc_id long, text string, source string"),
 ]
 
 
