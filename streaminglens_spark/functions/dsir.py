@@ -54,29 +54,37 @@ from .text import QC_DIM, qc_feats_expr
 DSIR_KEEP_N = 100
 
 
-def dsir_fit(
+def dsir_bucket_counts(
     documents: DataFrame,
     target_lang: str = "en",
     dim: int = QC_DIM,
 ) -> DataFrame:
-    """Fit the per-bucket log-likelihood-ratio weights: ONE corpus scan
-    (map-side-combined groupBy bounded by ``dim``), densified over the
-    full bucket spine with the totals attached as a broadcast scalar
-    row.  Returns a ONE-ROW DataFrame with ``warr`` -- the dense
-    bucket-ascending weight array (micro-bits, exact BIGINTs) -- the
-    frozen model a scorer broadcasts (the fit-offline / score-on-arrival
-    recipe ``pq_encode``/``ann_assign_fold`` established)."""
-    spark = documents.sparkSession
+    """The per-bucket feature-occurrence counts (bucket, c_t, c_q) --
+    ONE corpus scan, map-side-combined groupBy bounded by ``dim``.
+    Counts are ADDITIVE: counts of a union of corpora are the
+    bucket-wise sums of per-corpus counts, which is what makes the
+    adaptive streaming refit (``streaming/dsirstream.py``) an O(dim)
+    ledger fold."""
     fx = documents.select(
         (F.col("lang") == target_lang).alias("is_target"),
         F.explode(qc_feats_expr(F.col("text"), dim)).alias("bucket"),
     )
-    counts = fx.groupBy("bucket").agg(
+    return fx.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
         F.count(F.lit(1)).alias("c_q"),
     )
-    # densify to all dim buckets (never-seen buckets carry the smoothed
-    # default), attach the totals as a broadcast scalar row
+
+
+def dsir_weights_from_counts(
+    spark, counts: DataFrame, dim: int = QC_DIM
+) -> DataFrame:
+    """Turn (bucket, c_t, c_q) counts into the ONE-ROW dense weight
+    array: densified over the full bucket spine (never-seen buckets
+    carry the smoothed default), totals attached as a broadcast scalar
+    row, add-1 smoothed log-likelihood ratios in integer micro-bits.
+    With EMPTY counts every weight is exactly 0 (log2(1/dim) cancels
+    across the ratio) -- the documented cold-start: no evidence, no
+    discrimination."""
     spine = spark.range(dim).select(F.col("id").alias("bucket"))
     dense = (
         spine.join(counts, "bucket", "left")
@@ -103,6 +111,25 @@ def dsir_fit(
             F.array_sort(F.collect_list(F.struct("bucket", "w"))),
             lambda s: s["w"],
         ).alias("warr")
+    )
+
+
+def dsir_fit(
+    documents: DataFrame,
+    target_lang: str = "en",
+    dim: int = QC_DIM,
+) -> DataFrame:
+    """Fit the per-bucket log-likelihood-ratio weights: ONE corpus scan
+    (``dsir_bucket_counts``) folded into the dense weight array
+    (``dsir_weights_from_counts``).  Returns a ONE-ROW DataFrame with
+    ``warr`` -- the dense bucket-ascending weight array (micro-bits,
+    exact BIGINTs) -- the frozen model a scorer broadcasts (the
+    fit-offline / score-on-arrival recipe ``pq_encode``/
+    ``ann_assign_fold`` established)."""
+    return dsir_weights_from_counts(
+        documents.sparkSession,
+        dsir_bucket_counts(documents, target_lang=target_lang, dim=dim),
+        dim=dim,
     )
 
 

@@ -81,3 +81,137 @@ def start_dsir_admission(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# --- adaptive refit (r12b) ---------------------------------------------------
+
+DSIR_GAUGE_SOURCE = "spark.streaming.dsirAdmission"
+
+_COUNTS_SCHEMA = "bucket long, c_t long, c_q long"
+_COUNTS_TABLES = {"counts": _COUNTS_SCHEMA}
+
+
+def dsir_adaptive_monitor(
+    state_path: str,
+    admitted_sink=None,
+    target_lang: str = "en",
+    dim: int = QC_DIM,
+    threshold_micro: int = 0,
+    analyzer=None,
+    gauge_sinks=None,
+    compact_every: int | None = None,
+):
+    """The ADAPTIVE streaming form: instead of frozen offline weights,
+    every batch is scored against the model fitted on EVERYTHING
+    COMMITTED BEFORE IT -- the DSIR counterpart of the incremental
+    index-maintenance family (minhash dedup-against-index, IVF refit):
+    the model follows the stream without ever rescanning the corpus.
+
+    Semantics.  The committed state is the per-bucket feature counts
+    (bucket, c_t, c_q) -- ADDITIVE, so the cumulative model is one
+    O(dim) groupBy-sum fold over committed shards.  Per batch: weights
+    are derived from the PRE-batch cumulative counts (first batch: all
+    zeros -> every weight exactly 0 -> everything scores 0, the
+    documented cold-start), the batch is scored map-only and rows at or
+    above the threshold are delivered; the batch's OWN count increments
+    commit as its shard under ONE atomic marker AFTER the verdicts are
+    derived from the pre-batch view, so a REPLAYED batch (marker
+    already present) recomputes against committed-minus-own and
+    re-delivers byte-identically; restart needs no driver state.
+
+    Convergence contract (pinned by ``tests/test_streaming_dsir.py``):
+    after the stream drains, the cumulative committed counts are
+    bit-equal to ``dsir_bucket_counts`` over the concatenated corpus,
+    so the NEXT batch would be scored by exactly the batch
+    ``dsir_fit`` model -- the adaptive stream converges to the batch
+    operator, it never forks from it.
+
+    State is O(dim) rows per shard; every ``compact_every`` committed
+    batches (default: the ingest family's cadence) the shards fold
+    into one generation -- counts being additive, compaction is pure
+    union (summation stays read-side, keeping ``src_batch`` provenance
+    intact for replay exclusion).
+
+    Returns the ``foreachBatch`` body; gauges publish under
+    ``spark.streaming.dsirAdmission``."""
+    from ..cache import tracked_caches
+    from ..functions.dsir import dsir_bucket_counts, dsir_weights_from_counts
+    from ..sources.sinks import _COMMIT_MARKER, _hadoop_fs
+    from .ingest import (
+        INDEX_COMPACT_EVERY,
+        _BatchDirCache,
+        committed_table_view,
+        maybe_compact_tables,
+    )
+    from .annmaint import _write_shard_batch
+
+    if compact_every is None:
+        compact_every = INDEX_COMPACT_EVERY
+    dir_cache = _BatchDirCache()
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        from ..cache import track
+
+        with tracked_caches():
+            _run_batch(batch_df, batch_id, track)
+
+    def _run_batch(batch_df: DataFrame, batch_id: int, track) -> None:
+        spark_ = batch_df.sparkSession
+        out = f"{state_path}/batch_id={batch_id}"
+        fs, _ = _hadoop_fs(spark_, out)
+        marker = spark_._jvm.org.apache.hadoop.fs.Path(
+            f"{out}/{_COMMIT_MARKER}"
+        )
+        replayed = fs.exists(marker)
+        # ALWAYS the strict-prefix view (not committed-minus-own): the
+        # adaptive model is a monotone fold, so a replayed batch must
+        # not see counts committed by batches AFTER it -- the
+        # ``before_batch`` contract the loader's training-order counter
+        # established.  On the fresh path the prefix equals the full
+        # committed set (nothing later can be committed yet), so the
+        # two paths read the same view by construction.
+        prior = committed_table_view(
+            spark_, state_path, "counts", _COUNTS_SCHEMA, dir_cache,
+            before_batch=int(batch_id),
+        )
+        cum = prior.groupBy("bucket").agg(
+            F.sum("c_t").alias("c_t"), F.sum("c_q").alias("c_q")
+        )
+        warr = track(dsir_weights_from_counts(spark_, cum, dim=dim))
+        batch = track(batch_df)
+        admitted = track(
+            dsir_admit_batch(
+                batch, warr, threshold_micro=threshold_micro, dim=dim
+            )
+        )
+        if not replayed:
+            _write_shard_batch(
+                spark_, state_path, batch_id,
+                {"counts": dsir_bucket_counts(
+                    batch, target_lang=target_lang, dim=dim
+                )},
+            )
+        n_in = batch.count()
+        n_adm = admitted.count()
+        gauges = {
+            "docs": int(n_in),
+            "admitted": int(n_adm),
+            "rejected": int(n_in - n_adm),
+            "batchId": int(batch_id),
+        }
+        if analyzer is not None:
+            analyzer.set_extra_gauges(DSIR_GAUGE_SOURCE, gauges)
+        for sink in gauge_sinks or []:
+            pub = getattr(sink, "publish", None) or sink
+            try:
+                pub(DSIR_GAUGE_SOURCE, dict(gauges))
+            except Exception:
+                pass  # fail-open, the analyzer's sink contract
+        if admitted_sink is not None:
+            admitted_sink(admitted, batch_id)
+        if not replayed:
+            maybe_compact_tables(
+                spark_, state_path, _COUNTS_TABLES, dir_cache, compact_every
+            )
+
+    return _body
