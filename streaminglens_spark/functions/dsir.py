@@ -64,8 +64,15 @@ def dsir_bucket_counts(
     Counts are ADDITIVE: counts of a union of corpora are the
     bucket-wise sums of per-corpus counts, which is what makes the
     adaptive streaming refit (``streaming/dsirstream.py``) an O(dim)
-    ledger fold."""
-    fx = documents.select(
+    ledger fold.
+
+    The feature hash is a per-CHARACTER fold (CPU-dense, the r7
+    lesson), so the projection must not run at (possibly single-split)
+    scan parallelism -- ``scan_parallel`` guards it (measured at sf1:
+    the unguarded form ran the 50k-doc hash single-task)."""
+    from ..plans.shape import scan_parallel
+
+    fx = scan_parallel(documents.select("lang", "text")).select(
         (F.col("lang") == target_lang).alias("is_target"),
         F.explode(qc_feats_expr(F.col("text"), dim)).alias("bucket"),
     )
@@ -142,9 +149,16 @@ def dsir_score_with(
     score depends only on itself and the frozen weights, the SAME
     projection scores a streaming micro-batch bit-identically to the
     batch operator (``streaming/dsirstream.py``).  Preserves every
-    input column and appends (n_feats, score_micro)."""
+    input column and appends (n_feats, score_micro).  The per-character
+    feature hash is CPU-dense, so the corpus side runs under the
+    ``scan_parallel`` guard (a no-op on multi-split scans and on
+    streaming inputs -- values are row-local, so placement never
+    changes them)."""
+    from ..plans.shape import scan_parallel
+
     fs = qc_feats_expr(F.col("text"), dim)
     cols = list(documents.columns)
+    documents = scan_parallel(documents)
     return documents.crossJoin(F.broadcast(weights)).select(
         *cols,
         F.size(fs).cast("long").alias("n_feats"),

@@ -1352,12 +1352,17 @@ def source_quality_report(
     three times and shuffle it twice for the same numbers.
     Returns (source, n_docs, gopher_keep, c4_keep, clf_keep,
     all_keep)."""
+    from ..plans.shape import scan_parallel
+
     g = gopher_keep_expr(F.col("text"))
     c = c4_keep_expr(c4_text_expr(F.col("doc_id"), F.col("text")))
     q = qc_score_expr(F.col("text")) >= threshold_milli
-    one = documents.select(
-        "source", g.alias("g"), c.alias("c"), q.alias("q")
-    )
+    # the classifier's per-character feature hash is CPU-dense -- the
+    # verdict projection must not run at single-split scan parallelism
+    # (measured at sf1: 26 s single-task -> parallel)
+    one = scan_parallel(
+        documents.select("doc_id", "text", "source")
+    ).select("source", g.alias("g"), c.alias("c"), q.alias("q"))
     return one.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("g").cast("int")).cast("long").alias("gopher_keep"),

@@ -7641,7 +7641,8 @@ def q_source_quality_report(spark, sf_dir):
     the keep counts of the three quality families (Gopher rules, C4
     rules over the injected corpus, hashed linear classifier) and the
     all-families survivor count -- ONE corpus scan (all three verdicts
-    are per-row expressions in a single projection) + one map-side-
+    are per-row expressions in a single projection, scan_parallel-
+    guarded: the classifier hash is per-character) + one map-side-
     combined groupBy to O(#sources) rows.  The oracle composes the
     three audited per-doc oracle SQLs by doc_id joins -- a deliberately
     DIFFERENT algorithm whose agreement also re-proves the engine's

@@ -76,9 +76,11 @@ def test_report_counts_match_joined_operators(spark):
 
 
 def test_report_plan_is_single_scan(spark):
-    """One corpus scan, one exchange (the tiny groupBy), zero Python."""
+    """One corpus scan, zero Python; exchanges = the tiny groupBy plus
+    at most the scan_parallel round-robin (present only when the
+    fixture parquet is fewer splits than default parallelism)."""
     df = registry.q_source_quality_report(spark, SF_DIR)
-    assert exchange_count(df) == 1
+    assert 1 <= exchange_count(df) <= 2
     assert python_udf_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("parquet") <= 1 or plan.count("Scan parquet") <= 1
