@@ -18,21 +18,19 @@ query has held a green driver CORRECTNESS row at least once (debt reached
 zero in r9), so rotation now refreshes the STALEST evidence -- each
 round's surface is the 50 queries whose last green driver row is oldest
 (ascending last-green round, alphabetical within a round), with NEW or
-semantically-CHANGED queries taking priority slots.  The r12 surface:
-``q_dedup_stats``/``q_shard_balance``/``q_seq_audit`` (built after the
-r11 rotation closed; never driver-proven -- r11 verdict ask #1) and
-``q_ingest_packed`` (NEW -- the docs-to-packed-shards flagship, r12b),
-plus the stalest refresh slots: the two r8-stale queries (bumped by
-r11b) and the r9-stale batch alphabetically (45 fit; r12b bumps the
-freshest, ``q_user_features``).  R13 priority candidates under this
-policy: the never-driver-proven r12-late queries (``q_pack_waste``,
-``q_curriculum_order``, ``q_curriculum_packed``,
-``q_dedup_attribution``, ``q_sampled_fit``, ``q_dsir_select``,
-``q_c4_rules``, ``q_embed_outliers``, ``q_source_quality_report``),
-then the six remaining
-r9-stale refresh slots (``q_user_features``, ``q_user_sequences``,
+semantically-CHANGED queries taking priority slots.  The r13 surface
+(r12 verdict ask #1): the nine never-driver-proven r12-late queries
+(``q_c4_rules``, ``q_curriculum_order``, ``q_curriculum_packed``,
+``q_dedup_attribution``, ``q_dsir_select``, ``q_embed_outliers``,
+``q_pack_waste``, ``q_sampled_fit``, ``q_source_quality_report``) in
+priority slots, then the six remaining r9-stale refresh slots
+(``q_user_features`` -- bumped by r12b -- plus ``q_user_sequences``,
 ``q_vocab_drift``, ``q_watermark_advisor``, ``q_winnow``,
-``q_zorder``), then the r10-stale batch.  A driver that
+``q_zorder``), then the r10-stale batch alphabetically (35 of its 50
+fit: ``q_ann_lsh``..``q_media_meta``).  R14 refresh candidates under
+this policy: the remaining 15 r10-stale queries
+(``q_minhash_lsh``..``q_ts_parse``), then the r11-stale batch.  A
+driver that
 ever evaluates more than 50 must read LOCAL_ORACLE too -- do NOT widen
 ``queries()`` without removing the cap guard (``registry.py`` raises
 RuntimeError if len(ORACLE) != 50).

@@ -8333,6 +8333,130 @@ for _name in _ROTATED_IN_R12B:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 
 
+# ----------------- r13 rotation: stalest-first refresh (r12 verdict #1)
+# Priority slots: the nine r12-late queries that have never held a
+# driver CORRECTNESS row (judge-verified against CORRECTNESS_r01..r12:
+# q_c4_rules, q_curriculum_order, q_curriculum_packed,
+# q_dedup_attribution, q_dsir_select, q_embed_outliers, q_pack_waste,
+# q_sampled_fit, q_source_quality_report -- r12 verdict ask #1 names
+# them explicitly).  Refresh slots, stalest first per the policy: the
+# six remaining r9-stale queries (q_user_features bumped by r12b, plus
+# the alphabetical tail q_user_sequences..q_zorder that did not fit in
+# r12), then the r10-stale batch alphabetically (35 of its 50 fit; the
+# rest wait for r14).  The r12 surface (all 50 green in r12, the
+# freshest evidence in the repo) rotates out wholesale; every
+# rotated-out query keeps its two-SF local oracle check on every test
+# run (tests/test_oracle_queries.py sweeps ORACLE ∪ LOCAL_ORACLE).
+_ROTATED_OUT_R13 = [
+    "q_ann_increment",
+    "q_ann_refit",
+    "q_asof_join",
+    "q_audio_dups",
+    "q_audio_fp",
+    "q_bloom_prune",
+    "q_bm25_search",
+    "q_bpe_merges",
+    "q_bpe_sampled",
+    "q_canon_urls",
+    "q_chunk_docs",
+    "q_corpus_pipeline_v2",
+    "q_dedup_increment",
+    "q_dedup_stats",
+    "q_domain_cap",
+    "q_dup_passages",
+    "q_group_split",
+    "q_hdr_quantiles",
+    "q_hdr_windowed",
+    "q_image_ahash",
+    "q_image_dups",
+    "q_ingest_packed",
+    "q_key_skew",
+    "q_langid_eval",
+    "q_partition_advisor",
+    "q_ppl_filter",
+    "q_pq_increment",
+    "q_pq_refit",
+    "q_pq_rerank",
+    "q_pq_topk",
+    "q_probe_image",
+    "q_probe_video",
+    "q_profile_events",
+    "q_props_stats",
+    "q_quality_budget",
+    "q_quality_classifier",
+    "q_resize_image",
+    "q_semantic_decontam",
+    "q_semantic_dedup",
+    "q_seq_audit",
+    "q_seq_manifest",
+    "q_shard_balance",
+    "q_shared_fit",
+    "q_shared_spans",
+    "q_sla_recommend",
+    "q_softdedup",
+    "q_source_manifest",
+    "q_source_overlap",
+    "q_span_dedup",
+    "q_token_budget",
+]
+_ROTATED_IN_R13 = [
+    "q_c4_rules",
+    "q_curriculum_order",
+    "q_curriculum_packed",
+    "q_dedup_attribution",
+    "q_dsir_select",
+    "q_embed_outliers",
+    "q_pack_waste",
+    "q_sampled_fit",
+    "q_source_quality_report",
+    "q_user_features",
+    "q_user_sequences",
+    "q_vocab_drift",
+    "q_watermark_advisor",
+    "q_winnow",
+    "q_zorder",
+    "q_ann_lsh",
+    "q_batch_bounds",
+    "q_batch_gate",
+    "q_batch_parse",
+    "q_batch_slice",
+    "q_cosine_topk",
+    "q_critical_path",
+    "q_critical_time",
+    "q_decode_image",
+    "q_dedup_corpus",
+    "q_dedup_exact",
+    "q_discounted_state",
+    "q_doc_fingerprint",
+    "q_embed_dedup",
+    "q_event_json",
+    "q_exec_groups",
+    "q_executor_cores",
+    "q_executor_metrics",
+    "q_fmt_duration",
+    "q_frame_sample",
+    "q_hist_quantiles",
+    "q_hll_distinct",
+    "q_ingest_e2e",
+    "q_insight_text",
+    "q_islands",
+    "q_job_executors",
+    "q_job_metrics",
+    "q_job_walltime",
+    "q_kmv_distinct",
+    "q_label_centroids",
+    "q_lang_id",
+    "q_last_gauges",
+    "q_leakage_split",
+    "q_max_concurrency",
+    "q_media_meta",
+]
+for _name in _ROTATED_OUT_R13:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R13:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
 if len(ORACLE) != 50:
     raise RuntimeError(
         f"driver surface must stay at exactly 50 queries, got {len(ORACLE)}"
