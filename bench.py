@@ -207,6 +207,18 @@ def run_suite(
     return timings, total, bands
 
 
+def _calib_spin_once(_=None) -> float:
+    """One fixed busy-spin (module-level so multiprocessing.Pool can
+    pickle it by reference for the parallel calibration)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    if acc < 0:  # unreachable; keeps the loop from being elided
+        raise AssertionError
+    return time.perf_counter() - t0
+
+
 def _env_probe() -> dict:
     """Load-attribution probe (r9 verdict ask #3, carried from r8 ask #5):
     BENCH_r07..r09 swung ±28-40% round-over-round with ZERO plan changes to
@@ -223,24 +235,49 @@ def _env_probe() -> dict:
       I/O), so on an idle box the value is a machine constant; it inflates
       roughly with 1/(free core share).
 
+    Multi-core calibration (r12 verdict ask #2): the single-core spin is
+    structurally BLIND to core oversubscription -- r12's driver bench ran
+    1.9x slower like-for-like while calib_sec moved only 7%, because the
+    hypervisor delivered ~12 of 32 effective cores UNDER PARALLEL LOAD
+    only (the judge's 32-way probe measured it; a solo spin always gets a
+    whole core).  So the probe now also runs N = SPARK_GRAFT_CPUS worker
+    processes x 3 spins each and records:
+
+    - ``calib_par_sec``: the parallel pass's wall;
+    - ``effective_cores``: (N x 3 x calib_sec) / calib_par_sec, capped at
+      N -- total solo-equivalent work divided by wall, i.e. how many
+      cores the box ACTUALLY delivers to an N-way parallel workload.
+
     Classification rule (PERF.md "Bench attribution"): two rounds'
     totals are comparable plan-to-plan only when both calib_sec values
-    agree within 10%; otherwise the delta is environmental until re-run
-    on an idle box."""
-    def spin() -> float:
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(2_000_000):
-            acc += i * i
-        if acc < 0:  # unreachable; keeps the loop from being elided
-            raise AssertionError
-        return time.perf_counter() - t0
+    agree within 10% AND both effective_cores agree within 20%
+    (scripts/bench_diff.py enforces the latter); otherwise the delta is
+    environmental until re-run on an idle box."""
+    samples = sorted(_calib_spin_once() for _ in range(3))
+    solo = samples[1]
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spins = 3
+    eff: float | None = None
+    par_wall: float | None = None
+    try:
+        import multiprocessing as mp
 
-    samples = sorted(spin() for _ in range(3))
-    return {
+        ctx = mp.get_context("fork")
+        with ctx.Pool(processes=n) as pool:
+            t0 = time.perf_counter()
+            pool.map(_calib_spin_once, range(n * spins), chunksize=1)
+            par_wall = time.perf_counter() - t0
+        eff = min(float(n), (n * spins * solo) / par_wall)
+    except Exception:  # pragma: no cover - fork-less platforms
+        pass
+    out = {
         "load1": round(os.getloadavg()[0], 2),
-        "calib_sec": round(samples[1], 4),
+        "calib_sec": round(solo, 4),
     }
+    if eff is not None:
+        out["calib_par_sec"] = round(par_wall, 4)
+        out["effective_cores"] = round(eff, 1)
+    return out
 
 
 def _wait_for_idle(threshold: float, timeout_sec: float) -> dict:
@@ -425,6 +462,8 @@ def main() -> None:
         "load1": env["load1"],
         "detail": sidecar.name,
     }
+    if "effective_cores" in env:
+        compact["effective_cores"] = env["effective_cores"]
     if "sf1" in detail:
         compact["sf1_total"] = detail["sf1"]["value"]
         compact["sf1_legacy18_total"] = detail["sf1"]["legacy18_total"]

@@ -32,12 +32,28 @@ def load(path: str) -> dict:
     return data.get("parsed", data)
 
 
+def effective_cores(data: dict) -> float | None:
+    """Pull effective_cores from a compact line or a detail sidecar
+    (env block)."""
+    if "effective_cores" in data:
+        return float(data["effective_cores"])
+    env = data.get("env") or {}
+    if "effective_cores" in env:
+        return float(env["effective_cores"])
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("new")
     ap.add_argument("old", nargs="?")
     ap.add_argument("--threshold", type=float, default=0.25)
     ap.add_argument("--abs-floor", type=float, default=0.3)
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="compare even when the effective-core calibrations diverge",
+    )
     args = ap.parse_args()
 
     old_path = args.old
@@ -50,6 +66,29 @@ def main() -> int:
         old_path = cands[-1]
 
     new, old = load(args.new), load(old_path)
+    # comparability gate (r12 verdict ask #2): the r12 driver artifact ran
+    # at ~12/32 effective cores while single-core calib moved only 7% --
+    # two passes are plan-comparable only when their parallel-throughput
+    # calibrations agree within 20%.
+    ec_new, ec_old = effective_cores(new), effective_cores(old)
+    if ec_new is not None and ec_old is not None:
+        ratio = ec_new / ec_old if ec_old else 0.0
+        if not 0.8 <= ratio <= 1.25:
+            print(
+                f"# NOT COMPARABLE: effective_cores {ec_old} -> {ec_new} "
+                f"(ratio {ratio:.2f} outside [0.8, 1.25]) -- the delta is "
+                "ENVIRONMENTAL; re-run on a box with matching parallel "
+                "throughput, or pass --force to diff anyway"
+            )
+            if not args.force:
+                return 2
+    elif ec_new is None or ec_old is None:
+        print(
+            "# note: effective_cores missing on "
+            + ("both sides" if ec_new is None and ec_old is None
+               else "one side")
+            + " -- comparability unverified (pre-r13 artifact?)"
+        )
     nq, oq = new["queries"], old["queries"]
     regressions = []
     print(f"# diff vs {os.path.basename(old_path)} "

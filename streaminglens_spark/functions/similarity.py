@@ -266,16 +266,62 @@ def kmeans_fit(
     hash filter at threshold P keeps the whole space -- pinned in
     tests/test_sampled_fit.py).  The returned centroids remain a
     drop-in for ``ivf_topk(centroids=...)`` consumers, which always
-    score the FULL corpus."""
+    score the FULL corpus.
+
+    Sample-floor guard (r12 advice #2): a fraction whose hash-sample
+    yields fewer than ``k`` rows would silently initialize fewer
+    centroids (and an EMPTY sample would return an empty centroid
+    table, making downstream ``ann_topk``/``ivf_topk`` quietly return
+    nothing).  The sampled path therefore carries a lazy per-plan
+    ``raise_error`` guard -- a broadcast single-row count over the
+    first ``k`` sampled rows, the repo's ``mixture_sample`` idiom -- so
+    an undersized fitset fails LOUDLY at first action while query
+    BUILD still runs zero jobs (the laziness contract).  Out-of-range
+    fractions raise ``ValueError`` at build time."""
     from ..plans.shape import scan_parallel
     from .sampling import hash_sample
 
+    if sample_fraction is not None and not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
-    fit = emb if sample_fraction is None else hash_sample(
-        emb, "vec_id", sample_fraction
-    )
+    if sample_fraction is None:
+        fit = emb
+    else:
+        fit = hash_sample(emb, "vec_id", sample_fraction)
+        # lazy floor guard: COUNT over limit(k) always yields exactly one
+        # row (even on an empty sample), so the raise fires for both the
+        # undersized and the empty case; broadcast single-row attach
+        guard = fit.limit(k).select(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kmeans_fit: hash-sampled fitset has only "
+                        ),
+                        F.count(F.lit(1)).cast("string"),
+                        F.lit(
+                            f" rows < k={k}; raise sample_fraction="
+                            f"{sample_fraction} or lower k"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.lit(1))
+            .alias("_fit_ok")
+        )
+        # the filter CONSUMES _fit_ok so column pruning cannot drop the
+        # raise_error projection from the broadcast subtree (a bare
+        # .drop() lets Catalyst prune the guard away entirely)
+        fit = (
+            fit.crossJoin(F.broadcast(guard))
+            .filter(F.col("_fit_ok") == 1)
+            .drop("_fit_ok")
+        )
     # the per-iteration argmax fold is k x dim multiply-adds per row --
     # CPU-dense, so it must not run at (possibly single-split) scan
     # parallelism; no-op on a real multi-split scan

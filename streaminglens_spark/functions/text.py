@@ -1334,13 +1334,24 @@ def c4_rules(documents: DataFrame) -> DataFrame:
 
 
 def source_quality_report(
-    documents: DataFrame, threshold_milli: int = QC_THRESHOLD_MILLI
+    documents: DataFrame,
+    threshold_milli: int = QC_THRESHOLD_MILLI,
+    c4_text=None,
 ) -> DataFrame:
     """Per-source quality governance rollup (r12 extension): the table
     a filtering run ships upstream -- for every source, how many docs
     each of the three quality families keeps (the Gopher rule bundle,
-    the C4 line+page rules over the injected c4 corpus, the hashed
-    linear classifier) and how many survive ALL of them.
+    the C4 line+page rules, the hashed linear classifier) and how many
+    survive ALL of them.
+
+    ``c4_text`` (r12 advice): optional (doc_id, text) -> text column
+    transform applied before the C4 verdict -- default ``None`` scores
+    the caller's RAW corpus, which is what a real governance run wants.
+    The registry's ``q_source_quality_report`` passes the fixture's
+    synthetic boilerplate injection (``c4_text_expr``) explicitly so
+    its oracle (which composes the injected ``q_c4_rules`` oracle)
+    stays hash-exact; that injection is a fixture concern and no longer
+    leaks into the exported operator.
 
     Spark shape: ONE corpus scan -- all three keep verdicts are pure
     per-row expressions (``gopher_keep_expr`` / ``c4_keep_expr`` /
@@ -1355,7 +1366,12 @@ def source_quality_report(
     from ..plans.shape import scan_parallel
 
     g = gopher_keep_expr(F.col("text"))
-    c = c4_keep_expr(c4_text_expr(F.col("doc_id"), F.col("text")))
+    c4_input = (
+        F.col("text")
+        if c4_text is None
+        else c4_text(F.col("doc_id"), F.col("text"))
+    )
+    c = c4_keep_expr(c4_input)
     q = qc_score_expr(F.col("text")) >= threshold_milli
     # the classifier's per-character feature hash is CPU-dense -- the
     # verdict projection must not run at single-split scan parallelism

@@ -5142,7 +5142,13 @@ def q_pq_increment(spark, sf_dir):
     the interleaved 20% new batch encoded map-only against them, and
     per-subspace quantization error compared to the persisted baseline --
     a subspace whose new-batch mean error exceeds 1.5x baseline flags a
-    codebook refit.  The corpus is never re-read on the increment path."""
+    codebook refit.  The corpus is never re-read on the increment path.
+
+    Laziness (r12 verdict ask #3): building this DataFrame runs ZERO
+    Spark jobs (pinned in tests/test_plans.py) -- ``track()`` persists
+    the codebook and the cache manager swaps every consumer subtree for
+    one InMemoryRelation at first-action planning time, so the Lloyd
+    chain still materializes exactly once without an eager count."""
     from .cache import track
     from .functions.pq import pq_error_stats, pq_fit, pq_increment
 
@@ -5150,7 +5156,6 @@ def q_pq_increment(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") % 5 != 4)
     new_batch = emb.filter(F.col("vec_id") % 5 == 4)
     cb = track(pq_fit(corpus))
-    cb.count()  # one materialization of the Lloyd chain (m*k rows)
     return pq_increment(new_batch, cb, pq_error_stats(corpus, cb))
 
 
@@ -5506,8 +5511,9 @@ def q_ann_refit(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 5 != 4)
     newb = emb.filter(F.col("vec_id") % 5 == 4)
+    # lazy fit (r12 verdict ask #3): track() alone -- building the query
+    # runs zero jobs; the fit materializes once at first action
     cents = track(kmeans_fit(corpus, k=8, iters=5))
-    cents.count()
     # micro form: BIGINT 1e-6 units via pure-integer half-up division --
     # engine-bit-exact (round(x, 6) on the double form can differ across
     # engines at decimal-representation boundaries; observed at sf0.01)
@@ -5805,8 +5811,9 @@ def q_pq_refit(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 5 != 4)
     newb = emb.filter(F.col("vec_id") % 5 == 4)
+    # lazy fit (r12 verdict ask #3): track() alone -- building the query
+    # runs zero jobs; the fit materializes once at first action
     cb = track(pq_fit(corpus))
-    cb.count()
     upd = pq_update(
         cb, pq_cell_stats(corpus, cb), pq_vector_shard(newb, cb), micro=True
     )
@@ -7646,10 +7653,14 @@ def q_source_quality_report(spark, sf_dir):
     combined groupBy to O(#sources) rows.  The oracle composes the
     three audited per-doc oracle SQLs by doc_id joins -- a deliberately
     DIFFERENT algorithm whose agreement also re-proves the engine's
-    single-scan expressions equal the per-doc operators'."""
-    from .functions.text import source_quality_report
+    single-scan expressions equal the per-doc operators'.  The fixture's
+    synthetic-boilerplate injection is passed HERE via ``c4_text`` (r12
+    advice #1) -- the exported operator defaults to scoring the raw
+    corpus; only this oracle-paired registry entry wants the injected
+    form, because its oracle composes the injected q_c4_rules SQL."""
+    from .functions.text import c4_text_expr, source_quality_report
 
-    return source_quality_report(_docs(spark, sf_dir))
+    return source_quality_report(_docs(spark, sf_dir), c4_text=c4_text_expr)
 
 
 def _source_quality_report_oracle() -> str:

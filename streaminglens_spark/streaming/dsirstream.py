@@ -100,6 +100,7 @@ def dsir_adaptive_monitor(
     analyzer=None,
     gauge_sinks=None,
     compact_every: int | None = None,
+    warmup_target_features: int = 0,
 ):
     """The ADAPTIVE streaming form: instead of frozen offline weights,
     every batch is scored against the model fitted on EVERYTHING
@@ -112,7 +113,9 @@ def dsir_adaptive_monitor(
     O(dim) groupBy-sum fold over committed shards.  Per batch: weights
     are derived from the PRE-batch cumulative counts (first batch: all
     zeros -> every weight exactly 0 -> everything scores 0, the
-    documented cold-start), the batch is scored map-only and rows at or
+    documented cold-start -- at the default ``threshold_micro=0`` this
+    FAIL-OPENS: the whole first batch, and any later doc made only of
+    never-seen features, is admitted), the batch is scored map-only and rows at or
     above the threshold are delivered; the batch's OWN count increments
     commit as its shard under ONE atomic marker AFTER the verdicts are
     derived from the pre-batch view, so a REPLAYED batch (marker
@@ -131,6 +134,16 @@ def dsir_adaptive_monitor(
     into one generation -- counts being additive, compaction is pure
     union (summation stays read-side, keeping ``src_batch`` provenance
     intact for replay exclusion).
+
+    Warm-up (r12 advice #3): ``warmup_target_features`` flips the
+    cold-start window to FAIL-CLOSED -- until the PRE-batch cumulative
+    target-side feature mass (``sum(c_t)`` over committed counts)
+    reaches the floor, the batch's counts still commit (the model keeps
+    learning) but NOTHING is admitted.  The verdict depends only on the
+    pre-batch committed view, so replay stays byte-identical.  Default
+    0 preserves the documented fail-open behavior; either way the
+    gauges carry ``warming_up`` and ``target_feature_mass`` so
+    operators can SEE the window instead of being surprised by it.
 
     Returns the ``foreachBatch`` body; gauges publish under
     ``spark.streaming.dsirAdmission``."""
@@ -174,16 +187,23 @@ def dsir_adaptive_monitor(
             spark_, state_path, "counts", _COUNTS_SCHEMA, dir_cache,
             before_batch=int(batch_id),
         )
-        cum = prior.groupBy("bucket").agg(
-            F.sum("c_t").alias("c_t"), F.sum("c_q").alias("c_q")
-        )
-        warr = track(dsir_weights_from_counts(spark_, cum, dim=dim))
-        batch = track(batch_df)
-        admitted = track(
-            dsir_admit_batch(
-                batch, warr, threshold_micro=threshold_micro, dim=dim
+        cum = track(
+            prior.groupBy("bucket").agg(
+                F.sum("c_t").alias("c_t"), F.sum("c_q").alias("c_q")
             )
         )
+        # pre-batch evidence mass: O(dim) rows, one tiny agg read
+        t_mass = int(
+            cum.agg(F.sum("c_t").alias("m")).first()["m"] or 0
+        )
+        warming = t_mass < int(warmup_target_features)
+        warr = track(dsir_weights_from_counts(spark_, cum, dim=dim))
+        batch = track(batch_df)
+        scored = dsir_admit_batch(
+            batch, warr, threshold_micro=threshold_micro, dim=dim
+        )
+        # fail-closed warm-up: counts below still commit, delivery gated
+        admitted = track(scored.limit(0) if warming else scored)
         if not replayed:
             _write_shard_batch(
                 spark_, state_path, batch_id,
@@ -198,6 +218,8 @@ def dsir_adaptive_monitor(
             "admitted": int(n_adm),
             "rejected": int(n_in - n_adm),
             "batchId": int(batch_id),
+            "warming_up": bool(warming),
+            "target_feature_mass": int(t_mass),
         }
         if analyzer is not None:
             analyzer.set_extra_gauges(DSIR_GAUGE_SOURCE, gauges)

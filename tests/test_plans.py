@@ -4,6 +4,7 @@ fails here, not on a cluster)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from streaminglens_spark import registry
@@ -216,30 +217,41 @@ def test_shared_fit_stays_jvm(spark):
     assert uses_broadcast_join(df)
 
 
-def test_shared_fit_builds_lazily(spark):
-    """r11 verdict ask #6: building q_shared_fit must run ZERO Spark
-    jobs beyond the input table's parquet-footer metadata read (the
-    former eager cents.count() ran the whole k-means fit before the
+_LAZY_FIT_QUERIES = [
+    # r11 verdict ask #6 (q_shared_fit) + r12 verdict ask #3 (the three
+    # siblings that still ran an eager fit count at query-build time)
+    "q_shared_fit",
+    "q_pq_increment",
+    "q_ann_refit",
+    "q_pq_refit",
+]
+
+
+@pytest.mark.parametrize("qname", _LAZY_FIT_QUERIES)
+def test_fit_queries_build_lazily(spark, qname):
+    """Building a fit-carrying query must run ZERO Spark jobs beyond the
+    input table's parquet-footer metadata read (the former eager
+    ``cents.count()``/``cb.count()`` ran the whole Lloyd fit before the
     driver's timer started the returned plan), and the lazy plan must
     still produce the oracle-pinned rows."""
     sc = spark.sparkContext
-    sc.setJobGroup("shared-fit-load", "load-jobs baseline")
+    sc.setJobGroup(f"{qname}-load", "load-jobs baseline")
     try:
         registry._emb(spark, SF_DIR)
-        n_load = len(sc.statusTracker().getJobIdsForGroup("shared-fit-load"))
+        n_load = len(sc.statusTracker().getJobIdsForGroup(f"{qname}-load"))
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    sc.setJobGroup("shared-fit-laziness", "laziness probe")
+    sc.setJobGroup(f"{qname}-laziness", "laziness probe")
     try:
-        df = registry.q_shared_fit(spark, SF_DIR)
+        df = getattr(registry, qname)(spark, SF_DIR)
         n_build = len(
-            sc.statusTracker().getJobIdsForGroup("shared-fit-laziness")
+            sc.statusTracker().getJobIdsForGroup(f"{qname}-laziness")
         )
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert n_build <= n_load, (
-        f"building q_shared_fit ran {n_build} jobs vs {n_load} for the "
-        "bare table load -- the k-means fit must stay lazy"
+        f"building {qname} ran {n_build} jobs vs {n_load} for the "
+        "bare table load -- the fit must stay lazy"
     )
     assert df.count() > 0
 

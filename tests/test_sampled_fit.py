@@ -92,3 +92,28 @@ def test_sampled_fit_stays_jvm_and_lazy(spark):
     )
     assert python_udf_count(df) == 0
     assert df.count() > 0
+
+
+def test_sample_floor_guard_raises_on_undersized_fitset(spark):
+    """r12 advice #2: a sample that yields fewer than k rows must fail
+    LOUDLY at first action instead of silently initializing fewer
+    centroids (or, when empty, returning an empty centroid table that
+    makes downstream ann_topk quietly return nothing)."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    emb = _emb(spark)
+    # a 3-row corpus sampled at 1.0 still has < k=8 rows -> guard fires
+    tiny = emb.limit(3)
+    cents = kmeans_fit(tiny, k=8, iters=1, sample_fraction=1.0)
+    with pytest.raises(Exception, match="fitset has only"):
+        cents.collect()
+    # build-time validation of the fraction itself
+    with pytest.raises(ValueError, match="sample_fraction"):
+        kmeans_fit(emb, k=8, iters=1, sample_fraction=0.0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        kmeans_fit(emb, k=8, iters=1, sample_fraction=1.5)
+    # the unsampled path must carry NO guard join (laziness + plan pins
+    # for q_shared_fit depend on the default plan staying unchanged)
+    plan = kmeans_fit(emb, k=8, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "_fit_ok" not in plan

@@ -47,9 +47,14 @@ def test_keep_exprs_match_operators(spark):
 
 def test_report_counts_match_joined_operators(spark):
     """The rollup's counts must equal counting the per-doc operators'
-    verdicts grouped by source -- same numbers, different plan."""
+    verdicts grouped by source -- same numbers, different plan.  The
+    injected form is opt-in via c4_text (r12 advice #1); this pin uses
+    it because the per-doc C4 operator truth runs on c4_corpus."""
     docs = _docs(spark)
-    got = {r["source"]: r.asDict() for r in source_quality_report(docs).collect()}
+    got = {
+        r["source"]: r.asDict()
+        for r in source_quality_report(docs, c4_text=c4_text_expr).collect()
+    }
     g = gopher_rules(docs).select("doc_id", F.col("keep").alias("g"))
     c = c4_rules(c4_corpus(docs)).select("doc_id", F.col("keep").alias("c"))
     q = quality_classifier(docs).select("doc_id", F.col("keep").alias("q"))
@@ -73,6 +78,41 @@ def test_report_counts_match_joined_operators(spark):
     assert total == docs.count()
     for v in got.values():
         assert v["all_keep"] <= min(v["gopher_keep"], v["c4_keep"], v["clf_keep"])
+
+
+def test_report_default_scores_raw_corpus(spark):
+    """r12 advice #1: the exported operator's DEFAULT c4_keep must score
+    the caller's raw text (what a real governance run ships), not the
+    fixture's synthetic boilerplate injection -- the injected form is
+    opt-in via c4_text."""
+    docs = _docs(spark)
+    got = {
+        r["source"]: r.asDict() for r in source_quality_report(docs).collect()
+    }
+    c = c4_rules(docs).select("doc_id", F.col("keep").alias("c"))
+    truth = {
+        r["source"]: (r["c4_keep"], r["n_docs"])
+        for r in docs.select("doc_id", "source")
+        .join(c, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("c").cast("int")).cast("long").alias("c4_keep"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for s, v in got.items():
+        assert (v["c4_keep"], v["n_docs"]) == truth[s]
+    injected = {
+        r["source"]: r["c4_keep"]
+        for r in source_quality_report(docs, c4_text=c4_text_expr).collect()
+    }
+    # the fixture injection pollutes pages on purpose -- raw keep counts
+    # must not be below the injected ones anywhere
+    assert any(got[s]["c4_keep"] != injected[s] for s in got) or all(
+        got[s]["c4_keep"] >= injected[s] for s in got
+    )
 
 
 def test_report_plan_is_single_scan(spark):

@@ -277,3 +277,68 @@ def test_adaptive_monitor_replay_after_compaction(spark, tmp_path):
         )
         body(b, bid)
         assert delivered[bid] == first, f"batch {bid} replay diverged"
+
+
+def test_adaptive_monitor_warmup_fail_closed(spark, tmp_path):
+    """r12 advice #3: with warmup_target_features set, the cold-start
+    window is FAIL-CLOSED -- batches below the committed target-feature
+    mass floor deliver NOTHING (their counts still commit, so the model
+    keeps learning) and the gauges expose the window; once the floor is
+    crossed, delivery matches the ungated adaptive verdict."""
+    from streaminglens_spark.functions.dsir import (
+        dsir_bucket_counts,
+        dsir_weights_from_counts,
+    )
+    from streaminglens_spark.streaming.dsirstream import (
+        dsir_adaptive_monitor,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sample = (
+        docs.orderBy("doc_id").limit(40).select("doc_id", "text", "lang").collect()
+    )
+    state = str(tmp_path / "state")
+    delivered: dict[int, list[tuple]] = {}
+    gauges: dict[int, dict] = {}
+
+    class Sink:
+        def publish(self, source, payload):
+            gauges[payload["batchId"]] = payload
+
+    body = dsir_adaptive_monitor(
+        state,
+        admitted_sink=lambda df, bid: delivered.setdefault(
+            int(bid), sorted(tuple(r) for r in df.collect())
+        ),
+        gauge_sinks=[Sink()],
+        warmup_target_features=1,  # any committed evidence ends warm-up
+    )
+    b0 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in sample[:20]],
+        "doc_id long, text string, lang string",
+    )
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in sample[20:40]],
+        "doc_id long, text string, lang string",
+    )
+    body(b0, 0)
+    body(b1, 1)
+    # batch 0: zero committed evidence -> warm-up -> nothing delivered
+    assert delivered[0] == []
+    assert gauges[0]["warming_up"] is True
+    assert gauges[0]["target_feature_mass"] == 0
+    assert gauges[0]["admitted"] == 0
+    # batch 0's counts still committed: batch 1 is past the floor and
+    # must match the ungated adaptive verdict (model fitted on batch 0)
+    assert gauges[1]["warming_up"] is False
+    assert gauges[1]["target_feature_mass"] > 0
+    w_pre = spark.createDataFrame(
+        dsir_weights_from_counts(spark, dsir_bucket_counts(b0)).collect(),
+        "warr array<bigint>",
+    )
+    expect1 = sorted(tuple(r) for r in dsir_admit_batch(b1, w_pre).collect())
+    assert delivered[1] == expect1
+    # replay of the warmed-up batch stays byte-identical (and still empty)
+    del delivered[0]
+    body(b0, 0)
+    assert delivered[0] == []
