@@ -27,8 +27,10 @@ priority slots, then the six remaining r9-stale refresh slots
 (``q_user_features`` -- bumped by r12b -- plus ``q_user_sequences``,
 ``q_vocab_drift``, ``q_watermark_advisor``, ``q_winnow``,
 ``q_zorder``), then the r10-stale batch alphabetically (35 of its 50
-fit: ``q_ann_lsh``..``q_media_meta``).  R14 refresh candidates under
-this policy: the remaining 15 r10-stale queries
+fit: ``q_ann_lsh``..``q_media_meta``; r13b bumps the freshest,
+``q_media_meta``, for the NEW ``q_ingest_curriculum`` -- the
+curriculum-ordered packed flagship).  R14 refresh candidates under
+this policy: ``q_media_meta`` and the remaining 15 r10-stale queries
 (``q_minhash_lsh``..``q_ts_parse``), then the r11-stale batch.  A
 driver that
 ever evaluates more than 50 must read LOCAL_ORACLE too -- do NOT widen

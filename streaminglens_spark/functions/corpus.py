@@ -369,6 +369,7 @@ def ingest_packed(
     epoch: int = 0,
     n_shards: int = 32,
     seq_len: int | None = None,
+    order: str = "epoch",
 ) -> DataFrame:
     """``ingest_full`` with the PACKING TAIL composed on (r12, r11
     verdict ask #3): raw docs -> admission (cleanup -> domain cap ->
@@ -385,17 +386,31 @@ def ingest_packed(
     every cluster's split side, the exact epoch order, and exactly which
     spans of which docs fill every training sequence.
 
+    ``order`` (r13, r12 verdict ask #6): which training order the train
+    stream is packed in -- ``"epoch"`` (default) is the
+    ``corpus_shuffle`` epoch-deterministic shuffle; ``"curriculum"`` is
+    the quality-banded ``curriculum_order`` (highest-quality band
+    first, affine-hash shuffle within each band) computed over the
+    admitted TRAIN docs' input text, so ONE funnel emits either
+    ordering and a loader flips between them without re-running
+    admission or the split.  ``epoch`` is ignored for the curriculum
+    form (the banded order is epoch-free by construction).
+
     Scale shape: everything upstream keeps its documented shapes
     (``ingest_full``); the pack adds the two-level running-offset
     recipe over (shard, shuffle_pos div bucket_width) buckets -- no
     per-shard single-reducer window -- plus one bounded explode of each
     doc's [first_seq, last_seq] range and one groupBy(shard, seq_id).
+    The curriculum order adds one map-only score projection and the
+    same range-sharded rank ``corpus_shuffle`` uses -- no global sort.
     Returns (shard, seq_id, n_docs, filled, docs_digest)."""
     from ..cache import track
     from .dedup import leakage_safe_split
-    from .sampling import corpus_shuffle
+    from .sampling import corpus_shuffle, curriculum_order
     from .text import PACK_SEQ_LEN, sequence_manifest
 
+    if order not in ("epoch", "curriculum"):
+        raise ValueError(f"order must be 'epoch' or 'curriculum', got {order!r}")
     if seq_len is None:
         seq_len = PACK_SEQ_LEN
     admitted = _ingest_admitted(documents, sources, budgets, n_per_domain)
@@ -408,9 +423,23 @@ def ingest_packed(
         .filter(F.col("split") == "train")
         .select("doc_id", "clean_tokens")
     )
-    order = corpus_shuffle(
-        train_ids.select("doc_id"), n_shards=n_shards, epoch=epoch
-    )
+    if order == "epoch":
+        order_df = corpus_shuffle(
+            train_ids.select("doc_id"), n_shards=n_shards, epoch=epoch
+        )
+    else:
+        # quality-banded curriculum over the admitted TRAIN docs' input
+        # text; curriculum_pos takes shuffle_pos' role in the pack
+        order_df = curriculum_order(
+            documents.join(train_ids.select("doc_id"), "doc_id").select(
+                "doc_id", "text"
+            ),
+            n_shards=n_shards,
+        ).select(
+            "doc_id",
+            F.col("curriculum_pos").alias("shuffle_pos"),
+            "shard",
+        )
     # the pack's two-level recipe consumes its input TWICE (bucket
     # offsets + join back): without a barrier here the whole order chain
     # replicates into both subtrees (measured 41 exchanges vs 24).  The
@@ -418,7 +447,7 @@ def ingest_packed(
     # a plain persist would still carry the full order-chain logical
     # plan into every downstream action's planning; lazy, so building
     # the manifest runs no job.
-    train = train_ids.join(order, "doc_id").localCheckpoint(eager=False)
+    train = train_ids.join(order_df, "doc_id").localCheckpoint(eager=False)
     return sequence_manifest(
         train,
         seq_len=seq_len,

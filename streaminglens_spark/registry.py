@@ -7199,6 +7199,121 @@ def _ingest_packed_oracle() -> str:
 LOCAL_ORACLE["q_ingest_packed"] = _ingest_packed_oracle()
 
 
+# --- r13: the curriculum-packed flagship (r12 verdict ask #6) ---------------
+
+def q_ingest_curriculum(spark, sf_dir):
+    """The packed flagship with the CURRICULUM ordering (r13, r12
+    verdict ask #6): the identical admission -> cluster split funnel as
+    ``q_ingest_packed``, but the train stream is packed in
+    ``curriculum_order``'s quality-banded order (highest-quality band
+    first, affine-hash shuffle within each band, scored over the
+    injected input text of the admitted train docs) instead of the
+    epoch shuffle -- ``ingest_packed(order="curriculum")``, one funnel
+    emitting either ordering.  One value hash covers every admission
+    verdict, the split, the banding, the in-band shuffle AND the exact
+    token layout of every training sequence."""
+    from .functions.corpus import ingest_packed
+    from .functions.text import boilerplate_corpus, dirty_corpus, pii_corpus
+
+    raw = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    injected = boilerplate_corpus(dirty_corpus(pii_corpus(raw)))
+    return ingest_packed(
+        injected,
+        raw.select("doc_id", "source"),
+        dict(TOKEN_BUDGETS),
+        n_per_domain=E2E_DOMAIN_CAP,
+        split_corpus=_docs(spark, sf_dir),
+        val_frac=LEAKAGE_VAL_FRAC,
+        order="curriculum",
+    )
+
+
+def _ingest_curriculum_oracle() -> str:
+    """The q_ingest_full oracle cut at its closed ``joined`` CTE (the
+    epoch ``ord`` dropped), plus the curriculum ranking over the train
+    side -- the q_curriculum_order arithmetic scored over the INJECTED
+    text (the ``bpc`` CTE, which is exactly the ``documents`` argument
+    the engine passes) -- plus the q_ingest_packed pack tail keyed to
+    the curriculum positions."""
+    import re as _re
+
+    from .functions.sampling import (
+        CURRICULUM_HI_MILLI,
+        CURRICULUM_LO_MILLI,
+    )
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+    from .functions.text import PACK_SEQ_LEN
+
+    full = LOCAL_ORACLE.get("q_ingest_full") or ORACLE["q_ingest_full"]
+    head = full.split(",\n        ord AS (", 1)[0]
+    # the quality-score CTEs, renamed to dodge the e2e chain's t/feats/
+    # scored (the leakage-splice precedent in _ingest_full_oracle)
+    qc = _qc_score_ctes("cu_in", "text")
+    for old, new in (("t", "cu_tt"), ("feats", "cu_feats"),
+                     ("scored", "cu_scored")):
+        qc = _re.sub(rf"\b{old}\b", new, qc)
+    L = PACK_SEQ_LEN
+    return (
+        head.rstrip()  # ends at the closed ``joined`` CTE
+        + f""",
+        cu_in AS (
+            SELECT j.doc_id, b.text
+            FROM joined j JOIN bpc b USING (doc_id)
+            WHERE j.split = 'train'
+        ),{qc},
+        cu_band AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN score_milli >= {CURRICULUM_HI_MILLI} THEN 2
+                             WHEN score_milli >= {CURRICULUM_LO_MILLI} THEN 1
+                             ELSE 0 END AS INT) AS band,
+                   ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} AS h
+            FROM cu_scored
+        ),
+        cord AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY (2 - band) * CAST({HASH_P} AS BIGINT) + h)
+                       - 1 AS BIGINT) AS shuffle_pos
+            FROM cu_band
+        ),
+        tr AS (
+            SELECT o.doc_id, o.shuffle_pos,
+                   CAST(o.shuffle_pos % 32 AS INT) AS shard, a.n_tokens
+            FROM cord o JOIN admitted a USING (doc_id)
+        ),
+        kpoff AS (
+            SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                               ORDER BY shuffle_pos)
+                      - n_tokens AS BIGINT) AS token_offset
+            FROM tr
+        ),
+        kpsq AS (
+            SELECT shard, doc_id, n_tokens, token_offset,
+                   CAST(s.s AS BIGINT) AS seq_id
+            FROM kpoff,
+                 LATERAL unnest(generate_series(token_offset // {L},
+                     (token_offset + n_tokens - 1) // {L})) AS s(s)
+        ),
+        kpsp AS (
+            SELECT shard, seq_id, doc_id,
+                   GREATEST(token_offset, seq_id * {L}) - seq_id * {L}
+                       AS begin,
+                   LEAST(token_offset + n_tokens, (seq_id + 1) * {L})
+                       - GREATEST(token_offset, seq_id * {L}) AS n_fill
+            FROM kpsq
+        )
+        SELECT shard, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_fill) AS BIGINT) AS filled,
+               md5(string_agg(doc_id || ':' || begin || ':' || n_fill, ';'
+                   ORDER BY begin, doc_id, n_fill)) AS docs_digest
+        FROM kpsp GROUP BY shard, seq_id"""
+    )
+
+
+LOCAL_ORACLE["q_ingest_curriculum"] = _ingest_curriculum_oracle()
+
+
 # ---------------- r12: pack-efficiency report (extension, loader QA)
 
 def q_pack_waste(spark, sf_dir):
@@ -8465,6 +8580,19 @@ _ROTATED_IN_R13 = [
 for _name in _ROTATED_OUT_R13:
     LOCAL_ORACLE[_name] = ORACLE.pop(_name)
 for _name in _ROTATED_IN_R13:
+    ORACLE[_name] = LOCAL_ORACLE.pop(_name)
+
+
+# r13b: the round's new flagship variant takes a priority slot (new
+# queries outrank refresh-only slots, the R10B/R11B/R12B precedent);
+# the bumped refresh slot is the FRESHEST of the refresh set (r10-stale,
+# alphabetically last), keeps its two-SF local check, and rotates back
+# in a later round.
+_ROTATED_OUT_R13B = ["q_media_meta"]
+_ROTATED_IN_R13B = ["q_ingest_curriculum"]
+for _name in _ROTATED_OUT_R13B:
+    LOCAL_ORACLE[_name] = ORACLE.pop(_name)
+for _name in _ROTATED_IN_R13B:
     ORACLE[_name] = LOCAL_ORACLE.pop(_name)
 
 

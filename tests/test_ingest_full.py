@@ -139,3 +139,57 @@ def test_ingest_packed_layout_invariants(spark):
             assert r["filled"] == PACK_SEQ_LEN, (shard, r["seq_id"])
         assert 0 < rows[-1]["filled"] <= PACK_SEQ_LEN
         assert all(1 <= r["n_docs"] for r in rows)
+
+
+def test_ingest_curriculum_order_and_plan(spark):
+    """r13 (r12 verdict ask #6): ingest_packed(order='curriculum') packs
+    the SAME admitted train doc set as the epoch form (the funnel is
+    shared -- only the ordering differs), lays shards out by the
+    quality-banded curriculum, keeps the pack-tail plan budget, and
+    rejects unknown orderings at build time."""
+    import pytest
+
+    from streaminglens_spark.functions.corpus import ingest_packed
+    from streaminglens_spark.functions.text import PACK_SEQ_LEN
+
+    cur = registry.q_ingest_curriculum(spark, SF_DIR).collect()
+    packed = registry.q_ingest_packed(spark, SF_DIR).collect()
+    assert cur, "curriculum flagship produced no sequences"
+    # same funnel: total filled tokens identical (same train docs/tokens)
+    assert sum(r["filled"] for r in cur) == sum(r["filled"] for r in packed)
+    # a different ordering: the layout digests must differ somewhere
+    assert {(r["shard"], r["seq_id"], r["docs_digest"]) for r in cur} != {
+        (r["shard"], r["seq_id"], r["docs_digest"]) for r in packed
+    }
+    # same tiling invariants as the epoch form
+    by_shard = {}
+    for r in cur:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["filled"] == PACK_SEQ_LEN, (shard, r["seq_id"])
+        assert 0 < rows[-1]["filled"] <= PACK_SEQ_LEN
+    # plan budget: the curriculum order adds its rank exchanges but the
+    # tail stays bounded with zero Python eval nodes
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.q_ingest_curriculum(spark, SF_DIR)
+        n = exchange_count(df)
+        assert n <= 9, n
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    with pytest.raises(ValueError, match="order"):
+        ingest_packed(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                "doc_id", "source"
+            ),
+            {},
+            order="nope",
+        )
