@@ -209,6 +209,8 @@ def loader_ingest_monitor(
     key: str = "doc_id",
     spark=None,
     compact_every: int = INDEX_COMPACT_EVERY,
+    dsir_weights: DataFrame | None = None,
+    dsir_threshold_micro: int = 0,
 ):
     """Build (ledger_state, foreachBatch_body); see the module docstring
     for the composed semantics.  Input stream schema: (doc_id, text,
@@ -227,7 +229,25 @@ def loader_ingest_monitor(
     ``mixture_admission_monitor`` semantics, composed into the full
     loader) -- a fifth ``seen`` table seals under the same marker so
     manifest and ledger never diverge; mutually exclusive with
-    ``budgets``."""
+    ``budgets``.
+
+    DSIR GATE (r13, r12 verdict ask #5): ``dsir_weights`` (the frozen
+    one-row ``warr`` table from ``dsir_fit`` over the static
+    target+pool snapshot) REPLACES the fixed quality threshold with
+    importance-based admission -- each batch's dedup survivors are
+    scored map-only against the broadcast weights
+    (``dsir_admit_batch``) and rows at or above
+    ``dsir_threshold_micro`` pass the gate.  Scoring is row-local and
+    the weights are frozen, so the gate is bit-identical to the batch
+    operator over the concatenated stream: with the threshold set to
+    the k-th batch score, the admitted set EQUALS ``dsir_select``'s
+    top-k (parity pinned in ``tests/test_streaming_loader.py``).
+    ``qualityRejects`` then counts DSIR rejections.  Mutually exclusive
+    with ``quality_threshold``."""
+    if dsir_weights is not None and quality_threshold is not None:
+        raise ValueError(
+            "pass dsir_weights OR quality_threshold, not both"
+        )
     if budgets is not None and mixture_total_tokens is not None:
         raise ValueError(
             "pass budgets OR mixture_total_tokens, not both"
@@ -337,7 +357,18 @@ def loader_ingest_monitor(
         )
         survivors = cleaned.join(losers, key, "left_anti")
         n_unique = survivors.count()
-        quality = survivors.filter(F.col("score_milli") >= F.lit(int(thr)))
+        if dsir_weights is not None:
+            from .dsirstream import dsir_admit_batch
+
+            quality = dsir_admit_batch(
+                survivors,
+                dsir_weights,
+                threshold_micro=dsir_threshold_micro,
+            ).drop("n_feats", "score_micro")
+        else:
+            quality = survivors.filter(
+                F.col("score_milli") >= F.lit(int(thr))
+            )
         n_quality = quality.count()
 
         # split ALL batch docs (the full-corpus-split contract)

@@ -16,6 +16,7 @@ from streaminglens_spark.streaming.loader import (
     loader_ingest_monitor,
     restore_loader_state,
 )
+from tests.conftest import SF_DIR
 
 SCHEMA = "doc_id long, text string, source string"
 ACCEPT_ALL = -10**9
@@ -390,3 +391,132 @@ def test_loader_mixture_mode(spark, tmp_path):
         spark, None, state_path, mixture_total_tokens=total
     )
     assert again.seen == state.seen and again.spent == state.spent
+
+
+def test_loader_dsir_gate_parity_and_replay(spark, tmp_path):
+    """r13 (r12 verdict ask #5): with dsir_weights the loader's quality
+    gate becomes DSIR importance admission.  With the threshold set to
+    the k-th concatenated-stream score, the admitted set is BIT-EQUAL to
+    the batch dsir_select top-k over the same corpus (frozen weights +
+    row-local scoring make the stream/batch forms the same projection);
+    replay re-delivers byte-identically; one marker per batch; the gate
+    is mutually exclusive with quality_threshold."""
+    import pytest
+
+    from streaminglens_spark.functions.dsir import (
+        dsir_fit,
+        dsir_score_with,
+        dsir_select,
+    )
+    from streaminglens_spark.functions.text import normalize_expr, redact_expr
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sample = (
+        docs.orderBy("doc_id").limit(60)
+        .select("doc_id", "text", "lang", "source").collect()
+    )
+    sample_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in sample],
+        "doc_id long, text string, lang string",
+    )
+    # parity precondition: the loader's clean pass is identity on the
+    # fixture text (no control chars / PII patterns), so the gate scores
+    # the same bytes dsir_select scores
+    dirty = sample_df.filter(
+        redact_expr(normalize_expr(F.col("text"))) != F.col("text")
+    ).count()
+    assert dirty == 0
+
+    warr = spark.createDataFrame(
+        dsir_fit(sample_df).collect(), "warr array<bigint>"
+    )
+    ranked = sorted(
+        ((r["score_micro"], r["doc_id"]) for r in
+         dsir_score_with(sample_df, warr).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    # a k with a strict score drop at the boundary, mid-corpus
+    k = next(
+        i for i in range(20, 45) if ranked[i - 1][0] > ranked[i][0]
+    )
+    thr = ranked[k - 1][0]
+    sel_ids = {r["doc_id"] for r in dsir_select(sample_df, keep_n=k).collect()}
+    assert sel_ids == {doc_id for _, doc_id in ranked[:k]}
+
+    state_path = str(tmp_path / "state")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    train_log, assigned_log, published = [], [], []
+    state, body = loader_ingest_monitor(
+        state_path,
+        dedup_threshold=1.1,  # neutralize dedup: the gate is the subject
+        dsir_weights=warr,
+        dsir_threshold_micro=thr,
+        train_sink=lambda df, bid: train_log.append(
+            (bid, sorted(tuple(r) for r in df.collect()))),
+        assigned_sink=lambda df, bid: assigned_log.append(
+            (bid, {r["doc_id"]: r["split"] for r in df.collect()})),
+        gauge_sinks=[lambda s, g: published.append(g)],
+        spark=spark,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = stream.writeStream.foreachBatch(body).start()
+    try:
+        for i in range(3):
+            path = os.path.join(src, f"f{i}.json")
+            with open(path + ".tmp", "w") as f:
+                for r in sample[i * 20 : (i + 1) * 20]:
+                    f.write(json.dumps(
+                        {"doc_id": r["doc_id"], "text": r["text"],
+                         "source": r["source"]}) + "\n")
+            os.rename(path + ".tmp", path)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # total admitted across batches == |top-k|; train delivery == the
+    # train side of the top-k set (the split is attachment-time, over
+    # ALL docs, independent of the gate)
+    assert sum(g["admittedDocs"] for g in published) == k
+    split_of = {}
+    for _, m in assigned_log:
+        split_of.update(m)
+    expect_train = {d for d in sel_ids if split_of[d] == "train"}
+    got_train = {t[0] for _, rows in train_log for t in rows}
+    assert got_train == expect_train
+    # gate rejects are DSIR rejects (dedup neutralized)
+    assert sum(g["qualityRejects"] for g in published) == 60 - k
+
+    # one marker + four tables per batch
+    dirs = [n for n in os.listdir(state_path) if n.startswith("batch_id=")]
+    assert sorted(dirs) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    for n in dirs:
+        entries = set(os.listdir(os.path.join(state_path, n)))
+        assert "_COMMITTED" in entries
+        assert {"index", "admitted", "roots", "order"} <= entries
+
+    # restart replay: batch 0 re-delivers byte-identically
+    replay = []
+    _, body2 = loader_ingest_monitor(
+        state_path,
+        dedup_threshold=1.1,
+        dsir_weights=warr,
+        dsir_threshold_micro=thr,
+        train_sink=lambda df, bid: replay.append(
+            sorted(tuple(r) for r in df.collect())),
+        spark=spark,
+    )
+    body2(spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in sample[:20]],
+        SCHEMA), 0)
+    assert replay == [train_log[0][1]]
+
+    with pytest.raises(ValueError, match="dsir_weights OR quality_threshold"):
+        loader_ingest_monitor(
+            state_path, quality_threshold=0, dsir_weights=warr
+        )
