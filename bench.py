@@ -132,9 +132,13 @@ HEAVY_R12 = [
     "q_ingest_packed",
 ]
 
+HEAVY_R13 = [
+    "q_ingest_curriculum",
+]
+
 HEADLINE = (
     LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9
-    + HEAVY_R10 + HEAVY_R11 + HEAVY_R12
+    + HEAVY_R10 + HEAVY_R11 + HEAVY_R12 + HEAVY_R13
 )
 
 

@@ -260,7 +260,21 @@ def curriculum_order(
     hash ASC); hash < P so bands cannot collide), ranked by the same
     range-sharded two-pass ``assign_row_ids`` as ``corpus_shuffle`` --
     no global sort; the score is a map-only fold.  Precondition: key
-    unique and < P.  Returns (key, band, curriculum_pos, shard)."""
+    unique and < P.  Returns (key, band, curriculum_pos, shard).
+
+    The scored projection is a tracked-cache SEAM (r13): the band
+    expression references the per-character classifier fold THREE times
+    (band, and twice inside the order key), and the projection feeds
+    TWO consumers (the rank subtree + the join back) -- without a cut,
+    a caller whose ``text`` is itself an expensive expression chain
+    (the packed flagship's injected corpus) re-evaluates that chain
+    x score x consumers: measured 318 s -> ~5 s at the sf10 probe
+    point for ``ingest_packed(order="curriculum")``.  The persisted
+    seam is O(n) rows x 3 scalar columns and lazy (zero build-time
+    jobs); ``scan_parallel`` guards the CPU-dense fold against
+    single-split scans (the classifier-hash rule)."""
+    from ..cache import track
+    from ..plans.shape import scan_parallel
     from .text import qc_score_expr
 
     score = qc_score_expr(F.col("text"))
@@ -271,12 +285,15 @@ def curriculum_order(
         .cast("int")
     )
     h = (F.lit(HASH_A) * F.col(key) + F.lit(HASH_B)) % F.lit(HASH_P)
-    scored = documents.select(
-        F.col(key),
-        band.alias("band"),
-        (
-            (F.lit(2).cast("long") - band.cast("long")) * F.lit(HASH_P) + h
-        ).alias("_okey"),
+    scored = track(
+        scan_parallel(documents).select(
+            F.col(key),
+            band.alias("band"),
+            (
+                (F.lit(2).cast("long") - band.cast("long")) * F.lit(HASH_P)
+                + h
+            ).alias("_okey"),
+        )
     )
     from .ids import assign_row_ids
 
