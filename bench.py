@@ -312,11 +312,47 @@ def _wait_for_idle(threshold: float, timeout_sec: float) -> dict:
             file=sys.stderr,
         )
         time.sleep(5.0)
-    return {
+    gate = {
         "waited_sec": round(time.time() - t0, 1),
         "threshold": threshold,
         "forced": forced,
     }
+    # effective-cores gate (r13, r12 verdict ask #2 follow-through): the
+    # load1 gate passes while the hypervisor undersubscribes the VM --
+    # r12's driver bench ran at ~12/32 effective cores with load1 1.67.
+    # Bounded wait for a window delivering at least MIN_EFF_FRAC of the
+    # advertised cores (default 0.55; 0 disables); a forced start is
+    # recorded, not fatal -- the artifact stays honest either way.
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    frac = float(os.environ.get("SPARK_GRAFT_MIN_EFF_FRAC", "0.55"))
+    ec_timeout = float(os.environ.get("SPARK_GRAFT_EFF_TIMEOUT", "300"))
+    if frac > 0:
+        t1 = time.time()
+        ec_forced = False
+        while True:
+            ec = _env_probe().get("effective_cores")
+            if ec is None or ec >= frac * n:
+                break
+            if time.time() - t1 >= ec_timeout:
+                ec_forced = True
+                print(
+                    f"# eff-cores-gate: TIMEOUT after {ec_timeout:.0f}s "
+                    f"(effective_cores={ec}) -- forcing start",
+                    file=sys.stderr,
+                )
+                break
+            print(
+                f"# eff-cores-gate: {ec} < {frac * n:.1f}, waiting ...",
+                file=sys.stderr,
+            )
+            time.sleep(15.0)
+        gate["eff_cores_gate"] = {
+            "waited_sec": round(time.time() - t1, 1),
+            "floor": round(frac * n, 1),
+            "last": ec,
+            "forced": ec_forced,
+        }
+    return gate
 
 
 def _sf1_dir() -> str | None:

@@ -82,16 +82,18 @@ def test_driver_surface_exactly_fifty(spark):
     o = registry.oracle_sql()
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
-    # r12 priority slots: the three r11-late queries that have never
-    # held a driver row (r11 verdict ask #1 names them) and the round's
-    # new packed flagship (r12b)
-    for name in ("q_dedup_stats", "q_shard_balance", "q_seq_audit",
-                 "q_ingest_packed"):
-        assert name in q, f"{name} must hold an r12 priority slot"
-    # the full r12 batch holds its slots (minus the r12b-bumped refresh
+    # r13 priority slots: the nine r12-late queries that had never held
+    # a driver row (r12 verdict ask #1 names them) and the round's new
+    # curriculum-packed flagship (r13b)
+    for name in ("q_c4_rules", "q_curriculum_order", "q_curriculum_packed",
+                 "q_dedup_attribution", "q_dsir_select", "q_embed_outliers",
+                 "q_pack_waste", "q_sampled_fit", "q_source_quality_report",
+                 "q_ingest_curriculum"):
+        assert name in q, f"{name} must hold an r13 priority slot"
+    # the full r13 batch holds its slots (minus the r13b-bumped refresh
     # slot -- late-built new queries outrank refresh-only slots)
-    for name in registry._ROTATED_IN_R12 + registry._ROTATED_IN_R12B:
-        if name in registry._ROTATED_OUT_R12B:
+    for name in registry._ROTATED_IN_R13 + registry._ROTATED_IN_R13B:
+        if name in registry._ROTATED_OUT_R13B:
             continue
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
@@ -105,6 +107,8 @@ def test_driver_surface_exactly_fifty(spark):
         + registry._ROTATED_OUT_R11B
         + registry._ROTATED_OUT_R12
         + registry._ROTATED_OUT_R12B
+        + registry._ROTATED_OUT_R13
+        + registry._ROTATED_OUT_R13B
     )
     for name in rotated_out:
         # a query rotated out in an earlier round may have rotated back
