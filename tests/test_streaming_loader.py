@@ -520,3 +520,65 @@ def test_loader_dsir_gate_parity_and_replay(spark, tmp_path):
         loader_ingest_monitor(
             state_path, quality_threshold=0, dsir_weights=warr
         )
+
+
+def test_loader_dsir_gate_composes_with_mixture_mode(spark, tmp_path):
+    """r13: the DSIR gate and mixture mode are orthogonal knobs -- the
+    gate replaces only the quality threshold (survivors -> importance
+    admission), mixture replaces only the budget source (static dict ->
+    temperature targets from the seen manifest); both together must run,
+    keep the five-table/one-marker layout, and fold the manifest over
+    ALL cleaned docs (seen counts are pre-gate by design)."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.dsir import dsir_fit
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sample = (
+        docs.orderBy("doc_id").limit(40)
+        .select("doc_id", "text", "lang", "source").collect()
+    )
+    warr = spark.createDataFrame(
+        dsir_fit(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"], r["lang"]) for r in sample],
+                "doc_id long, text string, lang string",
+            )
+        ).collect(),
+        "warr array<bigint>",
+    )
+    state_path = str(tmp_path / "state")
+    published = []
+    state, body = loader_ingest_monitor(
+        state_path,
+        mixture_total_tokens=2000,
+        dedup_threshold=1.1,
+        dsir_weights=warr,
+        dsir_threshold_micro=-10**15,  # gate open: isolates composition
+        gauge_sinks=[lambda s, g: published.append(dict(g))],
+        spark=spark,
+    )
+    for i in range(2):
+        body(spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["source"])
+             for r in sample[i * 20 : (i + 1) * 20]],
+            SCHEMA), i)
+    # both features left their marks: the seen manifest folded every
+    # cleaned doc, and the DSIR gate admitted (threshold wide open, so
+    # gate rejects are zero) with mixture budgets applied downstream
+    assert sum(g["inDocs"] for g in published) == 40
+    assert sum(g["qualityRejects"] for g in published) == 0
+    # seenTokens gauges are per-batch; the ledger's manifest is cumulative
+    assert sum(state.seen.values()) == sum(
+        g["seenTokens"] for g in published
+    ) > 0
+    for n in ("batch_id=0", "batch_id=1"):
+        entries = set(os.listdir(os.path.join(state_path, n)))
+        assert "_COMMITTED" in entries
+        assert {"index", "admitted", "roots", "order", "seen"} <= entries
+    # and the two knobs stay individually validated
+    import pytest
+    with pytest.raises(ValueError, match="budgets OR mixture"):
+        loader_ingest_monitor(
+            state_path, budgets={"a": 1}, mixture_total_tokens=10
+        )
