@@ -1160,3 +1160,138 @@ def dedup_attribution(
             F.col("b.j").alias("best_jaccard"),
         )
     )
+
+
+def lsh_band_probability_micro(bands: int, rows: int, n_eq: int,
+                               n_hashes: int | None = None) -> int:
+    """P(two docs become LSH candidates | their signatures agree on
+    ``n_eq`` of ``n_hashes`` positions) = 1 - (1 - j^rows)^bands with
+    j = n_eq/n_hashes, computed ENTIRELY in fixed-point micro integers
+    (half-up rounding at every multiply) so the Spark side and the
+    DuckDB oracle produce bit-identical values from the same constants.
+    Pure driver-side arithmetic over configuration constants -- never
+    data."""
+    if n_hashes is None:
+        n_hashes = len(MINHASH_A)
+    scale = 1_000_000
+    jm = (2 * n_eq * scale + n_hashes) // (2 * n_hashes)
+    x = scale  # j^rows, iterated
+    for _ in range(rows):
+        x = (2 * x * jm + scale) // (2 * scale)
+    q = scale - x  # (1 - j^r)
+    y = scale  # q^bands, iterated
+    for _ in range(bands):
+        y = (2 * y * q + scale) // (2 * scale)
+    return scale - y
+
+
+def lsh_parameter_advisor(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    sample_fraction: float = 0.2,
+) -> DataFrame:
+    """Data-driven LSH banding advisor (r13 extension): for every
+    (bands, rows_per_band) factorization of the signature length, the
+    EXPECTED behavior of that banding on THIS corpus -- candidate-pair
+    mass, recall and precision at the dedup threshold -- estimated from
+    the observed pairwise-similarity distribution of a deterministic
+    hash-sample.  This is the knob a 100 TB dedup run actually tunes:
+    too few bands misses near-dups (recall), too many floods the
+    candidate join (cost); the right answer depends on the corpus's
+    OWN similarity histogram, not on the textbook S-curve alone.
+
+    Scale shape -- a FIXED-BUDGET statistics pass (the sampled-fit
+    recipe): ``hash_sample`` keeps ~fraction of docs (engine-exact
+    affine-hash filter, so the oracle replays the exact sample); the
+    all-pairs self-join runs over the SAMPLE ONLY (documented bounded
+    quadratic -- m docs => m(m-1)/2 pairs, the caller budgets m;
+    never the corpus), and every downstream quantity is one 17-bucket
+    histogram fold.  Estimated jaccard per pair is the integer
+    agreement count n_eq/16 -- the same estimator the LSH prefilter
+    ships -- so the histogram is exact BIGINT arithmetic end to end.
+
+    Per (bands, rows_per_band) row: ``exp_candidates_micro`` (expected
+    candidate pairs in the sample, micro-pairs), ``recall_micro``
+    (P(candidate | est jaccard >= threshold)), ``precision_micro``
+    (expected fraction of candidates at/above threshold) -- all via
+    the fixed-point ``lsh_band_probability_micro`` curve, half-up
+    integer division, zero floats -- plus ``midpoint_k`` (the smallest
+    n_eq whose candidate probability crosses 1/2: the banding's
+    effective threshold on the 16-grid).  Returns one row per
+    factorization of the 16-hash signature: (1,16) .. (16,1)."""
+    from .sampling import hash_sample
+
+    spark = documents.sparkSession
+    n_h = len(MINHASH_A)
+    scale = 1_000_000
+    import math
+
+    # threshold in n_eq grid units: est = k/16 >= threshold  <=>  k >= ceil
+    thr_k = math.ceil(threshold * n_h)
+    sample = hash_sample(
+        documents.select("doc_id", "text"), "doc_id", sample_fraction
+    )
+    sh = doc_shingles(sample).select("doc_id", "mh")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mh_b"))
+    # bounded quadratic over the SAMPLE only (m(m-1)/2 pairs by budget)
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    n_eq = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    hist = pairs.select(n_eq.alias("n_eq")).groupBy("n_eq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # the S-curve table is pure configuration arithmetic (5 factorizations
+    # x 17 grid points), shared bit-exactly with the oracle
+    rows = []
+    factorizations = [
+        (bnd, n_h // bnd) for bnd in (1, 2, 4, 8, 16) if bnd * (n_h // bnd) == n_h
+    ]
+    for bnd, rpb in factorizations:
+        mid = next(
+            (k for k in range(n_h + 1)
+             if lsh_band_probability_micro(bnd, rpb, k) >= scale // 2),
+            n_h,
+        )
+        for k in range(n_h + 1):
+            rows.append(
+                (bnd, rpb, k, lsh_band_probability_micro(bnd, rpb, k), mid)
+            )
+    curve = spark.createDataFrame(
+        rows, "bands int, rows_per_band int, n_eq long, p_micro long,"
+        " midpoint_k long"
+    )
+    joined = F.broadcast(curve).join(hist, "n_eq")
+    above = F.col("n_eq") >= F.lit(int(thr_k))
+    half_up = lambda num, den: F.when(  # noqa: E731
+        den > 0, (2 * num + den).cast("long") / F.lit(2) / den
+    )
+    agg = joined.groupBy("bands", "rows_per_band", "midpoint_k").agg(
+        F.sum(F.col("cnt") * F.col("p_micro")).cast("long").alias("exp_c"),
+        F.sum(F.when(above, F.col("cnt") * F.col("p_micro")).otherwise(0))
+        .cast("long").alias("exp_good"),
+        F.sum(F.when(above, F.col("cnt")).otherwise(0)).cast("long").alias(
+            "n_above"
+        ),
+    )
+    # pure-integer half-up division (the pq_update idiom): float division
+    # would lose precision past 2^53 on cnt x p_micro x scale products
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        F.col("exp_c").alias("exp_candidates_micro"),
+        F.when(
+            F.col("n_above") > 0,
+            F.expr("(2 * exp_good + n_above) div (2 * n_above)"),
+        ).otherwise(F.lit(0).cast("long")).alias("recall_micro"),
+        F.when(
+            F.col("exp_c") > 0,
+            F.expr(
+                f"(2 * exp_good * {scale} + exp_c) div (2 * exp_c)"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("precision_micro"),
+        "midpoint_k",
+    )

@@ -7314,6 +7314,119 @@ def _ingest_curriculum_oracle() -> str:
 LOCAL_ORACLE["q_ingest_curriculum"] = _ingest_curriculum_oracle()
 
 
+# ------------ r13: data-driven LSH banding advisor (extension, dedup ops)
+
+def q_lsh_advisor(spark, sf_dir):
+    """LSH banding advisor (r13): for every (bands, rows_per_band)
+    factorization of the 16-hash signature, the expected candidate-pair
+    mass, recall and precision at the 0.5 dedup threshold on THIS
+    corpus -- estimated from the pairwise agreement histogram of a
+    deterministic 20% hash-sample (fixed-budget statistics pass, the
+    sampled-fit recipe; the all-pairs join runs over the SAMPLE only).
+    Every quantity is exact BIGINT arithmetic (fixed-point S-curve,
+    half-up integer division), so the whole advisor hash-matches the
+    DuckDB oracle."""
+    from .functions.dedup import lsh_parameter_advisor
+
+    return lsh_parameter_advisor(
+        _docs(spark, sf_dir), threshold=0.5, sample_fraction=0.2
+    )
+
+
+def _lsh_advisor_oracle() -> str:
+    import math
+
+    from .functions.dedup import MINHASH_A, lsh_band_probability_micro
+    from .functions.sampling import _threshold
+    from .functions.sketch import HASH_A, HASH_B, HASH_P
+
+    n_h = len(MINHASH_A)
+    thr_k = math.ceil(0.5 * n_h)
+    samp = _threshold(0.2)
+    curve_rows = []
+    for bnd in (1, 2, 4, 8, 16):
+        rpb = n_h // bnd
+        if bnd * rpb != n_h:
+            continue
+        mid = next(
+            (k for k in range(n_h + 1)
+             if lsh_band_probability_micro(bnd, rpb, k) >= 500_000),
+            n_h,
+        )
+        for k in range(n_h + 1):
+            curve_rows.append(
+                f"({bnd}, {rpb}, {k},"
+                f" {lsh_band_probability_micro(bnd, rpb, k)}, {mid})"
+            )
+    curve_vals = ", ".join(curve_rows)
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} < {samp}
+    ),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 3, 1)),
+                   i -> CAST((((ascii(substr(text, CAST(i AS INT), 1)) * 31
+                        + ascii(substr(text, CAST(i AS INT) + 1, 1))) * 31
+                        + ascii(substr(text, CAST(i AS INT) + 2, 1))) * 31
+                        + ascii(substr(text, CAST(i AS INT) + 3, 1))) * 31
+                        + ascii(substr(text, CAST(i AS INT) + 4, 1)) AS BIGINT)
+               )) AS sh
+        FROM corpus
+        WHERE length(text) >= 5
+    ),
+    coeffs AS (SELECT * FROM (VALUES {_MINHASH_SQL}) AS c(k, a, b)),
+    sigs AS (
+        SELECT doc_id, k,
+               CAST(list_min(list_transform(sh,
+                   h -> (a * h + b) % 2147483647)) AS BIGINT) AS mh
+        FROM shingled CROSS JOIN coeffs
+        GROUP BY ALL
+    ),
+    vecs AS (
+        SELECT doc_id, list(mh ORDER BY k) AS v FROM sigs GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT CAST(len(list_filter(range(1, {n_h + 1}),
+                   i -> a.v[CAST(i AS INT)] = b.v[CAST(i AS INT)]))
+               AS BIGINT) AS n_eq
+        FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+    ),
+    hist AS (
+        SELECT n_eq, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY n_eq
+    ),
+    curve AS (
+        SELECT * FROM (VALUES {curve_vals})
+            AS c(bands, rows_per_band, n_eq, p_micro, midpoint_k)
+    ),
+    agg AS (
+        SELECT bands, rows_per_band, midpoint_k,
+               CAST(SUM(cnt * p_micro) AS BIGINT) AS exp_c,
+               CAST(SUM(CASE WHEN h.n_eq >= {thr_k}
+                        THEN cnt * p_micro ELSE 0 END) AS BIGINT) AS exp_good,
+               CAST(SUM(CASE WHEN h.n_eq >= {thr_k}
+                        THEN cnt ELSE 0 END) AS BIGINT) AS n_above
+        FROM curve c JOIN hist h ON c.n_eq = h.n_eq
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           exp_c AS exp_candidates_micro,
+           CAST(CASE WHEN n_above > 0
+                THEN (2 * exp_good + n_above) // (2 * n_above)
+                ELSE 0 END AS BIGINT) AS recall_micro,
+           CAST(CASE WHEN exp_c > 0
+                THEN (2 * exp_good * 1000000 + exp_c) // (2 * exp_c)
+                ELSE 0 END AS BIGINT) AS precision_micro,
+           CAST(midpoint_k AS BIGINT) AS midpoint_k
+    FROM agg"""
+
+
+LOCAL_ORACLE["q_lsh_advisor"] = _lsh_advisor_oracle()
+
+
 # ---------------- r12: pack-efficiency report (extension, loader QA)
 
 def q_pack_waste(spark, sf_dir):

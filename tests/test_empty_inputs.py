@@ -120,6 +120,8 @@ CASES = [
      "vec_id long, embedding array<float>, label int"),
     ("source_quality_report", "functions.text",
      "doc_id long, text string, source string"),
+    # r13 additions
+    ("lsh_parameter_advisor", "functions.dedup", "doc_id long, text string"),
 ]
 
 
