@@ -18,20 +18,20 @@ query has held a green driver CORRECTNESS row at least once (debt reached
 zero in r9), so rotation now refreshes the STALEST evidence -- each
 round's surface is the 50 queries whose last green driver row is oldest
 (ascending last-green round, alphabetical within a round), with NEW or
-semantically-CHANGED queries taking priority slots.  The r13 surface
-(r12 verdict ask #1): the nine never-driver-proven r12-late queries
-(``q_c4_rules``, ``q_curriculum_order``, ``q_curriculum_packed``,
-``q_dedup_attribution``, ``q_dsir_select``, ``q_embed_outliers``,
-``q_pack_waste``, ``q_sampled_fit``, ``q_source_quality_report``) in
-priority slots, then the six remaining r9-stale refresh slots
-(``q_user_features`` -- bumped by r12b -- plus ``q_user_sequences``,
-``q_vocab_drift``, ``q_watermark_advisor``, ``q_winnow``,
-``q_zorder``), then the r10-stale batch alphabetically (35 of its 50
-fit: ``q_ann_lsh``..``q_media_meta``; r13b bumps the freshest,
-``q_media_meta``, for the NEW ``q_ingest_curriculum`` -- the
-curriculum-ordered packed flagship).  R14 refresh candidates under
-this policy: ``q_media_meta`` and the remaining 15 r10-stale queries
-(``q_minhash_lsh``..``q_ts_parse``), then the r11-stale batch.  A
+semantically-CHANGED queries taking priority slots.  The r14 surface
+(r13 verdict asks #1-2): ``q_lsh_advisor`` (r13-new, the only query
+never to hold a driver row, now carrying the fixed-budget
+``max_sample_rows`` cap) and ``q_job_advisor`` (r14-new, the composed
+recommendations table) in priority slots, then ALL 16 remaining
+r10-stale queries (``q_media_meta`` -- bumped by r13b -- plus
+``q_minhash_lsh``..``q_ts_parse``, re-proving the §2 core slots
+``q_state_buckets``, ``q_source_recos``, ``q_sla_resolve``,
+``q_ts_parse``, ``q_purge_set``, ``q_results_topk``,
+``q_stage_metrics`` the r13 verdict names), then the r11-stale batch
+alphabetically (32 of its 50 fit:
+``q_ann_topk``..``q_pii_redact``).  R15 refresh candidates under this
+policy: the remaining 18 r11-stale queries
+(``q_pmi``..``q_vocab_topk``), then the r12-stale batch.  A
 driver that
 ever evaluates more than 50 must read LOCAL_ORACLE too -- do NOT widen
 ``queries()`` without removing the cap guard (``registry.py`` raises

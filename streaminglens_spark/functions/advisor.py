@@ -97,3 +97,130 @@ def watermark_advisor(
             F.expr("n_late * 1000 div n_events").cast("long").alias("permille"),
         )
     )
+
+
+# composed-advisor pick rules (r14, r13 verdict ask #6): pure-integer
+# constants so the one-table recommendation surface stays oracle-exact
+WATERMARK_ACCEPT_PERMILLE = 10      # accept <=1% dropped events
+LSH_RECALL_FLOOR_MICRO = 900_000    # require >=0.9 expected recall
+
+
+def job_advisor(
+    progress: DataFrame, documents: DataFrame, events: DataFrame
+) -> DataFrame:
+    """ONE recommendations table over a job's whole surface (r14, r13
+    verdict ask #6): the reference's product is recommendations
+    (helper/StreamingLensReportingHelper.scala:103-175 renders state ->
+    advice strings); this composes the repo's four data-driven advisors
+    -- partition sizing, watermark delay, per-query SLA, LSH dedup
+    banding -- into a single ``(advisor, scope, knob, value, basis)``
+    table a job owner reads top to bottom.
+
+    Pick rules (all pure-integer, each advisor's full table stays
+    available separately for the reasoning):
+
+    - partitioning: both knobs pass through (`partition_advisor` is
+      already a recommendation); basis = measured payload bytes.
+    - watermark: the SMALLEST candidate delay whose measured drop rate
+      is <= ``WATERMARK_ACCEPT_PERMILLE``, else the largest candidate
+      (out-of-orderness exceeds every option -- surface the best
+      available, never silence the row); basis = that delay's permille.
+    - sla: one row per query, `recommend_sla`'s ceiling-rounded p99;
+      basis = the exact p99.
+    - dedup banding: lexicographic min over (misses-recall-floor,
+      cost-if-qualified else -recall, bands) -- i.e. the CHEAPEST
+      banding meeting the recall floor, or the highest-recall one when
+      none qualifies; ties break toward fewer bands.  One struct-min
+      over the 5-row advisor table, no collect.
+
+    Spark shape: each component is the existing operator unchanged
+    (this function adds only <=5-row aggregations and broadcast
+    single-row attaches), so the composed plan inherits every
+    component's scale design; the union is 4 small branches.  All
+    values BIGINT, oracle-composable verbatim."""
+    from ..operators.analysis import recommend_sla
+    from .dedup import lsh_parameter_advisor
+
+    s = lambda v: F.lit(v)  # noqa: E731
+
+    part = partition_advisor(documents)
+    part_rows = part.select(
+        s("partitioning").alias("advisor"),
+        s("corpus").alias("scope"),
+        s("spark.sql.shuffle.partitions").alias("knob"),
+        F.col("rec_shuffle_partitions").cast("long").alias("value"),
+        F.col("data_bytes").cast("long").alias("basis"),
+    ).unionByName(
+        part.select(
+            s("partitioning").alias("advisor"),
+            s("corpus").alias("scope"),
+            s("output_files").alias("knob"),
+            F.col("rec_output_files").cast("long").alias("value"),
+            F.col("data_bytes").cast("long").alias("basis"),
+        )
+    )
+
+    wm = watermark_advisor(events)
+    wm_pick = wm.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("permille") <= F.lit(WATERMARK_ACCEPT_PERMILLE),
+                    F.col("delay_ms"),
+                )
+            ),
+            F.max("delay_ms"),
+        ).alias("delay_ms")
+    )
+    wm_rows = wm.join(F.broadcast(wm_pick), "delay_ms").select(
+        s("watermark").alias("advisor"),
+        s("events").alias("scope"),
+        s("withWatermark.delay_ms").alias("knob"),
+        F.col("delay_ms").cast("long").alias("value"),
+        F.col("permille").cast("long").alias("basis"),
+    )
+
+    sla_rows = recommend_sla(progress).select(
+        s("sla").alias("advisor"),
+        F.col("query_id").alias("scope"),
+        s("expectedMicroBatchSLAMillis").alias("knob"),
+        F.col("recommended_sla_ms").cast("long").alias("value"),
+        F.col("p99_ms").cast("long").alias("basis"),
+    )
+
+    lsh = lsh_parameter_advisor(documents)
+    qual = F.col("recall_micro") >= F.lit(LSH_RECALL_FLOOR_MICRO)
+    best = lsh.agg(
+        F.min(
+            F.struct(
+                F.when(qual, F.lit(0)).otherwise(F.lit(1)).alias("k0"),
+                F.when(qual, F.col("exp_candidates_micro"))
+                .otherwise(-F.col("recall_micro"))
+                .alias("k1"),
+                F.col("bands").alias("k2"),
+                F.col("bands").alias("bands"),
+                F.col("rows_per_band").alias("rows_per_band"),
+                F.col("recall_micro").alias("recall_micro"),
+                F.col("exp_candidates_micro").alias("exp_candidates_micro"),
+            )
+        ).alias("b")
+    )
+    lsh_rows = best.select(
+        s("dedup").alias("advisor"),
+        s("corpus").alias("scope"),
+        s("lsh.bands").alias("knob"),
+        F.col("b.bands").cast("long").alias("value"),
+        F.col("b.recall_micro").cast("long").alias("basis"),
+    ).unionByName(
+        best.select(
+            s("dedup").alias("advisor"),
+            s("corpus").alias("scope"),
+            s("lsh.rows_per_band").alias("knob"),
+            F.col("b.rows_per_band").cast("long").alias("value"),
+            F.col("b.exp_candidates_micro").cast("long").alias("basis"),
+        )
+    )
+
+    return part_rows.unionByName(wm_rows).unionByName(sla_rows).unionByName(
+        lsh_rows
+    )

@@ -1189,6 +1189,7 @@ def lsh_parameter_advisor(
     documents: DataFrame,
     threshold: float = 0.5,
     sample_fraction: float = 0.2,
+    max_sample_rows: int = 20_000,
 ) -> DataFrame:
     """Data-driven LSH banding advisor (r13 extension): for every
     (bands, rows_per_band) factorization of the signature length, the
@@ -1201,12 +1202,21 @@ def lsh_parameter_advisor(
     OWN similarity histogram, not on the textbook S-curve alone.
 
     Scale shape -- a FIXED-BUDGET statistics pass (the sampled-fit
-    recipe): ``hash_sample`` keeps ~fraction of docs (engine-exact
-    affine-hash filter, so the oracle replays the exact sample); the
-    all-pairs self-join runs over the SAMPLE ONLY (documented bounded
-    quadratic -- m docs => m(m-1)/2 pairs, the caller budgets m;
-    never the corpus), and every downstream quantity is one 17-bucket
-    histogram fold.  Estimated jaccard per pair is the integer
+    recipe, r14 hardened per the r13 verdict): the keep-predicate is
+    the engine-exact affine-hash threshold at the TIGHTER of two caps,
+    ``sample_fraction`` and ``max_sample_rows`` -- the row cap is the
+    cross-multiplied integer comparison ``h * n < max_sample_rows * P``
+    against a lazily-attached corpus count (broadcast one-row attach,
+    no driver action; decimal(38,0) like ``mixture_sample``, so no
+    int64 overflow at any corpus size).  A FRACTION alone is not a
+    budget -- 0.2 of a 100 TB corpus squared is an all-pairs blowup --
+    so the expected sample is min(fraction*n, max_sample_rows) docs
+    regardless of corpus size, and the all-pairs self-join below runs
+    over the SAMPLE ONLY (bounded quadratic: ~m(m-1)/2 pairs for the
+    budgeted m, never the corpus).  Both engines replay the identical
+    kept set (the oracle computes the same count and the same integer
+    predicate); every downstream quantity is one 17-bucket histogram
+    fold.  Estimated jaccard per pair is the integer
     agreement count n_eq/16 -- the same estimator the LSH prefilter
     ships -- so the histogram is exact BIGINT arithmetic end to end.
 
@@ -1219,8 +1229,14 @@ def lsh_parameter_advisor(
     n_eq whose candidate probability crosses 1/2: the banding's
     effective threshold on the 16-grid).  Returns one row per
     factorization of the 16-hash signature: (1,16) .. (16,1)."""
-    from .sampling import hash_sample
+    from .sampling import _threshold
+    from .sketch import HASH_A, HASH_B, HASH_P
 
+    if max_sample_rows <= 1:
+        raise ValueError(
+            f"max_sample_rows must be >= 2 (a pair histogram needs at "
+            f"least two docs), got {max_sample_rows}"
+        )
     spark = documents.sparkSession
     n_h = len(MINHASH_A)
     scale = 1_000_000
@@ -1228,8 +1244,25 @@ def lsh_parameter_advisor(
 
     # threshold in n_eq grid units: est = k/16 >= threshold  <=>  k >= ceil
     thr_k = math.ceil(threshold * n_h)
-    sample = hash_sample(
-        documents.select("doc_id", "text"), "doc_id", sample_fraction
+    # fixed-budget sample: hash threshold at the tighter of the fraction
+    # cap and the row cap; the row cap needs the corpus count, attached
+    # lazily as a broadcast one-row cross-join (no driver action) and
+    # compared cross-multiplied in decimal(38,0) (h*n reaches ~2^72 on a
+    # trillion-doc corpus, past int64) -- the mixture_sample idiom
+    dec = "decimal(38,0)"
+    cnt = documents.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    h = (F.lit(HASH_A) * F.col("doc_id") + F.lit(HASH_B)) % F.lit(HASH_P)
+    sample = (
+        documents.select("doc_id", "text")
+        .crossJoin(F.broadcast(cnt))
+        .filter(
+            (h < F.lit(_threshold(sample_fraction)))
+            & (
+                h.cast(dec) * F.col("_n").cast(dec)
+                < F.lit(int(max_sample_rows) * HASH_P).cast(dec)
+            )
+        )
+        .drop("_n")
     )
     sh = doc_shingles(sample).select("doc_id", "mh")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mh_a"))
@@ -1266,9 +1299,6 @@ def lsh_parameter_advisor(
     )
     joined = F.broadcast(curve).join(hist, "n_eq")
     above = F.col("n_eq") >= F.lit(int(thr_k))
-    half_up = lambda num, den: F.when(  # noqa: E731
-        den > 0, (2 * num + den).cast("long") / F.lit(2) / den
-    )
     agg = joined.groupBy("bands", "rows_per_band", "midpoint_k").agg(
         F.sum(F.col("cnt") * F.col("p_micro")).cast("long").alias("exp_c"),
         F.sum(F.when(above, F.col("cnt") * F.col("p_micro")).otherwise(0))

@@ -141,9 +141,12 @@ def dsir_adaptive_monitor(
     reaches the floor, the batch's counts still commit (the model keeps
     learning) but NOTHING is admitted.  The verdict depends only on the
     pre-batch committed view, so replay stays byte-identical.  Default
-    0 preserves the documented fail-open behavior; either way the
-    gauges carry ``warming_up`` and ``target_feature_mass`` so
-    operators can SEE the window instead of being surprised by it.
+    0 preserves the documented fail-open behavior AND skips the
+    per-batch mass aggregation entirely (r13 advice: an opt-in
+    feature must not add unconditional per-batch latency) -- gauges
+    then carry ``warming_up=False`` and ``target_feature_mass=None``;
+    with the gate on, both gauges are live so operators can SEE the
+    window instead of being surprised by it.
 
     Returns the ``foreachBatch`` body; gauges publish under
     ``spark.streaming.dsirAdmission``."""
@@ -192,11 +195,19 @@ def dsir_adaptive_monitor(
                 F.sum("c_t").alias("c_t"), F.sum("c_q").alias("c_q")
             )
         )
-        # pre-batch evidence mass: O(dim) rows, one tiny agg read
-        t_mass = int(
-            cum.agg(F.sum("c_t").alias("m")).first()["m"] or 0
-        )
-        warming = t_mass < int(warmup_target_features)
+        # pre-batch evidence mass: O(dim) rows, one tiny agg read --
+        # but ONLY when the opt-in warm-up gate needs it (r13 advice:
+        # at the default warmup_target_features=0 ``warming`` is
+        # identically False, so the default path must not pay an
+        # unconditional per-batch Spark job for an unused gauge)
+        if int(warmup_target_features) > 0:
+            t_mass = int(
+                cum.agg(F.sum("c_t").alias("m")).first()["m"] or 0
+            )
+            warming = t_mass < int(warmup_target_features)
+        else:
+            t_mass = None
+            warming = False
         warr = track(dsir_weights_from_counts(spark_, cum, dim=dim))
         batch = track(batch_df)
         scored = dsir_admit_batch(
@@ -219,7 +230,9 @@ def dsir_adaptive_monitor(
             "rejected": int(n_in - n_adm),
             "batchId": int(batch_id),
             "warming_up": bool(warming),
-            "target_feature_mass": int(t_mass),
+            "target_feature_mass": (
+                int(t_mass) if t_mass is not None else None
+            ),
         }
         if analyzer is not None:
             analyzer.set_extra_gauges(DSIR_GAUGE_SOURCE, gauges)

@@ -211,6 +211,7 @@ def loader_ingest_monitor(
     compact_every: int = INDEX_COMPACT_EVERY,
     dsir_weights: DataFrame | None = None,
     dsir_threshold_micro: int = 0,
+    dsir_dim: int | None = None,
 ):
     """Build (ledger_state, foreachBatch_body); see the module docstring
     for the composed semantics.  Input stream schema: (doc_id, text,
@@ -243,11 +244,30 @@ def loader_ingest_monitor(
     the k-th batch score, the admitted set EQUALS ``dsir_select``'s
     top-k (parity pinned in ``tests/test_streaming_loader.py``).
     ``qualityRejects`` then counts DSIR rejections.  Mutually exclusive
-    with ``quality_threshold``."""
+    with ``quality_threshold``.  ``dsir_dim`` (default: the table's own
+    ``size(warr)``) is validated against the weights table ONCE at
+    construction -- a ``warr`` fitted at a non-default dim would
+    otherwise score NULL via out-of-range ``element_at`` and silently
+    drop every row (r13 advice)."""
     if dsir_weights is not None and quality_threshold is not None:
         raise ValueError(
             "pass dsir_weights OR quality_threshold, not both"
         )
+    if dsir_weights is not None:
+        # one-row broadcast table: a single tiny construction-time job,
+        # traded for failing LOUDLY before the stream starts instead of
+        # silently admitting nothing on a dim mismatch
+        warr_size = dsir_weights.select(
+            F.size("warr").alias("d")
+        ).first()["d"]
+        if dsir_dim is None:
+            dsir_dim = int(warr_size)
+        elif int(warr_size) != int(dsir_dim):
+            raise ValueError(
+                f"dsir_weights carries a warr of dim {warr_size} but "
+                f"dsir_dim={dsir_dim}; a mismatched dim scores NULL and "
+                f"drops every row -- refit the weights or fix dsir_dim"
+            )
     if budgets is not None and mixture_total_tokens is not None:
         raise ValueError(
             "pass budgets OR mixture_total_tokens, not both"
@@ -364,6 +384,7 @@ def loader_ingest_monitor(
                 survivors,
                 dsir_weights,
                 threshold_micro=dsir_threshold_micro,
+                dim=int(dsir_dim),
             ).drop("n_feats", "score_micro")
         else:
             quality = survivors.filter(

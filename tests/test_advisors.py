@@ -88,3 +88,61 @@ def test_watermark_advisor_monotone_on_fixture(spark):
     lates = [r["n_late"] for r in rows]
     assert lates == sorted(lates, reverse=True), lates
     assert all(r["n_events"] == rows[0]["n_events"] for r in rows)
+
+
+def test_job_advisor_composes_and_picks(spark):
+    """r14 (r13 verdict ask #6): the composed recommendations table
+    carries every advisor family once, and each row's value equals the
+    standalone advisor's pick replayed by hand -- the composition adds
+    selection, never re-derivation.  Oracle hash parity at two SFs runs
+    in test_oracle_queries."""
+    from streaminglens_spark.functions.advisor import (
+        LSH_RECALL_FLOOR_MICRO,
+        WATERMARK_ACCEPT_PERMILLE,
+        job_advisor,
+    )
+    from streaminglens_spark.functions.dedup import lsh_parameter_advisor
+    from streaminglens_spark.operators.analysis import recommend_sla
+    from streaminglens_spark.sources.loaders import load_table
+    from streaminglens_spark.telemetry import derive_telemetry
+
+    events = load_table(spark, SF_DIR, "events")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = derive_telemetry(spark, events)
+    out = job_advisor(t.progress, docs, events).collect()
+    rows = {(r["advisor"], r["scope"], r["knob"]): r for r in out}
+    assert len(rows) == len(out)  # (advisor, scope, knob) is a key
+
+    # partitioning: pass-through of partition_advisor
+    p = partition_advisor(docs).collect()[0]
+    assert rows[("partitioning", "corpus", "spark.sql.shuffle.partitions")][
+        "value"] == p["rec_shuffle_partitions"]
+    assert rows[("partitioning", "corpus", "output_files")]["value"] == (
+        p["rec_output_files"])
+
+    # watermark: smallest acceptable delay, else max
+    wm = {r["delay_ms"]: r["permille"]
+          for r in watermark_advisor(events).collect()}
+    ok = [d for d, pm in wm.items() if pm <= WATERMARK_ACCEPT_PERMILLE]
+    want = min(ok) if ok else max(wm)
+    got = rows[("watermark", "events", "withWatermark.delay_ms")]
+    assert got["value"] == want and got["basis"] == wm[want]
+
+    # sla: one row per query from recommend_sla
+    sla = {r["query_id"]: r for r in recommend_sla(t.progress).collect()}
+    sla_rows = [r for r in out if r["advisor"] == "sla"]
+    assert {r["scope"] for r in sla_rows} == set(sla)
+    for r in sla_rows:
+        assert r["value"] == sla[r["scope"]]["recommended_sla_ms"]
+        assert r["basis"] == sla[r["scope"]]["p99_ms"]
+
+    # dedup: cheapest banding meeting the recall floor (hand replay)
+    cand = lsh_parameter_advisor(docs).collect()
+    qual = [r for r in cand if r["recall_micro"] >= LSH_RECALL_FLOOR_MICRO]
+    if qual:
+        best = min(qual, key=lambda r: (r["exp_candidates_micro"], r["bands"]))
+    else:
+        best = min(cand, key=lambda r: (-r["recall_micro"], r["bands"]))
+    assert rows[("dedup", "corpus", "lsh.bands")]["value"] == best["bands"]
+    assert rows[("dedup", "corpus", "lsh.rows_per_band")]["value"] == (
+        best["rows_per_band"])

@@ -64,3 +64,55 @@ def test_advisor_tradeoff_and_sample_budget(spark):
     m = hash_sample(docs.select("doc_id"), "doc_id", 0.2).count()
     max_pairs_micro = m * (m - 1) // 2 * SCALE
     assert all(c <= max_pairs_micro for c in cand)
+
+
+def test_advisor_row_cap_is_a_hard_budget(spark):
+    """r14 (r13 verdict ask #1): ``max_sample_rows`` makes the advisor's
+    documented bounded quadratic a FIXED budget -- the sampled pair mass
+    is <= cap*(cap-1)/2 on an oversized fixture, and the sample size
+    stays ~cap when the corpus doubles (a fraction alone scales the
+    pair join with corpus^2; the cap must not)."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.sketch import HASH_A, HASH_B, HASH_P
+
+    cap = 50
+
+    def fixture(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("document text body "), F.col("id")).alias(
+                "text"
+            ),
+        )
+
+    def kept(n):
+        # the engine-exact keep predicate, replayed in plain Python
+        return sum(
+            1
+            for i in range(n)
+            if ((HASH_A * i + HASH_B) % HASH_P) * n < cap * HASH_P
+        )
+
+    # deterministic realized sizes: the budget holds at 4000 docs and
+    # does NOT grow when the corpus doubles
+    assert kept(4000) == cap
+    assert kept(8000) <= cap + 1
+
+    out = lsh_parameter_advisor(
+        fixture(4000), sample_fraction=1.0, max_sample_rows=cap
+    ).collect()
+    max_pairs_micro = cap * (cap - 1) // 2 * SCALE
+    assert out, "advisor must emit factorization rows"
+    for r in out:
+        assert r["exp_candidates_micro"] <= max_pairs_micro
+
+    # corpus doubles -> candidate mass may move (different kept set) but
+    # stays inside the SAME fixed budget: the quadratic no longer grows
+    # with corpus size
+    out2 = lsh_parameter_advisor(
+        fixture(8000), sample_fraction=1.0, max_sample_rows=cap
+    ).collect()
+    max_pairs_micro2 = (cap + 1) * cap // 2 * SCALE
+    for r in out2:
+        assert r["exp_candidates_micro"] <= max_pairs_micro2

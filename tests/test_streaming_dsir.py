@@ -342,3 +342,44 @@ def test_adaptive_monitor_warmup_fail_closed(spark, tmp_path):
     del delivered[0]
     body(b0, 0)
     assert delivered[0] == []
+
+
+def test_adaptive_monitor_default_skips_warmup_mass(spark, tmp_path):
+    """r14 (r13 advice): at the default ``warmup_target_features=0``
+    the warm-up gate is off, so the per-batch target-mass aggregation
+    must not run at all -- gauges carry ``warming_up=False`` and
+    ``target_feature_mass=None`` and the batch delivers the ungated
+    verdict (first batch fail-opens as documented)."""
+    from streaminglens_spark.streaming.dsirstream import (
+        dsir_adaptive_monitor,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sample = (
+        docs.orderBy("doc_id").limit(10)
+        .select("doc_id", "text", "lang").collect()
+    )
+    delivered: dict[int, int] = {}
+    gauges: dict[int, dict] = {}
+
+    class Sink:
+        def publish(self, source, payload):
+            gauges[payload["batchId"]] = payload
+
+    body = dsir_adaptive_monitor(
+        str(tmp_path / "state"),
+        admitted_sink=lambda df, bid: delivered.setdefault(
+            int(bid), df.count()
+        ),
+        gauge_sinks=[Sink()],
+    )
+    b0 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in sample],
+        "doc_id long, text string, lang string",
+    )
+    body(b0, 0)
+    assert gauges[0]["warming_up"] is False
+    assert gauges[0]["target_feature_mass"] is None
+    # fail-open cold start unchanged: whole first batch admitted
+    assert delivered[0] == len(sample)
+    assert gauges[0]["admitted"] == len(sample)

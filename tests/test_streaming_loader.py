@@ -582,3 +582,55 @@ def test_loader_dsir_gate_composes_with_mixture_mode(spark, tmp_path):
         loader_ingest_monitor(
             state_path, budgets={"a": 1}, mixture_total_tokens=10
         )
+
+
+def test_loader_dsir_gate_validates_weight_dim(spark, tmp_path):
+    """r14 (r13 advice): a ``warr`` fitted at a non-default dim used to
+    score NULL via out-of-range ``element_at`` and silently drop every
+    row.  Now the loader (a) auto-detects the dim from the weights
+    table, admitting correctly with a 64-dim fit, and (b) fails LOUDLY
+    at construction when an explicit ``dsir_dim`` contradicts the
+    table."""
+    import pytest
+
+    from streaminglens_spark.functions.dsir import dsir_fit
+    from streaminglens_spark.streaming.dsirstream import dsir_admit_batch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sample_df = (
+        docs.orderBy("doc_id").limit(30).select("doc_id", "text", "lang")
+    )
+    warr64 = spark.createDataFrame(
+        dsir_fit(sample_df, dim=64).collect(), "warr array<bigint>"
+    )
+
+    # (b) explicit mismatch: loud construction-time error, stream never starts
+    with pytest.raises(ValueError, match="dim 64"):
+        loader_ingest_monitor(
+            str(tmp_path / "bad"), dsir_weights=warr64, dsir_dim=256
+        )
+
+    # (a) auto-detect: the gate scores at the table's own dim -- the
+    # admitted count equals the batch operator's at dim=64 (nonzero on
+    # this fixture; the old bug admitted zero)
+    expected = dsir_admit_batch(
+        sample_df, warr64, threshold_micro=0, dim=64
+    ).count()
+    assert 0 < expected < 30  # the gate discriminates at dim 64
+    published = []
+    state, body = loader_ingest_monitor(
+        str(tmp_path / "state"),
+        dedup_threshold=1.1,
+        dsir_weights=warr64,
+        dsir_threshold_micro=0,
+        gauge_sinks=[lambda s, g: published.append(g)],
+        spark=spark,
+    )
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"], "web") for r in sample_df.collect()],
+        "doc_id long, text string, source string",
+    )
+    body(batch, 0)
+    assert published
+    g = published[-1]
+    assert g["qualityRejects"] == 30 - expected  # not 30: no silent drop
