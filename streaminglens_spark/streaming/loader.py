@@ -83,6 +83,10 @@ _ORDER_SCHEMA = (
     "doc_id long, n_tokens long, train_pos long, shard int,"
     " token_offset long, first_seq long, last_seq long"
 )
+# curriculum order mode (r14): band + per-band dense position appended;
+# shard/packing run per (band, shard) so each band's token streams stay
+# append-only objects of their own
+_ORDER_CURR_SCHEMA = _ORDER_SCHEMA + ", band int, band_pos long"
 _LOADER_TABLES = {
     "index": _IDX_SCHEMA,
     "admitted": _ADMIT_SCHEMA,
@@ -173,7 +177,8 @@ def restore_loader_state(
 
 
 def loader_manifest(
-    spark, state_path: str, seq_len: int = 256, dir_cache=None
+    spark, state_path: str, seq_len: int = 256, dir_cache=None,
+    order: str = "arrival", n_shards: int = 32,
 ) -> "DataFrame":
     """The per-(shard, seq_id) packed manifest of everything the loader
     stream has committed so far -- the read-side fold the module
@@ -182,13 +187,35 @@ def loader_manifest(
     of the committed order spans, not a per-batch emission).  One
     generation + recent shards in, ``sequence_manifest``'s span tail
     out; bit-equal to the batch manifest over the concatenated stream's
-    train set.  Pass the monitor's ``seq_len``."""
+    train set.  Pass the monitor's ``seq_len``.
+
+    r14: for a ``order="curriculum"`` stream (pass the monitor's
+    ``order`` and ``n_shards``), the per-(band, shard) token streams
+    flatten to the manifest shard id ``(2 - band) * n_shards + shard``
+    -- band 2 (best) occupies shards [0, n), band 1 [n, 2n), band 0
+    [2n, 3n), so ascending manifest shard IS the curriculum read
+    order and per-band seq_ids can never collide."""
     from ..functions.text import manifest_from_packed
 
-    order = committed_table_view(
-        spark, state_path, "order", _ORDER_SCHEMA, dir_cache
-    ).filter(F.col("n_tokens") > 0)
-    return manifest_from_packed(order, seq_len)
+    if order == "curriculum":
+        packed = (
+            committed_table_view(
+                spark, state_path, "order", _ORDER_CURR_SCHEMA, dir_cache
+            )
+            .filter(F.col("n_tokens") > 0)
+            .withColumn(
+                "shard",
+                (
+                    (F.lit(2) - F.col("band")) * F.lit(int(n_shards))
+                    + F.col("shard")
+                ).cast("int"),
+            )
+        )
+    else:
+        packed = committed_table_view(
+            spark, state_path, "order", _ORDER_SCHEMA, dir_cache
+        ).filter(F.col("n_tokens") > 0)
+    return manifest_from_packed(packed, seq_len)
 
 
 def loader_ingest_monitor(
@@ -212,6 +239,7 @@ def loader_ingest_monitor(
     dsir_weights: DataFrame | None = None,
     dsir_threshold_micro: int = 0,
     dsir_dim: int | None = None,
+    order: str = "arrival",
 ):
     """Build (ledger_state, foreachBatch_body); see the module docstring
     for the composed semantics.  Input stream schema: (doc_id, text,
@@ -248,7 +276,29 @@ def loader_ingest_monitor(
     ``size(warr)``) is validated against the weights table ONCE at
     construction -- a ``warr`` fitted at a non-default dim would
     otherwise score NULL via out-of-range ``element_at`` and silently
-    drop every row (r13 advice)."""
+    drop every row (r13 advice).
+
+    CURRICULUM ORDER (r14, r13 verdict ask #5): ``order="curriculum"``
+    gives the stream the batch flagship's quality-banded training
+    order (``ingest_packed(order="curriculum")``): each admitted TRAIN
+    doc is banded by the SAME integer quality score the admission gate
+    already computed (``curriculum_order``'s hi/lo milli thresholds,
+    so stream bands are bit-equal to the batch operator's on the
+    concatenated corpus), takes the next dense position WITHIN its
+    band (band_pos -- append order inside a band, the incremental
+    counterpart of the batch operator's within-band hash shuffle: a
+    global re-shuffle is not an append-only object, the banding is),
+    and packs into per-(band, shard) token streams whose offsets never
+    move -- three independent append-only pack families instead of
+    one.  The committed ``order`` table carries two extra columns
+    (band, band_pos); the training read order is (band DESC, band_pos
+    ASC).  Replay stays byte-identical (banding is row-local, bases
+    come from the strictly-earlier committed view).  Parity, replay
+    and layout pinned in ``tests/test_streaming_loader.py``."""
+    if order not in ("arrival", "curriculum"):
+        raise ValueError(
+            f"order must be 'arrival' or 'curriculum', got {order!r}"
+        )
     if dsir_weights is not None and quality_threshold is not None:
         raise ValueError(
             "pass dsir_weights OR quality_threshold, not both"
@@ -300,6 +350,10 @@ def loader_ingest_monitor(
 
     dir_cache = _BatchDirCache()
     tables = dict(_LOADER_TABLES)
+    order_schema = (
+        _ORDER_CURR_SCHEMA if order == "curriculum" else _ORDER_SCHEMA
+    )
+    tables["order"] = order_schema
     if mixture:
         tables["seen"] = _ADMIT_SCHEMA
 
@@ -346,13 +400,24 @@ def loader_ingest_monitor(
         # replay, later batches are committed too but must not count
         # toward this batch's base)
         prev_order = committed_table_view(
-            spark_, state_path, "order", _ORDER_SCHEMA, dir_cache,
+            spark_, state_path, "order", order_schema, dir_cache,
             before_batch=int(batch_id),
         )
         prev_train = prev_order.count()
-        shard_bases = prev_order.groupBy("shard").agg(
-            F.sum("n_tokens").cast("long").alias("_base")
-        )
+        if order == "curriculum":
+            # per-(band, shard) pack bases + per-band position bases:
+            # each band's token streams are independent append-only
+            # objects (O(3) and O(3 x n_shards) rows, broadcast back)
+            shard_bases = prev_order.groupBy("band", "shard").agg(
+                F.sum("n_tokens").cast("long").alias("_base")
+            )
+            band_bases = prev_order.groupBy("band").agg(
+                F.count(F.lit(1)).cast("long").alias("_bbase")
+            )
+        else:
+            shard_bases = prev_order.groupBy("shard").agg(
+                F.sum("n_tokens").cast("long").alias("_base")
+            )
 
         extras = [c for c in batch_df.columns if c not in (key, "text")]
         cleaned = track(
@@ -465,7 +530,10 @@ def loader_ingest_monitor(
 
         # append-only training order over the batch's admitted TRAIN docs
         # (in-batch window is micro-batch-bounded -- not a corpus window)
-        train = admitted.select(key, "n_tokens").join(
+        train_cols = [key, "n_tokens"]
+        if order == "curriculum":
+            train_cols.append("score_milli")
+        train = admitted.select(*train_cols).join(
             assigned.filter(F.col("split") == "train").select(
                 F.col("doc_id").alias(key)
             ),
@@ -476,15 +544,76 @@ def loader_ingest_monitor(
             + F.row_number().over(Window.orderBy(key))
             - 1
         )
-        ordered = train.select(
-            F.col(key).alias("doc_id"),
-            F.col("n_tokens"),
-            pos.alias("train_pos"),
-        ).withColumn("shard", (F.col("train_pos") % n_shards).cast("int"))
-        # append-only pack spans: per-shard cumulative offsets continue
-        # from the committed prefix's shard totals (broadcast O(n_shards)
-        # aggregate); in-batch windows are micro-batch-bounded
-        wsh = Window.partitionBy("shard").orderBy("train_pos")
+        L = int(seq_len)
+        if order == "curriculum":
+            from ..functions.sampling import (
+                CURRICULUM_HI_MILLI,
+                CURRICULUM_LO_MILLI,
+            )
+
+            # band from the ALREADY-computed admission score -- the
+            # same thresholds as the batch curriculum_order, so stream
+            # bands match the batch operator's bit-for-bit
+            band = (
+                F.when(
+                    F.col("score_milli") >= F.lit(int(CURRICULUM_HI_MILLI)),
+                    F.lit(2),
+                )
+                .when(
+                    F.col("score_milli") >= F.lit(int(CURRICULUM_LO_MILLI)),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("int")
+            )
+            banded = train.withColumn("band", band).withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("band").orderBy(key)
+                ),
+            )
+            # dense per-band positions continue each band's committed
+            # counter (broadcast O(3)-row attach)
+            band_pos = (
+                F.coalesce(F.col("_bbase"), F.lit(0).cast("long"))
+                + F.col("_rn")
+                - 1
+            )
+            ordered = (
+                banded.join(F.broadcast(band_bases), "band", "left")
+                .select(
+                    F.col(key).alias("doc_id"),
+                    F.col("n_tokens"),
+                    pos.alias("train_pos"),
+                    F.col("band"),
+                    band_pos.cast("long").alias("band_pos"),
+                )
+                .withColumn(
+                    "shard", (F.col("band_pos") % n_shards).cast("int")
+                )
+            )
+            wsh = Window.partitionBy("band", "shard").orderBy("band_pos")
+            with_off = ordered.join(
+                F.broadcast(shard_bases), ["band", "shard"], "left"
+            )
+            extra_order_cols = ["band", "band_pos"]
+        else:
+            ordered = train.select(
+                F.col(key).alias("doc_id"),
+                F.col("n_tokens"),
+                pos.alias("train_pos"),
+            ).withColumn(
+                "shard", (F.col("train_pos") % n_shards).cast("int")
+            )
+            # append-only pack spans: per-shard cumulative offsets
+            # continue from the committed prefix's shard totals
+            # (broadcast O(n_shards) aggregate); in-batch windows are
+            # micro-batch-bounded
+            wsh = Window.partitionBy("shard").orderBy("train_pos")
+            with_off = ordered.join(
+                F.broadcast(shard_bases), "shard", "left"
+            )
+            extra_order_cols = []
         off = (
             F.coalesce(F.col("_base"), F.lit(0).cast("long"))
             + F.sum("n_tokens").over(
@@ -492,10 +621,7 @@ def loader_ingest_monitor(
             )
             - F.col("n_tokens")
         )
-        L = int(seq_len)
-        with_off = ordered.join(
-            F.broadcast(shard_bases), "shard", "left"
-        ).withColumn("token_offset", off.cast("long"))
+        with_off = with_off.withColumn("token_offset", off.cast("long"))
         order_df = track(
             with_off.select(
                 "doc_id",
@@ -513,6 +639,7 @@ def loader_ingest_monitor(
                         (F.col("token_offset") + F.col("n_tokens") - 1) / L
                     ),
                 ).cast("long").alias("last_seq"),
+                *extra_order_cols,
             )
         )
 

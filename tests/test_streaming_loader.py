@@ -634,3 +634,160 @@ def test_loader_dsir_gate_validates_weight_dim(spark, tmp_path):
     assert published
     g = published[-1]
     assert g["qualityRejects"] == 30 - expected  # not 30: no silent drop
+
+
+def test_loader_curriculum_order_parity_replay_and_packing(spark, tmp_path):
+    """r14 (r13 verdict ask #5): order="curriculum" gives the stream the
+    batch flagship's quality-banded training order.  Pins: (a) bands are
+    bit-equal to the batch curriculum_order's on the same docs (same
+    score expression, same thresholds), (b) positions are dense per band
+    and preserve arrival order within a band, (c) pack offsets run per
+    (band, shard) and are append-only across batches, (d) replay
+    re-delivers byte-identically, (e) one marker per batch, (f) the
+    curriculum manifest flattens (band, shard) without collisions."""
+    from pyspark.sql import functions as F
+
+    from streaminglens_spark.functions.sampling import curriculum_order
+    from streaminglens_spark.functions.text import (
+        normalize_expr,
+        redact_expr,
+    )
+    from streaminglens_spark.streaming.ingest import _BatchDirCache
+    from streaminglens_spark.streaming.loader import (
+        _ORDER_CURR_SCHEMA,
+        loader_manifest,
+    )
+    from streaminglens_spark.streaming.ingest import committed_table_view
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sample = (
+        docs.orderBy("doc_id").limit(60)
+        .select("doc_id", "text", "source").collect()
+    )
+    sample_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in sample],
+        "doc_id long, text string",
+    )
+    # parity precondition: clean pass is identity on the fixture text
+    assert sample_df.filter(
+        redact_expr(normalize_expr(F.col("text"))) != F.col("text")
+    ).count() == 0
+
+    state_path = str(tmp_path / "state")
+    n_shards = 4
+    train_log = []
+    state, body = loader_ingest_monitor(
+        state_path,
+        dedup_threshold=1.1,      # order semantics are the subject
+        quality_threshold=-10**9,  # admit everything that survives
+        n_shards=n_shards,
+        seq_len=32,
+        order="curriculum",
+        train_sink=lambda df, bid: train_log.append(
+            (bid, sorted(tuple(r) for r in df.collect()))),
+        spark=spark,
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(r["doc_id"], r["text"], r["source"]) for r in rows],
+        "doc_id long, text string, source string",
+    )
+    body(mk(sample[:30]), 0)
+    body(mk(sample[30:]), 1)
+
+    cache = _BatchDirCache()
+    committed = committed_table_view(
+        spark, state_path, "order", _ORDER_CURR_SCHEMA, cache
+    ).collect()
+    assert committed, "stream admitted nothing -- fixture regression"
+
+    # (a) band parity with the batch operator on the same train docs
+    train_ids = [r["doc_id"] for r in committed]
+    batch_bands = {
+        r["doc_id"]: r["band"]
+        for r in curriculum_order(
+            sample_df.filter(F.col("doc_id").isin(train_ids)),
+            n_shards=n_shards,
+        ).collect()
+    }
+    for r in committed:
+        assert r["band"] == batch_bands[r["doc_id"]], r
+
+    # (b) dense per-band positions, arrival (doc_id) order within band
+    by_band = {}
+    for r in committed:
+        by_band.setdefault(r["band"], []).append(r)
+    for band, rows in by_band.items():
+        rows.sort(key=lambda r: r["band_pos"])
+        assert [r["band_pos"] for r in rows] == list(range(len(rows)))
+        ids = [r["doc_id"] for r in rows]
+        assert ids == sorted(ids)  # append order preserved in-band
+        for r in rows:
+            assert r["shard"] == r["band_pos"] % n_shards
+
+    # (c) per-(band, shard) append-only pack offsets + span formulas
+    by_bs = {}
+    for r in committed:
+        by_bs.setdefault((r["band"], r["shard"]), []).append(r)
+    L = 32
+    for (_, _), rows in by_bs.items():
+        rows.sort(key=lambda r: r["band_pos"])
+        off = 0
+        for r in rows:
+            assert r["token_offset"] == off
+            if r["n_tokens"] > 0:
+                assert r["first_seq"] == off // L
+                assert r["last_seq"] == (off + r["n_tokens"] - 1) // L
+            off += r["n_tokens"]
+
+    # (e) one marker + four tables per batch
+    for n in ("batch_id=0", "batch_id=1"):
+        entries = set(os.listdir(os.path.join(state_path, n)))
+        assert "_COMMITTED" in entries
+        assert {"index", "admitted", "roots", "order"} <= entries
+
+    # (d) restart replay of batch 0: byte-identical delivery, committed
+    # state unchanged
+    replay = []
+    _, body2 = loader_ingest_monitor(
+        state_path,
+        dedup_threshold=1.1,
+        quality_threshold=-10**9,
+        n_shards=n_shards,
+        seq_len=32,
+        order="curriculum",
+        train_sink=lambda df, bid: replay.append(
+            sorted(tuple(r) for r in df.collect())),
+        spark=spark,
+    )
+    body2(mk(sample[:30]), 0)
+    assert replay == [train_log[0][1]]
+    again = committed_table_view(
+        spark, state_path, "order", _ORDER_CURR_SCHEMA, _BatchDirCache()
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, committed))
+
+    # (f) curriculum manifest: flat shard = (2-band)*n + shard, no
+    # cross-band seq collisions, fills match the order table by hand
+    man = loader_manifest(
+        spark, state_path, seq_len=L, order="curriculum",
+        n_shards=n_shards,
+    ).collect()
+    flat_shards = {(2 - r["band"]) * n_shards + r["shard"]
+                   for r in committed if r["n_tokens"] > 0}
+    assert {m["shard"] for m in man} == flat_shards
+    filled = {}
+    for r in committed:
+        if r["n_tokens"] <= 0:
+            continue
+        fs = (2 - r["band"]) * n_shards + r["shard"]
+        for s in range(r["first_seq"], r["last_seq"] + 1):
+            lo = max(r["token_offset"], s * L)
+            hi = min(r["token_offset"] + r["n_tokens"], (s + 1) * L)
+            filled[(fs, s)] = filled.get((fs, s), 0) + (hi - lo)
+    assert {(m["shard"], m["seq_id"]): m["filled"] for m in man} == filled
+
+    # invalid mode fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="arrival.*curriculum"):
+        loader_ingest_monitor(state_path, order="epoch")
