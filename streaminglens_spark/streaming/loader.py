@@ -28,7 +28,12 @@ Semantics -- the composition, stage by stage:
   shards.  The epoch-shuffle training order stays a batch post-pass
   (``corpus_shuffle`` / ``q_epoch_shuffle``) once the corpus freezes:
   a global permutation is not an incremental object; the stream's order
-  is the bootstrap/curriculum order.
+  is the bootstrap/curriculum order.  r14: ``order="curriculum"``
+  additionally BANDS the append stream by the admission quality score
+  (dense per-band positions, per-(band, shard) pack streams) -- the
+  quality-banded half of the batch curriculum IS an incremental
+  object, only its within-band shuffle is not; see
+  ``loader_ingest_monitor``.
 - PACKING is append-only too (r12b): sequence packing in arrival order
   is an incremental object -- each batch's train docs EXTEND their
   shard's token stream, and earlier offsets/sequence boundaries never
