@@ -1189,7 +1189,7 @@ def lsh_parameter_advisor(
     documents: DataFrame,
     threshold: float = 0.5,
     sample_fraction: float = 0.2,
-    max_sample_rows: int = 20_000,
+    max_sample_rows: int = 5_000,
 ) -> DataFrame:
     """Data-driven LSH banding advisor (r13 extension): for every
     (bands, rows_per_band) factorization of the signature length, the
@@ -1216,7 +1216,15 @@ def lsh_parameter_advisor(
     budgeted m, never the corpus).  Both engines replay the identical
     kept set (the oracle computes the same count and the same integer
     predicate); every downstream quantity is one 17-bucket histogram
-    fold.  Estimated jaccard per pair is the integer
+    fold.  The 5k default is MEASURED, not guessed
+    (``probe_advisor_budget.json``): the pair join costs ~cap^2/2
+    zip-compares -- cap=2k (2M pairs) ran 17-48 s across 5k-100k-doc
+    corpora on the probe box, while cap=20k (200M pairs) exceeded 9.5
+    minutes at the 100k-doc point; a 17-bucket similarity histogram is
+    statistically saturated long before 12.5M pairs, so the default
+    buys stability, not latency.  Callers tuning a specific corpus
+    raise the cap explicitly -- the cost is cap-quadratic and corpus-
+    INDEPENDENT either way.  Estimated jaccard per pair is the integer
     agreement count n_eq/16 -- the same estimator the LSH prefilter
     ships -- so the histogram is exact BIGINT arithmetic end to end.
 

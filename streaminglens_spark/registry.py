@@ -7321,7 +7321,7 @@ def q_lsh_advisor(spark, sf_dir):
     factorization of the 16-hash signature, the expected candidate-pair
     mass, recall and precision at the 0.5 dedup threshold on THIS
     corpus -- estimated from the pairwise agreement histogram of a
-    deterministic hash-sample capped at the TIGHTER of 20% and 20k docs
+    deterministic hash-sample capped at the TIGHTER of 20% and 5k docs
     (r14: a true fixed-budget statistics pass -- the row cap keeps the
     documented bounded quadratic independent of corpus size; the
     all-pairs join runs over the SAMPLE only).  Every quantity is exact
@@ -7333,7 +7333,7 @@ def q_lsh_advisor(spark, sf_dir):
         _docs(spark, sf_dir),
         threshold=0.5,
         sample_fraction=0.2,
-        max_sample_rows=20_000,
+        max_sample_rows=5_000,
     )
 
 
@@ -7373,7 +7373,7 @@ def _lsh_advisor_oracle() -> str:
                          FROM documents) c
         WHERE ({HASH_A} * doc_id + {HASH_B}) % {HASH_P} < {samp}
           AND (({HASH_A} * doc_id + {HASH_B}) % {HASH_P}) * _n
-              < {20_000 * HASH_P}
+              < {5_000 * HASH_P}
     ),
     shingled AS (
         SELECT doc_id,
