@@ -136,9 +136,19 @@ HEAVY_R13 = [
     "q_ingest_curriculum",
 ]
 
+# r14: the capped LSH banding advisor (plan changed: the fixed-budget
+# row-cap predicate + measured 5k default -- the sample binds at sf1+,
+# so the artifact records the DEFAULT diagnostic's true fixed cost) and
+# the composed job advisor (4 advisor families in one table; the pair
+# histogram dominates, the composition's adds are <=5-row aggregates).
+HEAVY_R14 = [
+    "q_lsh_advisor",
+    "q_job_advisor",
+]
+
 HEADLINE = (
     LEGACY18 + HEAVY_R5 + HEAVY_R6 + HEAVY_R7 + HEAVY_R8 + HEAVY_R9
-    + HEAVY_R10 + HEAVY_R11 + HEAVY_R12 + HEAVY_R13
+    + HEAVY_R10 + HEAVY_R11 + HEAVY_R12 + HEAVY_R13 + HEAVY_R14
 )
 
 

@@ -82,19 +82,17 @@ def test_driver_surface_exactly_fifty(spark):
     o = registry.oracle_sql()
     assert len(q) == 50, f"driver cap is 50; registry has {len(q)}"
     assert set(q) == set(o), "every query needs its oracle (and vice versa)"
-    # r13 priority slots: the nine r12-late queries that had never held
-    # a driver row (r12 verdict ask #1 names them) and the round's new
-    # curriculum-packed flagship (r13b)
-    for name in ("q_c4_rules", "q_curriculum_order", "q_curriculum_packed",
-                 "q_dedup_attribution", "q_dsir_select", "q_embed_outliers",
-                 "q_pack_waste", "q_sampled_fit", "q_source_quality_report",
-                 "q_ingest_curriculum"):
-        assert name in q, f"{name} must hold an r13 priority slot"
-    # the full r13 batch holds its slots (minus the r13b-bumped refresh
-    # slot -- late-built new queries outrank refresh-only slots)
-    for name in registry._ROTATED_IN_R13 + registry._ROTATED_IN_R13B:
-        if name in registry._ROTATED_OUT_R13B:
-            continue
+    # r14 priority slots: q_lsh_advisor (the only query never to hold a
+    # driver row, r13 verdict ask #1) and the round's new composed
+    # advisor; then the 16 r10-stale refresh slots the r13 verdict
+    # names (ask #2)
+    for name in ("q_lsh_advisor", "q_job_advisor", "q_media_meta",
+                 "q_state_buckets", "q_source_recos", "q_sla_resolve",
+                 "q_ts_parse", "q_purge_set", "q_results_topk",
+                 "q_stage_metrics"):
+        assert name in q, f"{name} must hold an r14 slot"
+    # the full r14 batch holds its slots
+    for name in registry._ROTATED_IN_R14:
         assert name in q, f"{name} rotated off the driver surface"
     # rotated-out queries keep their local double-scale oracle check
     rotated_out = (
@@ -109,6 +107,7 @@ def test_driver_surface_exactly_fifty(spark):
         + registry._ROTATED_OUT_R12B
         + registry._ROTATED_OUT_R13
         + registry._ROTATED_OUT_R13B
+        + registry._ROTATED_OUT_R14
     )
     for name in rotated_out:
         # a query rotated out in an earlier round may have rotated back
