@@ -136,14 +136,23 @@ def job_advisor(
     Spark shape: each component is the existing operator unchanged
     (this function adds only <=5-row aggregations and broadcast
     single-row attaches), so the composed plan inherits every
-    component's scale design; the union is 4 small branches.  All
-    values BIGINT, oracle-composable verbatim."""
+    component's scale design; the union is 4 small branches.  The
+    three double-consumed component outputs (``part`` 1 row, ``wm`` 4
+    rows, ``lsh`` 5 rows) are ``track()``-persisted SEAMS (the r13
+    curriculum lesson): each feeds two branches of the union / a pick
+    aggregate plus a join-back, and without the cut the corpus
+    aggregate, the events window and the advisor's pair histogram
+    would each be fair game for double evaluation (exchange reuse is
+    an optimizer courtesy, not a contract).  Lazy -- persisting <=5-row
+    tables costs nothing and runs zero build-time jobs.  All values
+    BIGINT, oracle-composable verbatim."""
+    from ..cache import track
     from ..operators.analysis import recommend_sla
     from .dedup import lsh_parameter_advisor
 
     s = lambda v: F.lit(v)  # noqa: E731
 
-    part = partition_advisor(documents)
+    part = track(partition_advisor(documents))
     part_rows = part.select(
         s("partitioning").alias("advisor"),
         s("corpus").alias("scope"),
@@ -160,7 +169,7 @@ def job_advisor(
         )
     )
 
-    wm = watermark_advisor(events)
+    wm = track(watermark_advisor(events))
     wm_pick = wm.agg(
         F.coalesce(
             F.min(
@@ -188,7 +197,7 @@ def job_advisor(
         F.col("p99_ms").cast("long").alias("basis"),
     )
 
-    lsh = lsh_parameter_advisor(documents)
+    lsh = track(lsh_parameter_advisor(documents))
     qual = F.col("recall_micro") >= F.lit(LSH_RECALL_FLOOR_MICRO)
     best = lsh.agg(
         F.min(

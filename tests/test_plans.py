@@ -315,3 +315,38 @@ def test_token_budget_no_full_stratum_row_window(spark):
         re.match(r"windowspecdefinition\(source#\d+, _b#\d+L, _h#", s)
         for s in specs
     ), f"bucket-local row window missing: {specs}"
+
+
+def test_job_advisor_builds_lazily_and_stays_jvm(spark):
+    """r14: the composed advisor's three track() seams (part/wm/lsh --
+    each feeds two consumers) must persist LAZILY (zero build-time jobs
+    beyond the table loads) and the whole composition stays all-JVM
+    (no Python eval nodes in any branch)."""
+    from streaminglens_spark.sources.loaders import load_table
+
+    sc = spark.sparkContext
+
+    def _load_inputs():
+        registry._docs(spark, SF_DIR)
+        registry._telemetry(spark, SF_DIR)
+        load_table(spark, SF_DIR, "events")
+
+    _load_inputs()  # warm: session-init jobs excluded from both counts
+    sc.setJobGroup("jobadv-load", "load baseline")
+    try:
+        _load_inputs()
+        n_load = len(sc.statusTracker().getJobIdsForGroup("jobadv-load"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    sc.setJobGroup("jobadv-build", "laziness probe")
+    try:
+        df = registry.q_job_advisor(spark, SF_DIR)
+        n_build = len(sc.statusTracker().getJobIdsForGroup("jobadv-build"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert n_build <= n_load, (
+        f"building q_job_advisor ran {n_build} jobs vs {n_load} for the "
+        "bare loads -- the seams must stay lazy"
+    )
+    assert python_udf_count(df) == 0
+    assert df.count() == 7  # 2 partitioning + 1 watermark + 2 sla + 2 lsh
