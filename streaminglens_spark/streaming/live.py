@@ -574,6 +574,45 @@ class LiveAnalyzer:
         next tick pushes it to every registered sink."""
         self.extra_gauges[source_name] = {k: int(v) for k, v in gauges.items()}
 
+    # -- live advisor surface (r14) ------------------------------------
+    def sla_recommendations(self) -> DataFrame:
+        """LIVE ``q_sla_recommend``: the data-driven SLA recommendation
+        (exact integer p50/p95/p99 + ceiling-rounded p99) computed over
+        THIS analyzer's captured progress, no telemetry export needed --
+        the reference ASKS the user for ``expectedMicroBatchSLAMillis``
+        and the repo's batch advisor derives it from history; this
+        closes the loop on the live path, where the history already
+        sits in ``ProgressCapture``.  Bit-equal to the batch operator
+        over the same rows by construction (same function, same
+        projection).  Lazy; one tiny groupBy per call."""
+        from ..operators.analysis import recommend_sla
+
+        return recommend_sla(self.progress_df())
+
+    def publish_sla_recommendations(self) -> dict[str, int]:
+        """Collect the per-query recommendation (O(queries) rows) and
+        publish it as the ``spark.streaming.slaAdvisor`` gauge source --
+        keyed ``<queryName ?? queryId>`` like the A20 gauges, values
+        ``recommended_sla_ms`` -- so the next tick pushes it through
+        every registered sink.  Returns the published mapping.  The
+        caller picks the cadence (SLA advice moves at batch-history
+        speed, not tick speed); an empty capture publishes nothing and
+        returns {}."""
+        rows = self.sla_recommendations().collect()
+        if not rows:
+            return {}
+        names: dict[str, str | None] = {}
+        for r in self.capture.snapshot():
+            names[r[0]] = r[1]
+        out = {
+            (names.get(r["query_id"]) or r["query_id"]): int(
+                r["recommended_sla_ms"]
+            )
+            for r in rows
+        }
+        self.set_extra_gauges("spark.streaming.slaAdvisor", out)
+        return out
+
     def register_gauge_sink(self, sink) -> None:
         """Register a gauge sink: either a callable ``(source_name, gauges:
         dict[str, int])`` or an object with a ``publish(source_name,

@@ -408,3 +408,44 @@ def test_logging_gauge_sink_and_dropped_jobs_gauge(spark, caplog):
     )
     assert any("spark.streaming.q1" in m and "batchRunningTimeMillis=2000" in m
                for m in caplog.messages)
+
+
+def test_live_sla_advisor_parity_and_gauges(spark):
+    """r14 live advisor surface: sla_recommendations() is the batch
+    q_sla_recommend over the captured progress (bit-equal -- same
+    function, same rows), and publish_sla_recommendations() exposes the
+    per-query recommended SLA as the spark.streaming.slaAdvisor gauge
+    source; empty captures publish nothing."""
+    from streaminglens_spark.operators.analysis import recommend_sla
+
+    cap = ProgressCapture()
+    t0 = 1_700_000_000_000
+    rows = []
+    off = 0
+    for i in range(8):  # q1: varying batch gaps -> nontrivial quantiles
+        rows.append(_fake_progress("q1", i, t0 + off))
+        off += 500 + 137 * (i % 5)
+    off = 0
+    for i in range(6):  # q2: a second query in the same capture
+        rows.append(_fake_progress("q2", i, t0 + off))
+        off += 900 + 61 * (i % 3)
+    cap.rows = rows
+    a = LiveAnalyzer(spark, cap, config=_cfg(), clock=_Clock())
+
+    exp = sorted(
+        tuple(r) for r in recommend_sla(a.progress_df()).collect()
+    )
+    got = sorted(tuple(r) for r in a.sla_recommendations().collect())
+    assert got == exp and len(got) == 2
+
+    pub = a.publish_sla_recommendations()
+    by_q = {r["query_id"]: r["recommended_sla_ms"]
+            for r in recommend_sla(a.progress_df()).collect()}
+    assert pub == by_q
+    # surfaces through the A20 gauge snapshot (and thus every sink)
+    assert a.gauges()["spark.streaming.slaAdvisor"] == pub
+
+    # empty capture: nothing published, no gauge source created
+    a2 = LiveAnalyzer(spark, ProgressCapture(), config=_cfg(), clock=_Clock())
+    assert a2.publish_sla_recommendations() == {}
+    assert "spark.streaming.slaAdvisor" not in a2.gauges()
