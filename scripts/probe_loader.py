@@ -34,8 +34,12 @@ from streaminglens_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = os.path.abspath(sys.argv[1])
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # r14: --order curriculum probes the quality-banded order mode (the
+    # per-(band, shard) pack families) on the same protocol
+    order = "curriculum" if "--order-curriculum" in sys.argv else "arrival"
+    argv = [a for a in sys.argv if a != "--order-curriculum"]
+    sf_dir = os.path.abspath(argv[1])
+    n_batches = int(argv[2]) if len(argv) > 2 else 4
     gate = bench._wait_for_idle(
         threshold=float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "2")),
         timeout_sec=float(os.environ.get("SPARK_GRAFT_IDLE_TIMEOUT", "420")),
@@ -66,6 +70,7 @@ def main() -> None:
             # times the structural stages, not a budget cutoff
             gauge_sinks=[lambda s, g: gauges.append(dict(g))],
             spark=spark,
+            order=order,
         )
         per_batch: list[float] = []
         for i in range(n_batches):
@@ -86,6 +91,7 @@ def main() -> None:
         env["load1_after"] = round(os.getloadavg()[0], 2)
         out = {
             "metric": "loader_stream_pass_total",
+            "order": order,
             "value": round(sum(per_batch), 3),
             "unit": "sec",
             "sf_dir": sf_dir,

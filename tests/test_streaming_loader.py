@@ -739,6 +739,32 @@ def test_loader_curriculum_order_parity_replay_and_packing(spark, tmp_path):
                 assert r["last_seq"] == (off + r["n_tokens"] - 1) // L
             off += r["n_tokens"]
 
+    # (c') cross-operator pin (the r12b arrival-mode parity, per band):
+    # each band's spans are bit-equal to batch pack_sequences over that
+    # band's final stream in band_pos order -- three independent
+    # append-only pack families, each matching the batch operator
+    from streaminglens_spark.functions.text import pack_sequences
+
+    for band in {r["band"] for r in committed}:
+        sub = [r for r in committed if r["band"] == band]
+        spine = spark.createDataFrame(
+            [(r["doc_id"], r["n_tokens"], r["shard"], r["band_pos"])
+             for r in sub],
+            "doc_id long, n_tokens long, shard int, band_pos long",
+        )
+        want = {
+            r["doc_id"]: (r["token_offset"], r["first_seq"], r["last_seq"])
+            for r in pack_sequences(
+                spine, seq_len=L, tokens_col="n_tokens",
+                shard_col="shard", order_col="band_pos",
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["token_offset"], r["first_seq"], r["last_seq"])
+            for r in sub
+        }
+        assert got == want, f"band {band} spans diverge from batch pack"
+
     # (e) one marker + four tables per batch
     for n in ("batch_id=0", "batch_id=1"):
         entries = set(os.listdir(os.path.join(state_path, n)))
