@@ -44,3 +44,16 @@ try:
     _hyp_settings.load_profile("spark-graft")
 except ImportError:  # pragma: no cover
     pass
+
+
+def hidden_tmp(path: str) -> str:
+    """Scratch name for atomic file drops into a STREAM-WATCHED dir:
+    Spark's file source lists the directory between our open() and
+    os.rename(), and a visible ``<name>.tmp`` can be snapshotted then
+    vanish ("Was it deleted very recently?" -- a real full-suite flake,
+    r14).  Dot-prefixed names are excluded from Spark's file listing by
+    convention, so write there and rename into place."""
+    import os
+
+    d, b = os.path.split(path)
+    return os.path.join(d, "." + b + ".tmp")

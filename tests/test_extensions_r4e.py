@@ -16,7 +16,7 @@ from streaminglens_spark.functions.ids import assign_row_ids
 from streaminglens_spark.plans.audit import formatted_plan
 from streaminglens_spark.sources.loaders import load_table
 from streaminglens_spark.streaming.enrich import stream_interval_join
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 
 # ---------------------------------------------------------- assign_row_ids
@@ -103,7 +103,7 @@ def test_stream_interval_join_matches_batch_with_bounded_state(spark, tmp_path):
         os.makedirs(src)
         for i in range(2):
             path = os.path.join(src, f"f{i}.json")
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in rows[i * len(rows) // 2 : (i + 1) * len(rows) // 2]:
                     f.write(
                         json.dumps(
@@ -115,7 +115,7 @@ def test_stream_interval_join_matches_batch_with_bounded_state(spark, tmp_path):
                         )
                         + "\n"
                     )
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
         return src
 
     def read_stream(src, ts_name):

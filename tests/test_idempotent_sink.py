@@ -13,16 +13,17 @@ from streaminglens_spark.sources.sinks import (
     idempotent_batch_sink,
     read_committed,
 )
+from tests.conftest import hidden_tmp
 
 
 def _write_files(src_dir, rows, parts=3):
     os.makedirs(src_dir)
     for part in range(parts):
         path = os.path.join(src_dir, f"f{part}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in rows[part::parts]:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
 
 def test_stream_commits_exactly_the_input(spark, tmp_path):

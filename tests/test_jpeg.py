@@ -13,7 +13,7 @@ from streaminglens_spark.functions.jpeg import (
     encode_minimal_jpeg,
     parse_jpeg,
 )
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 
 # ------------------------------------------------------------- pure codec
@@ -100,10 +100,10 @@ def test_stream_vocab_drift_against_baseline(spark, tmp_path):
     ]
     for i, rows in enumerate(batches):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for doc_id, text in rows:
                 f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     verdicts = {}
 

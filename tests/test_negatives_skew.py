@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from streaminglens_spark.functions.profile import key_skew_stats
 from streaminglens_spark.functions.sampling import negative_samples
 from streaminglens_spark.functions.search import build_postings
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 
 # ------------------------------------------------------- negative sampling
@@ -101,10 +101,10 @@ def test_streaming_postings_ingest_matches_batch(spark, tmp_path):
     per = 20
     for i in range(3):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for doc_id, text in rows[i * per : (i + 1) * per]:
                 f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
     store = str(tmp_path / "postings_store")
 
     def ingest(batch_df, batch_id):

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from streaminglens_spark.operators.reporting import discounted_state
 from streaminglens_spark.streaming.stateful import discounted_health_stream
+from tests.conftest import hidden_tmp
 
 
 def test_stateful_state_survives_restart(spark, tmp_path):
@@ -23,10 +24,10 @@ def test_stateful_state_survives_restart(spark, tmp_path):
 
     def write_file(name, rows):
         p = os.path.join(src_dir, name)
-        with open(p + ".tmp", "w") as f:
+        with open(hidden_tmp(p), "w") as f:
             for r in rows:
                 f.write(_json.dumps(r) + "\n")
-        os.rename(p + ".tmp", p)
+        os.rename(hidden_tmp(p), p)
 
     outputs: list[tuple] = []
 

@@ -22,6 +22,7 @@ from streaminglens_spark.streaming.annmaint import (
     ANN_GAUGE_SOURCE,
     ann_maintenance_monitor,
 )
+from tests.conftest import hidden_tmp
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,10 +41,10 @@ def test_streaming_ann_maintenance_end_to_end(spark, tmp_path):
 
     def write_file(name, recs):
         path = os.path.join(src, name)
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in recs:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     # batch 1: the corpus vectors re-arriving (ids offset) -- exactly
     # in-distribution, per-cell means equal the baseline
@@ -160,10 +161,10 @@ def test_streaming_pq_maintenance_end_to_end(spark, tmp_path):
 
     def write_file(name, recs):
         path = os.path.join(src, name)
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in recs:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     write_file(
         "b1.json",
@@ -269,10 +270,10 @@ def test_streaming_refit_monitor_closes_the_loop(spark, tmp_path):
 
     def write_file(name, recs):
         path = os.path.join(src, name)
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in recs:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     b1 = [
         {"vec_id": int(r["vec_id"]) + 10_000, "label": int(r["label"]),
@@ -377,10 +378,10 @@ def test_refit_monitor_survives_restart(spark, tmp_path):
         try:
             for i, (name, recs) in enumerate(files, 1):
                 path = os.path.join(src, name)
-                with open(path + ".tmp", "w") as f:
+                with open(hidden_tmp(path), "w") as f:
                     for r in recs:
                         f.write(json.dumps(r) + "\n")
-                os.rename(path + ".tmp", path)
+                os.rename(hidden_tmp(path), path)
                 q.processAllAvailable()
                 if stop_after is not None and i >= stop_after:
                     break

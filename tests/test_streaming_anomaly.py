@@ -9,6 +9,7 @@ import json
 import os
 
 from streaminglens_spark.streaming.anomaly import stream_duration_anomalies
+from tests.conftest import hidden_tmp
 
 
 def _rows():
@@ -53,13 +54,13 @@ def test_stream_matches_reference_and_bounds_state(spark, tmp_path):
     for part in range(3):
         path = os.path.join(src, f"f{part}.json")
         per = (len(ordered) + 2) // 3
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for qid, b, ts, nr, rps in ordered[part * per : (part + 1) * per]:
                 f.write(json.dumps({
                     "query_id": qid, "batch_id": b, "ts_ms": ts,
                     "num_input_rows": nr, "processed_rps": rps,
                 }) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     schema = (
         "query_id string, batch_id long, ts_ms long, num_input_rows long,"

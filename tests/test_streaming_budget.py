@@ -15,6 +15,7 @@ from streaminglens_spark.streaming.budget import (
     budget_admission_monitor,
     restore_budget_state,
 )
+from tests.conftest import hidden_tmp
 
 SCHEMA = "doc_id long, text string, source string"
 
@@ -54,10 +55,10 @@ def _run(spark, src, files, budgets, shard_path=None, checkpoint=None,
     try:
         for name, recs in files:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from streaminglens_spark.functions.dedup import minhash_lsh_pairs
 from streaminglens_spark.streaming.dedup import loser_ids_of_batch, near_dedup_stream
+from tests.conftest import hidden_tmp
 
 MIN_MS = 60_000
 
@@ -39,10 +40,10 @@ def test_streaming_near_dedup_matches_batch_and_bounds_state(spark, tmp_path):
 
     def write_file(name: str, ids: list[int], ms: int) -> None:
         path = os.path.join(src, name)
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for i in ids:
                 f.write(json.dumps({"doc_id": i, "text": docs[i], "ms": ms}) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ms long")
@@ -146,10 +147,10 @@ def test_dedup_verdict_gauges_live(spark, tmp_path):
     src = str(tmp_path / "docs")
     os.makedirs(src)
     path = os.path.join(src, "f1.json")
-    with open(path + ".tmp", "w") as f:
+    with open(hidden_tmp(path), "w") as f:
         for i, text in docs.items():
             f.write(json.dumps({"doc_id": i, "text": text, "ms": 1_700_000_000_000}) + "\n")
-    os.rename(path + ".tmp", path)
+    os.rename(hidden_tmp(path), path)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ms long")

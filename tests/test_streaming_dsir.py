@@ -14,7 +14,7 @@ from streaminglens_spark.streaming.dsirstream import (
     dsir_admit_batch,
     start_dsir_admission,
 )
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 
 def test_stream_admission_matches_batch_and_is_stateless(spark, tmp_path):
@@ -56,7 +56,7 @@ def test_stream_admission_matches_batch_and_is_stateless(spark, tmp_path):
     os.makedirs(src)
     for i in range(3):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in sample[i * 20 : (i + 1) * 20]:
                 f.write(
                     json.dumps(
@@ -64,7 +64,7 @@ def test_stream_admission_matches_batch_and_is_stateless(spark, tmp_path):
                     )
                     + "\n"
                 )
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, lang string")
@@ -118,7 +118,7 @@ def test_adaptive_monitor_converges_and_replays(spark, tmp_path):
     os.makedirs(src)
     for i in range(3):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in sample[i * 20 : (i + 1) * 20]:
                 f.write(
                     json.dumps(
@@ -126,7 +126,7 @@ def test_adaptive_monitor_converges_and_replays(spark, tmp_path):
                     )
                     + "\n"
                 )
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     delivered: dict[int, list[tuple]] = {}
     body = dsir_adaptive_monitor(
@@ -234,7 +234,7 @@ def test_adaptive_monitor_replay_after_compaction(spark, tmp_path):
     os.makedirs(src)
     for i in range(3):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in sample[i * 20 : (i + 1) * 20]:
                 f.write(
                     json.dumps(
@@ -242,7 +242,7 @@ def test_adaptive_monitor_replay_after_compaction(spark, tmp_path):
                     )
                     + "\n"
                 )
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     delivered: dict[int, list[tuple]] = {}
     body = dsir_adaptive_monitor(

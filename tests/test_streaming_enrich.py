@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from streaminglens_spark.sources.loaders import load_table
 from streaminglens_spark.streaming.enrich import start_asof_enrich
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 
 def test_stream_asof_matches_batch_and_is_stateless(spark, tmp_path):
@@ -56,10 +56,10 @@ def test_stream_asof_matches_batch_and_is_stateless(spark, tmp_path):
     ]
     for i in range(3):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for rec in rows[i * 20 : (i + 1) * 20]:
                 f.write(json.dumps(rec) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     stream = (
         spark.readStream.schema("event_id long, user_id long, ms long")

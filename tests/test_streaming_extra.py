@@ -9,6 +9,7 @@ import os
 import time
 
 from pyspark.sql import functions as F
+from tests.conftest import hidden_tmp
 
 HOUR_MS = 3_600_000
 
@@ -22,10 +23,10 @@ def test_tumbling_watermark_drops_late_data(spark, tmp_path):
 
     def write_file(name: str, rows: list[dict]) -> None:
         path = os.path.join(src_dir, name)
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)  # atomic appearance
+        os.rename(hidden_tmp(path), path)  # atomic appearance
 
     stream = (
         spark.readStream.schema("user_id long, ms long, cents long")
@@ -79,10 +80,10 @@ def test_streaming_exact_dedup_with_watermark(spark, tmp_path):
 
     def write_file(name, rows):
         p = os.path.join(src_dir, name)
-        with open(p + ".tmp", "w") as f:
+        with open(hidden_tmp(p), "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
-        os.rename(p + ".tmp", p)
+        os.rename(hidden_tmp(p), p)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ms long")

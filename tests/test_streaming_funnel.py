@@ -8,6 +8,7 @@ import json
 import os
 
 from streaminglens_spark.streaming.anomaly import stream_funnel
+from tests.conftest import hidden_tmp
 
 MIN = 60_000
 
@@ -32,10 +33,10 @@ def test_stream_funnel_matches_batch_counts(spark, tmp_path):
     per = (len(rows) + 2) // 3
     for part in range(3):
         path = os.path.join(src, f"f{part}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for u, t, ms in rows[part * per : (part + 1) * per]:
                 f.write(json.dumps({"user_id": u, "event_type": t, "ms": ms}) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     out = stream_funnel(
         spark.readStream.schema("user_id long, event_type string, ms long")

@@ -15,6 +15,7 @@ from streaminglens_spark.streaming.ingest import (
     corpus_ingest_monitor,
     restore_ingest_state,
 )
+from tests.conftest import hidden_tmp
 
 SCHEMA = "doc_id long, text string, source string"
 ACCEPT_ALL = -10**9
@@ -58,10 +59,10 @@ def _drive(spark, src, files, state_path, budgets=None, checkpoint=None,
     try:
         for name, recs in files:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()

@@ -18,6 +18,7 @@ from streaminglens_spark.functions.kll import (
     kll_sketch_shards,
 )
 from tests.test_kll import _rank_error
+from tests.conftest import hidden_tmp
 
 
 def _rows():
@@ -41,10 +42,10 @@ def test_streaming_kll_store_matches_direct_merge(spark, tmp_path):
     os.makedirs(src_dir)
     for part in range(3):
         path = os.path.join(src_dir, f"f{part}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in rows[part::3]:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     schema = "event_id long, event_type string, value double"
 

@@ -13,6 +13,7 @@ from streaminglens_spark.streaming.lines import (
     LINES_GAUGE_SOURCE,
     line_dedup_monitor,
 )
+from tests.conftest import hidden_tmp
 
 SCHEMA = "doc_id long, text string"
 
@@ -41,10 +42,10 @@ def _drive(spark, src, files, state_path, checkpoint=None, sink_log=None):
     try:
         for name, recs in files:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()
@@ -154,10 +155,10 @@ def test_stream_lines_compaction(spark, tmp_path):
     try:
         for name, recs in BATCHES:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(_json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()

@@ -16,7 +16,7 @@ from streaminglens_spark.streaming.loader import (
     loader_ingest_monitor,
     restore_loader_state,
 )
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 SCHEMA = "doc_id long, text string, source string"
 ACCEPT_ALL = -10**9
@@ -65,10 +65,10 @@ def _drive(spark, src, files, state_path, budgets=None, checkpoint=None,
     try:
         for name, recs in files:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()
@@ -350,10 +350,10 @@ def test_loader_mixture_mode(spark, tmp_path):
     try:
         for name, recs in [("b1.json", b1), ("b2.json", b2)]:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()
@@ -469,12 +469,12 @@ def test_loader_dsir_gate_parity_and_replay(spark, tmp_path):
     try:
         for i in range(3):
             path = os.path.join(src, f"f{i}.json")
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in sample[i * 20 : (i + 1) * 20]:
                     f.write(json.dumps(
                         {"doc_id": r["doc_id"], "text": r["text"],
                          "source": r["source"]}) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()

@@ -17,7 +17,7 @@ from streaminglens_spark.operators.windows import _ev, session_agg
 from streaminglens_spark.sources.loaders import load_table
 from streaminglens_spark.streaming.enrich import stream_interval_join
 from streaminglens_spark.streaming.sessions import stream_session_agg
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 N_USERS = 8  # user_id < 8 keeps the stream small but multi-session
 SENTINEL_USER = -1
@@ -30,10 +30,10 @@ def _write_json_files(tmp_path, name, files):
     os.makedirs(src)
     for i, rows in enumerate(files):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
     return src
 
 

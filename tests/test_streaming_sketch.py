@@ -13,6 +13,7 @@ import os
 from pyspark.sql import functions as F
 
 from streaminglens_spark.functions.sketch import hll_distinct, hll_distinct_windowed
+from tests.conftest import hidden_tmp
 
 HOUR_MS = 3_600_000
 
@@ -36,10 +37,10 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     # across files so the register state genuinely merges across batches
     for part in range(3):
         path = os.path.join(src_dir, f"f{part}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in rows[part::3]:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     schema = "ms long, event_type string, user_id long"
     prep = lambda df: df.withColumn("ets", F.timestamp_millis(F.col("ms")))  # noqa: E731
@@ -113,10 +114,10 @@ def test_streaming_hdr_windowed_equals_batch(spark, tmp_path):
     os.makedirs(src_dir)
     for part in range(3):
         path = os.path.join(src_dir, f"f{part}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for r in rows[part::3]:
                 f.write(json.dumps(r) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
 
     schema = "ms long, event_type string, value double"
     prep = lambda df: df.withColumn("ets", F.timestamp_millis(F.col("ms")))  # noqa: E731

@@ -18,6 +18,7 @@ from streaminglens_spark.streaming.split import (
     assign_splits_of_batch,
     split_assignment_monitor,
 )
+from tests.conftest import hidden_tmp
 
 SCHEMA = "doc_id long, text string"
 
@@ -60,10 +61,10 @@ def _drive(spark, src, files, state_path, checkpoint=None, sink_log=None):
     try:
         for name, recs in files:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()
@@ -227,10 +228,10 @@ def test_split_compaction(spark, tmp_path):
         for name, recs in [("b1.json", b1), ("b2.json", b2),
                            ("b3.json", b3)]:
             path = os.path.join(src, name)
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in recs:
                     f.write(json.dumps(r) + "\n")
-            os.rename(path + ".tmp", path)
+            os.rename(hidden_tmp(path), path)
             q.processAllAvailable()
     finally:
         q.stop()

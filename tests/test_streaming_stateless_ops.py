@@ -13,7 +13,7 @@ import os
 
 from streaminglens_spark.functions.sampling import hash_sample
 from streaminglens_spark.functions.text import chunk_documents, quality_classifier
-from tests.conftest import SF_DIR
+from tests.conftest import hidden_tmp, SF_DIR
 
 
 def _doc_stream(spark, tmp_path, rows, files=2):
@@ -22,10 +22,10 @@ def _doc_stream(spark, tmp_path, rows, files=2):
     per = (len(rows) + files - 1) // files
     for i in range(files):
         path = os.path.join(src, f"f{i}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(hidden_tmp(path), "w") as f:
             for doc_id, text in rows[i * per : (i + 1) * per]:
                 f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
-        os.rename(path + ".tmp", path)
+        os.rename(hidden_tmp(path), path)
     return (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -110,10 +110,10 @@ def test_pq_encode_streams_bit_equal(spark, tmp_path):
         _os.makedirs(src)
         for i in range(2):
             path = _os.path.join(src, f"f{i}.json")
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in rows[i * 40 : (i + 1) * 40]:
                     f.write(_json.dumps(r) + "\n")
-            _os.rename(path + ".tmp", path)
+            _os.rename(hidden_tmp(path), path)
         stream = (
             spark.readStream.schema("vec_id long, embedding array<double>")
             .option("maxFilesPerTrigger", "1")
@@ -171,10 +171,10 @@ def test_dedup_increment_streams_per_batch(spark, tmp_path):
         _os.makedirs(src)
         for i in range(2):
             path = _os.path.join(src, f"f{i}.json")
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in new_rows[i * 8 : (i + 1) * 8]:
                     f.write(_json.dumps(r) + "\n")
-            _os.rename(path + ".tmp", path)
+            _os.rename(hidden_tmp(path), path)
 
         want = {
             tuple(r)
@@ -326,10 +326,10 @@ def test_ann_assign_fold_streams_bit_equal(spark, tmp_path):
         _os.makedirs(src)
         for i in range(2):
             path = _os.path.join(src, f"f{i}.json")
-            with open(path + ".tmp", "w") as f:
+            with open(hidden_tmp(path), "w") as f:
                 for r in rows[i * 30 : (i + 1) * 30]:
                     f.write(_json.dumps(r) + "\n")
-            _os.rename(path + ".tmp", path)
+            _os.rename(hidden_tmp(path), path)
         stream = (
             spark.readStream.schema("vec_id long, embedding array<double>")
             .option("maxFilesPerTrigger", "1")
