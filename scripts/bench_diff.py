@@ -54,6 +54,15 @@ def main() -> int:
         action="store_true",
         help="compare even when the effective-core calibrations diverge",
     )
+    ap.add_argument(
+        "--normalize-cores",
+        action="store_true",
+        help="ADVISORY cross-epoch view: scale the old side by "
+        "ec_old/ec_new before diffing (core-seconds, not wall).  Never "
+        "gates -- a normalized 'regression' is a hint to re-measure "
+        "within one epoch, not evidence of plan drift (per-query "
+        "parallelism varies, so the scaling is approximate).",
+    )
     args = ap.parse_args()
 
     old_path = args.old
@@ -71,28 +80,56 @@ def main() -> int:
     # two passes are plan-comparable only when their parallel-throughput
     # calibrations agree within 20%.
     ec_new, ec_old = effective_cores(new), effective_cores(old)
-    if ec_new is not None and ec_old is not None:
+    scale = 1.0
+    if args.normalize_cores:
+        if ec_new is None or ec_old is None or not ec_new:
+            print("# --normalize-cores needs effective_cores on both sides")
+            return 2
+        scale = ec_old / ec_new
+        print(
+            f"# ADVISORY core-normalized view: old side scaled x{scale:.3f} "
+            f"(ec {ec_old} -> {ec_new}); findings here are hints to "
+            "re-measure within one epoch, never gate-able evidence"
+        )
+    if ec_new is not None and ec_old is not None and not args.normalize_cores:
         ratio = ec_new / ec_old if ec_old else 0.0
         if not 0.8 <= ratio <= 1.25:
             print(
                 f"# NOT COMPARABLE: effective_cores {ec_old} -> {ec_new} "
                 f"(ratio {ratio:.2f} outside [0.8, 1.25]) -- the delta is "
                 "ENVIRONMENTAL; re-run on a box with matching parallel "
-                "throughput, or pass --force to diff anyway"
+                "throughput, pass --force to diff anyway, or "
+                "--normalize-cores for an advisory cross-epoch view"
             )
             if not args.force:
                 return 2
-    elif ec_new is None or ec_old is None:
+    elif (ec_new is None) != (ec_old is None):
+        # r14: one side carries throughput evidence and the other does
+        # not (a pre-r13 artifact) -- proceeding would silently diff
+        # across an unverifiable environment change (found live: the
+        # epoch-1 blessed pass vs any epoch-2 artifact naively shows
+        # +150% "regressions").  Missing evidence is not comparability.
         print(
-            "# note: effective_cores missing on "
-            + ("both sides" if ec_new is None and ec_old is None
-               else "one side")
-            + " -- comparability unverified (pre-r13 artifact?)"
+            "# NOT COMPARABLE: effective_cores present on one side only "
+            "-- the other is a pre-calibration artifact; re-bless it or "
+            "pass --force to diff anyway"
+        )
+        if not args.force:
+            return 2
+    elif ec_new is None and ec_old is None:
+        print(
+            "# note: effective_cores missing on both sides -- "
+            "comparability unverified (pre-r13 artifacts)"
         )
     nq, oq = new["queries"], old["queries"]
+    if scale != 1.0:
+        oq = {k: v * scale for k, v in oq.items()}
     regressions = []
+    old_total = old.get("value")
+    if scale != 1.0 and isinstance(old_total, (int, float)):
+        old_total = round(old_total * scale, 3)
     print(f"# diff vs {os.path.basename(old_path)} "
-          f"(old total {old.get('value')}s -> new total {new.get('value')}s)")
+          f"(old total {old_total}s -> new total {new.get('value')}s)")
     for name in nq:
         if name not in oq:
             print(f"  {name:24s} NEW       {nq[name]:7.3f}s")
@@ -101,7 +138,8 @@ def main() -> int:
         delta = (n - o) / o if o else 0.0
         marker = ""
         if delta > args.threshold and (n - o) > args.abs_floor:
-            marker = "  << REGRESSION"
+            marker = ("  << drift? (advisory)" if args.normalize_cores
+                      else "  << REGRESSION")
             regressions.append((name, o, n, delta))
         elif delta < -args.threshold:
             marker = "  (improved)"
@@ -110,6 +148,13 @@ def main() -> int:
         if name not in nq:
             print(f"  {name:24s} REMOVED")
     if regressions:
+        if args.normalize_cores:
+            print(f"\n{len(regressions)} normalized drift hint(s) past "
+                  f"{args.threshold:.0%}+{args.abs_floor}s -- advisory "
+                  "only; re-measure within one epoch before concluding:")
+            for name, o, n, d in regressions:
+                print(f"  {name}: {o:.3f}s* -> {n:.3f}s ({d:+.1%})")
+            return 0
         print(f"\n{len(regressions)} regression(s) past "
               f"{args.threshold:.0%}+{args.abs_floor}s -- explain in PERF.md "
               "or fix before committing:")
