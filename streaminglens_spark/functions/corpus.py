@@ -331,8 +331,12 @@ def ingest_full(
     dense rank over the TRAIN side only.  The admitted spine is the
     lineage-cut seam (see ``_ingest_admitted``); the (admitted x split)
     join result is consumed twice (train-order input + final projection)
-    so it rides one track() persist."""
-    from ..cache import track
+    so it rides one lineage CUT (r14: this seam was a plain track()
+    persist, which leaves the full funnel x split logical subtree in
+    BOTH consumers' plans -- the measured explain was 396 KB / 507
+    join+exchange nodes vs ~9 KB for the packed sibling whose seam is
+    the checkpoint cut, and Catalyst re-plans that tree on every
+    action; same fix as the admitted spine, results identical)."""
     from .dedup import leakage_safe_split
     from .sampling import corpus_shuffle
 
@@ -340,11 +344,9 @@ def ingest_full(
     split = leakage_safe_split(
         split_corpus if split_corpus is not None else documents, val_frac
     )
-    joined = track(
-        admitted.select("doc_id").join(
-            split.select("doc_id", "cluster_id", "split"), "doc_id"
-        )
-    )
+    joined = admitted.select("doc_id").join(
+        split.select("doc_id", "cluster_id", "split"), "doc_id"
+    ).localCheckpoint(eager=False)
     order = corpus_shuffle(
         joined.filter(F.col("split") == "train").select("doc_id"),
         n_shards=n_shards,

@@ -87,6 +87,29 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_hash_batch(texts):
+    """Numpy core of the shingle/MinHash UDFs: one concatenated byte
+    buffer for the whole Arrow batch -- the rolling polynomial is
+    evaluated batch-wide with 5 strided multiply-adds -- then sliced per
+    document.  Yields (start, length) per doc plus the batch-wide shingle
+    hash array; both UDF variants share it so their values cannot
+    diverge."""
+    import numpy as np
+
+    P = np.array([31 ** 4, 31 ** 3, 31 ** 2, 31, 1], dtype=np.int64)
+    encoded = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    hall = (
+        sum(P[k] * buf[k : len(buf) - SHINGLE_K + 1 + k] for k in range(SHINGLE_K))
+        if len(buf) >= SHINGLE_K
+        else np.empty(0, dtype=np.int64)
+    )
+    return starts, lens, hall
+
+
 def _shingle_minhash_udf():
     """Arrow-vectorized shingling + MinHash: numpy rolling polynomial hash
     of all 5-char shingles plus the 16 MinHash values, one pass per doc.
@@ -103,23 +126,10 @@ def _shingle_minhash_udf():
 
     A = np.array(MINHASH_A, dtype=np.int64)
     B = np.array(MINHASH_B, dtype=np.int64)
-    P = np.array([31 ** 4, 31 ** 3, 31 ** 2, 31, 1], dtype=np.int64)
 
     @pandas_udf("struct<sh: array<long>, mh: array<long>>")
     def shingle_minhash(texts: pd.Series) -> pd.DataFrame:
-        # one concatenated byte buffer for the whole Arrow batch: the
-        # polynomial is evaluated batch-wide with 5 strided multiply-adds,
-        # then sliced per document
-        encoded = [t.encode("utf-8") for t in texts]
-        lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
-        buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
-        ends = np.cumsum(lens)
-        starts = ends - lens
-        hall = (
-            sum(P[k] * buf[k : len(buf) - SHINGLE_K + 1 + k] for k in range(SHINGLE_K))
-            if len(buf) >= SHINGLE_K
-            else np.empty(0, dtype=np.int64)
-        )
+        starts, lens, hall = _shingle_hash_batch(texts)
         shs, mhs = [], []
         for s, n in zip(starts, lens):
             if n < SHINGLE_K:
@@ -133,6 +143,40 @@ def _shingle_minhash_udf():
         return pd.DataFrame({"sh": shs, "mh": mhs})
 
     return shingle_minhash
+
+
+def _minhash_only_udf():
+    """The signature half of ``_shingle_minhash_udf``: same numpy core,
+    same bit-exact MinHash values, but WITHOUT materializing or shipping
+    the per-doc shingle set across the Arrow boundary.  For consumers
+    that never verify exact Jaccard (the banding advisor's agreement
+    histogram) the shingle arrays are pure transport waste -- they
+    dominate the UDF's Arrow payload (every unique 5-gram vs 16 longs).
+    min over duplicates equals min over uniques, so the np.unique pass
+    is skipped too."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array(MINHASH_A, dtype=np.int64)
+    B = np.array(MINHASH_B, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        starts, lens, hall = _shingle_hash_batch(texts)
+        mhs = []
+        for s, n in zip(starts, lens):
+            if n < SHINGLE_K:
+                mhs.append([])
+                continue
+            h = hall[s : s + n - SHINGLE_K + 1]
+            mhs.append(
+                ((h[:, None] * A[None, :] + B[None, :]) % HASH_MOD)
+                .min(axis=0)
+                .tolist()
+            )
+        return pd.Series(mhs)
+
+    return minhash_sig
 
 
 def doc_shingles(corpus: DataFrame) -> DataFrame:
@@ -658,7 +702,17 @@ def dedup_clusters(
     # round's result and restarts the lineage (the iterative-DataFrame
     # idiom; k-means avoids it only because its per-round state is the
     # tiny collected centroid list).
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    # LAZY checkpoint + one action per round (r14, guide §1.2/§5): the
+    # former eager localCheckpoint ran its own job and the convergence
+    # sum ran a second one -- 2 jobs per round of pure scheduling
+    # overhead on a tiny label table.  The lazy form marks the RDD for
+    # local checkpointing and the sum action both MATERIALIZES the
+    # blocks and reads the convergence signal in a single job; later
+    # rounds read the pinned blocks exactly as before.  Labels are
+    # bit-identical (same plan, same fixed point).
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=False
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     label_rounds = 0
     converged = False
@@ -682,7 +736,7 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         label_rounds += 1
         new_sum = labels.agg(F.sum("label")).first()[0]
@@ -784,13 +838,16 @@ def _star_contract(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
             .distinct()
         )
 
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     prev_sig = None
     rounds = 0
     for _ in range(max_iters):
         # localCheckpoint per round: same lineage-truncation requirement as
-        # dedup_clusters' loop (the edge set is read twice per pass)
-        edges = small_star(large_star(edges)).localCheckpoint()
+        # dedup_clusters' loop (the edge set is read twice per pass).
+        # Lazy (r14): the signature action below both materializes the
+        # checkpointed blocks and reads the convergence signal -- one job
+        # per round instead of two (same rationale as dedup_clusters).
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         sig = tuple(
             edges.agg(
                 F.count(F.lit(1)), F.sum("u"), F.sum("v")
@@ -1272,16 +1329,45 @@ def lsh_parameter_advisor(
         )
         .drop("_n")
     )
-    sh = doc_shingles(sample).select("doc_id", "mh")
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mh_b"))
-    # bounded quadratic over the SAMPLE only (m(m-1)/2 pairs by budget)
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    n_eq = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    # r14 optimization (guide §2.3/§4.1): the pair histogram used to run
+    # an interpreted zip_with/aggregate fold over a crossJoin streamed at
+    # SCAN parallelism (1-2 partitions locally) with the full struct<sh,
+    # mh> UDF output shipped across Arrow -- measured 88 s at sf1 for the
+    # 12.5M-pair default budget.  Three result-identical changes: (1) the
+    # mh-only UDF variant keeps the shingle sets out of the Arrow payload;
+    # (2) the signature table is track()-persisted at default parallelism
+    # (one UDF pass instead of one per join side, and the nested-loop
+    # stream side runs on every core); (3) n_eq is an unrolled sum of 16
+    # scalar equality casts over pre-exploded columns -- whole-stage
+    # codegen instead of per-pair array allocation + interpreted lambdas.
+    from ..cache import track
+
+    sigs = track(
+        sample.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _minhash_only_udf()(F.col("text")).alias("mh"))
+        .filter(F.size("mh") > 0)
+        .select(
+            "doc_id",
+            *[
+                F.element_at(F.col("mh"), k + 1).alias(f"m{k}")
+                for k in range(n_h)
+            ],
+        )
     )
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{k}").alias(f"a{k}") for k in range(n_h)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{k}").alias(f"b{k}") for k in range(n_h)],
+    )
+    # bounded quadratic over the SAMPLE only (m(m-1)/2 pairs by budget);
+    # the slim 17-column build side is explicitly broadcast
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    n_eq = F.lit(0).cast("long")
+    for k in range(n_h):
+        n_eq = n_eq + (F.col(f"a{k}") == F.col(f"b{k}")).cast("long")
     hist = pairs.select(n_eq.alias("n_eq")).groupBy("n_eq").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
