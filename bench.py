@@ -29,6 +29,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from streaminglens_spark import registry  # noqa: E402
+from streaminglens_spark.cache import release_caches  # noqa: E402
 from streaminglens_spark.session import get_spark  # noqa: E402
 
 # The original 18-query suite, timed since r3 -- kept intact (and
@@ -206,7 +207,15 @@ def run_suite(
                 # queries that persist internally (minhash base signatures)
                 # must not serve run 2 from run 1's cache: CacheManager
                 # matches canonicalized plans across separately-built
-                # DataFrames
+                # DataFrames.  release_caches() additionally DROPS the
+                # Python-side references to every tracked frame (r14,
+                # guide §5 "the driver"): without it the _PERSISTED list
+                # pins each run's full logical-plan tree in the driver JVM
+                # for the rest of the session -- measured as GC thrash
+                # that tripled late-session query times on an 8 GB driver.
+                # Both run BEFORE the timed region; nothing is reused
+                # across runs.
+                release_caches()
                 spark.catalog.clearCache()
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -18,6 +18,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from streaminglens_spark import registry  # noqa: E402
+from streaminglens_spark.cache import release_caches  # noqa: E402
 from streaminglens_spark.session import get_spark  # noqa: E402
 
 
@@ -47,6 +48,7 @@ def main() -> None:
         fn = getattr(registry, name)
         times = []
         for _ in range(runs):
+            release_caches()  # drop tracked plan refs (same as bench.py)
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"time_query:{name}")
             t0 = time.time()

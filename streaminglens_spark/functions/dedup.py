@@ -694,7 +694,18 @@ def dedup_clusters(
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    sym = track(sym)  # reread every round: worth one materialization
+    # reread every round: worth one materialization.  r14 (guide §2.4,
+    # bucketed-join idea): persist HASH-PARTITIONED BY dst -- the
+    # per-round neighbor join's equi-key -- so the edge table (the
+    # loop's largest input) is never re-shuffled: every round only the
+    # small label table moves, the cached side's HashPartitioning
+    # satisfies the join's required distribution as-is.  Same rows,
+    # same joins, same labels.
+    sym = track(
+        sym.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "dst"
+        )
+    )
     # localCheckpoint each iterate: the loop body references `labels` twice
     # (neighbor lookup + left join back), so without lineage truncation the
     # logical plan DOUBLES per round -- exponential tree growth that OOMs

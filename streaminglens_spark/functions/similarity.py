@@ -278,6 +278,7 @@ def kmeans_fit(
     an undersized fitset fails LOUDLY at first action while query
     BUILD still runs zero jobs (the laziness contract).  Out-of-range
     fractions raise ``ValueError`` at build time."""
+    from ..cache import track
     from ..plans.shape import scan_parallel
     from .sampling import hash_sample
 
@@ -348,6 +349,20 @@ def kmeans_fit(
             .select("cell", F.transform("p", lambda s: s["c"]).alias("cv"))
             .withColumn("cnrm", _norm(F.col("cv")))
         )
+        # r14: tracked LAZY persist per iteration.  Without it, iteration
+        # i's logical plan nests every earlier iteration's full subtree:
+        # the final 5-iteration plan measured 205 KB / 206 Exchange nodes
+        # and q_shared_fit spent HALF its wall in the driver (21.1 s wall
+        # vs 11.4 s summed stages, no stage over 1.25 s) -- Catalyst +
+        # AQE re-planning the nested tree once per query stage.  Cache
+        # substitution replaces each iterate's subtree with a k-row
+        # InMemoryRelation in every consumer, so the optimizer/AQE only
+        # ever see ONE iteration's tree.  persist() is lazy (unlike
+        # localCheckpoint(eager=False), whose AQE stage materialization
+        # runs jobs at build), so the zero-build-time-jobs contract
+        # (tests/test_plans.py) holds; the centroid VALUES are
+        # bit-identical (same plan below the cache).
+        cents = track(cents)
         # empty cells simply drop out (standard Lloyd behavior); k shrinks
     return cents
 
