@@ -142,7 +142,14 @@ def _shingle_minhash_udf():
             mhs.append(mh.tolist())
         return pd.DataFrame({"sh": shs, "mh": mhs})
 
-    return shingle_minhash
+    # r14 (guide §4.4): every consumer projects this UDF then filters on
+    # its output (size(sh) > 0); Catalyst pushes such a filter below the
+    # projection by COPYING the evaluation -- the plan showed two
+    # ArrowEvalPython nodes per consumer and every document paid the
+    # shingle/MinHash pass twice.  The function is pure; the marker only
+    # forbids the optimizer to duplicate or reorder it, which yields the
+    # single-evaluation plan.  Values are unchanged.
+    return shingle_minhash.asNondeterministic()
 
 
 def _minhash_only_udf():
@@ -176,7 +183,9 @@ def _minhash_only_udf():
             )
         return pd.Series(mhs)
 
-    return minhash_sig
+    # same §4.4 single-evaluation marker as _shingle_minhash_udf: the
+    # advisor filters on size(mh) > 0 right above this projection
+    return minhash_sig.asNondeterministic()
 
 
 def doc_shingles(corpus: DataFrame) -> DataFrame:
@@ -444,7 +453,11 @@ def _jaccard_udf():
             out[i] = inter / (len(x) + len(y) - inter)
         return pd.Series(np.round(out, 6))
 
-    return jac
+    # §4.4 single-evaluation marker: the verify stage filters on
+    # jaccard >= threshold directly above this projection, and the
+    # pushed-down copy made every surviving candidate pay the
+    # intersect1d pass twice (two ArrowEvalPython nodes in the plan)
+    return jac.asNondeterministic()
 
 
 def simhash_pairs(

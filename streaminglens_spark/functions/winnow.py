@@ -52,63 +52,56 @@ def _let(value: F.Column, body) -> F.Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def _winnowed_expr(g: F.Column, w: int) -> F.Column:
+    """struct(n_grams, mins) of a positional gram-hash array: the sorted
+    distinct window minima (the winnowing sketch).  Defined once so the
+    direct (``_minimizer_sets``) and gram-table (``_minimizers_of``)
+    paths cannot diverge."""
+    ng = F.size(g)
+    windowed = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ng - (w - 1)),
+                lambda j: F.array_min(F.slice(g, j, w)),
+            )
+        )
+    )
+    mins = (
+        F.when(ng >= w, windowed)
+        .when(ng >= 1, F.array(F.array_min(g)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return F.struct(ng.cast("long").alias("n_grams"), mins.alias("mins"))
+
+
+def _minimizers_of(
+    gram_arrays: DataFrame, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, n_grams, mins) from a ``_gram_arrays`` table.  The gram
+    column is let-bound so that when the input is an UNCACHED expression
+    chain (the ``_minimizer_sets`` composition) projection collapsing
+    still evaluates it once per row, not once per window reference."""
+    res = _let(F.col("gs"), lambda g: _winnowed_expr(g, w))
+    return gram_arrays.select("doc_id", res.alias("wn")).select(
+        "doc_id",
+        F.col("wn.n_grams").alias("n_grams"),
+        F.col("wn.mins").alias("mins"),
+    )
+
+
 def _minimizer_sets(
     documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> DataFrame:
     """(doc_id, n_grams, mins ARRAY<LONG> sorted distinct minimizers).
     Docs shorter than ``k`` tokens have n_grams = 0 and an empty set;
-    docs with 1..w-1 grams use the whole doc as one window."""
+    docs with 1..w-1 grams use the whole doc as one window.
 
-    def grams_of(toks: F.Column) -> F.Column:
-        n = F.size(toks)
-
-        def gram(i):
-            parts = [F.element_at(toks, i + j) for j in range(k)]
-            return char_fold_hash(F.concat_ws(" ", *parts))
-
-        return F.when(
-            n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
-        ).otherwise(F.array().cast("array<bigint>"))
-
-    def winnowed(g: F.Column) -> F.Column:
-        ng = F.size(g)
-        windowed = F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), ng - (w - 1)),
-                    lambda j: F.array_min(F.slice(g, j, w)),
-                )
-            )
-        )
-        mins = (
-            F.when(ng >= w, windowed)
-            .when(ng >= 1, F.array(F.array_min(g)))
-            .otherwise(F.array().cast("array<bigint>"))
-        )
-        return F.struct(
-            ng.cast("long").alias("n_grams"), mins.alias("mins")
-        )
-
-    # both the token array and the gram array are let-bound: each is
-    # evaluated once per row no matter how many windows reference it.
-    # r7: the gram-hash + window-min chain is CPU-dense and fused into
-    # the scan stage -- run it at full parallelism (no-op on real
-    # multi-split scans)
-    from ..plans.shape import scan_parallel
-
-    res = _let(
-        F.split(F.col("text"), " "),
-        lambda toks: _let(grams_of(toks), winnowed),
-    )
-    return (
-        scan_parallel(documents.select("doc_id", "text"))
-        .select("doc_id", res.alias("wn"))
-        .select(
-            "doc_id",
-            F.col("wn.n_grams").alias("n_grams"),
-            F.col("wn.mins").alias("mins"),
-        )
-    )
+    Both the token array and the gram array are let-bound: each is
+    evaluated once per row no matter how many windows reference it.
+    r7: the gram-hash + window-min chain is CPU-dense and fused into
+    the scan stage -- run it at full parallelism (no-op on real
+    multi-split scans)."""
+    return _minimizers_of(_gram_arrays(documents, k), w)
 
 
 def winnow_fingerprints(
@@ -160,13 +153,22 @@ def winnow_pairs(
     goes that hot only when 2048+ documents share a passage -- a
     template class, which the exact-dedup keeper path (md5 classes)
     handles before span analysis in the composed pipelines."""
+    return _winnow_pairs_from(
+        _minimizer_sets(documents, k, w), min_shared, bucket_cap
+    )
+
+
+def _winnow_pairs_from(
+    msets: DataFrame, min_shared: int, bucket_cap: int | None
+) -> DataFrame:
+    """``winnow_pairs``' join body over a precomputed minimizer table --
+    shared with ``_span_runs`` so its candidates can ride the cached
+    gram-array seam instead of re-hashing the corpus."""
     from .lsh import DUP_BUCKET_CAP, cap_band_buckets
 
     if bucket_cap is None:
         bucket_cap = DUP_BUCKET_CAP
-    m = _minimizer_sets(documents, k, w).select(
-        "doc_id", F.explode("mins").alias("mz")
-    )
+    m = msets.select("doc_id", F.explode("mins").alias("mz"))
     m = cap_band_buckets(m, bucket_cap, val_col="mz", band_col=None)
     a = m.select(F.col("mz"), F.col("doc_id").alias("doc_a"))
     b = m.select(F.col("mz"), F.col("doc_id").alias("doc_b"))
@@ -179,12 +181,14 @@ def winnow_pairs(
     )
 
 
-def positional_grams(
-    documents: DataFrame, k: int = WINNOW_K
-) -> DataFrame:
-    """(doc_id, pos, g): every token-k-gram hash with its 1-based start
-    position -- the positional complement of ``_minimizer_sets`` (which
-    keeps only window minima).  Map-only: gram array + posexplode."""
+def _gram_arrays(documents: DataFrame, k: int = WINNOW_K) -> DataFrame:
+    """(doc_id, gs ARRAY<LONG>): every token-k-gram hash in positional
+    order -- the single CPU-dense hashing pass that ``positional_grams``
+    explodes and ``_minimizer_sets``' window minima fold over.  Factored
+    out (r14, guide §2.3/§1.2) so a consumer that needs the grams more
+    than once (``_span_runs``: both join sides AND the candidate
+    minimizers) can hash once behind one ``track()`` seam instead of
+    re-evaluating the per-character fold per reference."""
 
     def grams_of(toks: F.Column) -> F.Column:
         n = F.size(toks)
@@ -200,12 +204,26 @@ def positional_grams(
     from ..plans.shape import scan_parallel
 
     arr = _let(F.split(F.col("text"), " "), grams_of)
+    return scan_parallel(documents.select("doc_id", "text")).select(
+        "doc_id", arr.alias("gs")
+    )
+
+
+def _explode_grams(gram_arrays: DataFrame) -> DataFrame:
+    """(doc_id, pos, g) from a ``_gram_arrays`` table -- map-only."""
     return (
-        scan_parallel(documents.select("doc_id", "text"))
-        .select("doc_id", arr.alias("gs"))
-        .select("doc_id", F.posexplode("gs").alias("p0", "g"))
+        gram_arrays.select("doc_id", F.posexplode("gs").alias("p0", "g"))
         .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
     )
+
+
+def positional_grams(
+    documents: DataFrame, k: int = WINNOW_K
+) -> DataFrame:
+    """(doc_id, pos, g): every token-k-gram hash with its 1-based start
+    position -- the positional complement of ``_minimizer_sets`` (which
+    keeps only window minima).  Map-only: gram array + posexplode."""
+    return _explode_grams(_gram_arrays(documents, k))
 
 
 def shared_spans(
@@ -273,8 +291,20 @@ def _span_runs(
     ``duplicated_passages``: (doc_a, doc_b, diag, grp, pa, g) -- one row
     per matching gram occurrence, ``grp`` the gaps-and-islands id of its
     maximal run on the (pair, diagonal)."""
-    cand = winnow_pairs(documents, k, w, min_shared).select("doc_a", "doc_b")
-    grams = positional_grams(documents, k)
+    # ONE gram-hashing pass behind a tracked seam (r14, guide §1.2/§2.3):
+    # the former shape evaluated the per-character k-gram fold THREE
+    # times per action -- once inside winnow_pairs' minimizer sets and
+    # once per positional join side.  The per-doc gram ARRAY (compact:
+    # one long per gram, about the text's own size) is persisted; the
+    # candidate minimizers fold over it and both join sides explode it.
+    # Values are bit-identical: same fold, same winnowing, same joins.
+    from ..cache import track
+
+    garr = track(_gram_arrays(documents, k))
+    cand = _winnow_pairs_from(_minimizers_of(garr, w), min_shared, None).select(
+        "doc_a", "doc_b"
+    )
+    grams = _explode_grams(garr)
     ga = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
     )
