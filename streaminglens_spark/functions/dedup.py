@@ -621,8 +621,14 @@ def simhash64(documents: DataFrame) -> DataFrame:
     (doc_id, simhash)."""
     from .sketch import HASH_A, HASH_B, HASH_P
     from .text import char_fold_hash
+    from ..plans.shape import scan_parallel
 
-    toks = documents.select(
+    # r14 (guide §2.5 input skew / the repo's classifier-hash rule): the
+    # per-token char fold is CPU-dense and fuses into the map side of
+    # the signature groupBy, which runs at SCAN parallelism -- measured
+    # as ONE 8-task stage owning 5.6 of q_simhash_pairs' 13 s at sf1
+    # while 24 cores idled.  No-op on real multi-split scans.
+    toks = scan_parallel(documents.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     hashed = toks.select(
