@@ -65,13 +65,22 @@ def corpus_pipeline(
 
     from .text import QC_THRESHOLD_MILLI, qc_score_expr
 
+    from ..cache import track
     from ..plans.shape import scan_parallel
 
     # r7: the normalize+redact regex chain is CPU-dense and fused into the
     # scan stage -- run it at full parallelism, not single-split scan
     # parallelism (no-op on a real multi-split scan)
-    cleaned_input = scan_parallel(documents.select("doc_id", "text")).select(
-        "doc_id", redact_expr(normalize_expr(F.col("text"))).alias("text")
+    # r14: track()-persist the cleaned text -- strip_boilerplate_text
+    # references its input THREE times (the line-explode feeding both the
+    # frequency groupBy and the anti-join probe, plus the n_lines spine),
+    # so without the seam every action ran the regex chain 3x.  Lazy, so
+    # query build still runs zero jobs; values unchanged (same chain, one
+    # evaluation).
+    cleaned_input = track(
+        scan_parallel(documents.select("doc_id", "text")).select(
+            "doc_id", redact_expr(normalize_expr(F.col("text"))).alias("text")
+        )
     )
     stripped = strip_boilerplate_text(cleaned_input, min_doc_frac)
     # ONE projection computes the digest AND the quality score over the
