@@ -18,10 +18,17 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "streaminglens-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Scale-dependent knob (r14): the shuffle-partition DEFAULT is a local
+    # constant that AQE coalesces further; a cluster deployment sets
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS to ~2-3x its total cores (guide §2.6)
+    # -- values are partitioning-independent by design (integer-quantized
+    # order-independent aggregates, total tie-breaks), so the knob cannot
+    # change results, only task granularity.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
