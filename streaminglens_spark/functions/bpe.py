@@ -117,10 +117,7 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     (step, left, right, merged, pair_count) -- the artifact a tokenizer
     ships.  Stops early if no pair occurs at least twice."""
     spark = documents.sparkSession
-    # lazy (r14): round 1's argmax job materializes the word table and
-    # stores its blocks in the same pass -- the dedup_clusters idiom; an
-    # eager checkpoint here ran a separate store-only job first
-    words = _word_table(documents).localCheckpoint(eager=False)
+    words = _word_table(documents).localCheckpoint()
     merges = _train_rounds(words, start_step=0, n_rounds=n_merges)
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_count long"
@@ -135,15 +132,10 @@ def _apply_merge_round(words: DataFrame, a: str, b: str) -> DataFrame:
     once merges become rare symbols; measured 49 -> ~25 s for the 8-round
     sf1 fit)."""
     has_both = F.array_contains("ws", a) & F.array_contains("ws", b)
-    # lazy checkpoint (r14): the NEXT round's pair-count/argmax job runs
-    # the fold, stores the blocks and counts pairs in ONE pass; the
-    # former eager form ran a store-only job per round and the argmax
-    # then re-read the stored table (two jobs + an extra table write/read
-    # per merge round).  Lineage is still cut at first materialization.
     return words.select(
         F.when(has_both, _merge_expr(a, b)).otherwise(F.col("ws")).alias("ws"),
         "cnt",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
 
 
 def _train_rounds(
@@ -191,7 +183,7 @@ def bpe_extend(
 
     Returns only the NEW merges, steps numbered from ``len(merges)``."""
     spark = documents.sparkSession
-    words = _word_table(documents).localCheckpoint(eager=False)
+    words = _word_table(documents).localCheckpoint()
     for a, b in merges:
         words = _apply_merge_round(words, a, b)
     new_merges = _train_rounds(words, start_step=len(merges), n_rounds=n_more)
