@@ -98,6 +98,20 @@ def corpus_pipeline(
         score.alias("score_milli"),
         (score >= QC_THRESHOLD_MILLI).alias("keep_quality"),
     )
+    # r14: pin the keeper window's exchange at cluster width.  The digest
+    # table is small in BYTES, so AQE coalesced the ENSURE_REQUIREMENTS
+    # exchange to ONE partition and the whole corpus's sort + window ran
+    # single-core (profiled: a 1-task stage with ~1.3 s of CPU inside the
+    # funnel build).  An explicit numPartitions repartition on the SAME
+    # key satisfies the window's required clustering (no extra exchange,
+    # pinned by the shuffle-bound test) and is not coalescible; the
+    # keeper is a per-md5-group min, independent of partitioning.
+    spark = documents.sparkSession
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    hashed = hashed.repartition(width, "clean_md5")
     keep_id = F.min("doc_id").over(Window.partitionBy("clean_md5")).cast("long")
     return hashed.withColumn("keep_id", keep_id).select(
         "doc_id",
@@ -187,6 +201,15 @@ def corpus_pipeline_v2(
         score.alias("score_milli"),
         (score >= QC_THRESHOLD_MILLI).alias("keep_quality"),
     )
+    # r14: same keeper-window width pin as v1 (see corpus_pipeline) --
+    # without it AQE coalesces the byte-small digest exchange to one
+    # partition and the corpus-wide sort + window run single-core.
+    spark = documents.sparkSession
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    hashed = hashed.repartition(width, "clean_md5")
     keep_id = F.min("doc_id").over(Window.partitionBy("clean_md5")).cast("long")
     return hashed.withColumn("keep_id", keep_id).select(
         "doc_id",
