@@ -130,22 +130,55 @@ def _apply_merge_round(words: DataFrame, a: str, b: str) -> DataFrame:
     is the IDENTITY on any word without the adjacent pair -- so the gate
     is output-identical while most of the table skips the O(len) rewrite
     once merges become rare symbols; measured 49 -> ~25 s for the 8-round
-    sf1 fit)."""
+    sf1 fit).
+
+    r14: tracked LAZY persist instead of the eager ``localCheckpoint()``.
+    The eager form ran a dedicated materialization job per round ON TOP
+    of the round's argmax job (and one final fold job whose result the
+    loop never reads); with a persist, the NEXT round's argmax action
+    materializes the cache as part of its own scan -- one job per round,
+    and the discarded last-round fold costs nothing.  Unlike the lazy
+    ``localCheckpoint(eager=False)`` route (tried and REVERTED, see
+    OPTIMIZATION_r14.md: AQE never finalizes a lazy checkpoint whose
+    consumer's result stage sits above a shuffle boundary, giving
+    O(rounds^2) re-execution), an ``InMemoryRelation`` materializes
+    block-by-block inside whatever job first scans it -- the same
+    per-iterate pattern ``kmeans_fit`` uses.  The cache is also a
+    CollapseProject barrier, so successive rounds' folds never nest into
+    one 4^k expression tree.  Fold, gate and values are unchanged;
+    ``_train_rounds`` unpersists each superseded round."""
+    from ..cache import track
+
     has_both = F.array_contains("ws", a) & F.array_contains("ws", b)
-    return words.select(
-        F.when(has_both, _merge_expr(a, b)).otherwise(F.col("ws")).alias("ws"),
-        "cnt",
-    ).localCheckpoint()
+    return track(
+        words.select(
+            F.when(has_both, _merge_expr(a, b)).otherwise(F.col("ws")).alias(
+                "ws"
+            ),
+            "cnt",
+        )
+    )
 
 
 def _train_rounds(
     words: DataFrame, start_step: int, n_rounds: int
 ) -> list[tuple[int, str, str, str, int]]:
     """The BPE training loop over an (already checkpointed) word table:
-    per round ONE pair-count shuffle, an O(1)-row TakeOrdered argmax, and
-    the gated merge fold.  Mutates nothing; returns the discovered merge
-    tuples with steps numbered from ``start_step``."""
+    per round ONE job -- the pair-count shuffle + O(1)-row TakeOrdered
+    argmax, whose scan also materializes the previous round's persisted
+    merge fold (see ``_apply_merge_round``).  Mutates nothing; returns
+    the discovered merge tuples with steps numbered from ``start_step``.
+
+    Unpersist bookkeeping: after round i's argmax has materialized
+    ``words``, the table ``words`` was derived FROM is no longer read by
+    any future round -- release its blocks so an 8-round fit holds at
+    most two word-table generations at once (the superseded frame is
+    popped from the ``track()`` registry too, keeping
+    ``release_caches()`` bookkeeping exact)."""
+    from ..cache import _PERSISTED
+
     merges: list[tuple[int, str, str, str, int]] = []
+    prev: DataFrame | None = None
     for step_i in range(start_step, start_step + n_rounds):
         best = (
             _pair_counts(words)
@@ -153,10 +186,20 @@ def _train_rounds(
             .limit(1)
             .collect()
         )
+        # the collect above scanned (and therefore materialized) `words`;
+        # its parent generation can no longer be read by anything
+        if prev is not None:
+            try:
+                prev.unpersist()
+                if prev in _PERSISTED:
+                    _PERSISTED.remove(prev)
+            except Exception:
+                pass
         if not best or best[0]["c"] < 2:
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((step_i, a, b, a + b, c))
+        prev = words
         words = _apply_merge_round(words, a, b)
     return merges
 
