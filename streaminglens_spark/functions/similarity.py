@@ -326,9 +326,18 @@ def kmeans_fit(
     # the per-iteration argmax fold is k x dim multiply-adds per row --
     # CPU-dense, so it must not run at (possibly single-split) scan
     # parallelism; no-op on a real multi-split scan
-    body = scan_parallel(fit)
+    # r14: track()-persist the fit input.  EVERY Lloyd iteration's
+    # re-estimation action re-read the embeddings parquet and re-ran the
+    # double-cast + norm projection (profiled at sf1: four identical
+    # ~1.8 s scan+exchange stages inside one q_shared_fit run -- one per
+    # iteration past the first); the cache scans it once and iterations
+    # 2..n read the in-memory blocks.  Lazy, so the zero-build-time-jobs
+    # contract holds; values unchanged (same plan below the cache).  The
+    # init's k-row orderBy reads the same cached frame instead of a
+    # fifth parquet scan.
+    body = track(scan_parallel(fit))
     cents = (
-        fit.orderBy("vec_id")
+        body.orderBy("vec_id")
         .limit(k)
         .withColumn(
             "cell", F.row_number().over(Window.orderBy("vec_id")) - 1
