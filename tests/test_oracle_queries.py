@@ -40,6 +40,12 @@ def test_query_vs_oracle(spark, duck, name):
     _check(spark, duck, name, SF_DIR)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", NAMES)
 def test_query_vs_oracle_sf001(spark, duck001, name):
+    """The sf0.01 sweep is the slow tier (r15): the sf0.001 sweep above
+    runs every query against the oracle in every pytest invocation; this
+    second scale point (which catches size-dependent bugs) runs in the
+    builder's full gate (SPARK_GRAFT_FULL_TESTS=1) -- the driver-visible
+    fast tier must finish inside the verify window (r14 verdict ask #2)."""
     _check(spark, duck001, name, SF_DIR_001)
