@@ -49,6 +49,23 @@ def adopt(df: DataFrame) -> DataFrame:
     return df
 
 
+def untrack(df: DataFrame) -> None:
+    """Unpersist ``df`` and drop it from the release registry, fail-open
+    (r15, ADVICE r14: iterative loops that supersede tracked generations
+    -- the BPE merge rounds -- were reaching into ``_PERSISTED`` and
+    re-implementing this inline).  A no-op for frames that were never
+    tracked; for ``localCheckpoint``'ed frames the unpersist call does
+    NOT free the checkpoint RDD blocks (those are released by GC /
+    ContextCleaner, same as before) -- callers pass checkpointed parents
+    only for the registry cleanup."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    while df in _PERSISTED:
+        _PERSISTED.remove(df)
+
+
 def release_caches() -> int:
     """Unpersist every tracked intermediate; returns how many were
     released.  Safe to call at any time (idempotent, never raises)."""

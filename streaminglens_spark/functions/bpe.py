@@ -161,7 +161,10 @@ def _apply_merge_round(words: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def _train_rounds(
-    words: DataFrame, start_step: int, n_rounds: int
+    words: DataFrame,
+    start_step: int,
+    n_rounds: int,
+    stale: list[DataFrame] | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """The BPE training loop over an (already checkpointed) word table:
     per round ONE job -- the pair-count shuffle + O(1)-row TakeOrdered
@@ -171,11 +174,18 @@ def _train_rounds(
 
     Unpersist bookkeeping: after round i's argmax has materialized
     ``words``, the table ``words`` was derived FROM is no longer read by
-    any future round -- release its blocks so an 8-round fit holds at
-    most two word-table generations at once (the superseded frame is
-    popped from the ``track()`` registry too, keeping
-    ``release_caches()`` bookkeeping exact)."""
-    from ..cache import _PERSISTED
+    any future round -- release its blocks (``cache.untrack``) so a fit
+    holds at most two word-table generations at once.  For the
+    CHECKPOINTED base generation (bpe_train/bpe_extend's word table) the
+    unpersist is a no-op on the checkpoint blocks -- those are freed by
+    GC/ContextCleaner, same as before (ADVICE r14).
+
+    ``stale`` (r15, ADVICE r14 medium): ``bpe_extend``'s replay chain
+    persists one generation per REPLAYED merge, all of which the first
+    argmax here materializes in cascade; they are superseded the moment
+    that argmax completes, so they are released right after it instead
+    of accumulating k generations until ``release_caches()``."""
+    from ..cache import untrack
 
     merges: list[tuple[int, str, str, str, int]] = []
     prev: DataFrame | None = None
@@ -187,14 +197,13 @@ def _train_rounds(
             .collect()
         )
         # the collect above scanned (and therefore materialized) `words`;
-        # its parent generation can no longer be read by anything
+        # its parent generation(s) can no longer be read by anything
+        if stale:
+            for df in stale:
+                untrack(df)
+            stale = None
         if prev is not None:
-            try:
-                prev.unpersist()
-                if prev in _PERSISTED:
-                    _PERSISTED.remove(prev)
-            except Exception:
-                pass
+            untrack(prev)
         if not best or best[0]["c"] < 2:
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
@@ -227,9 +236,17 @@ def bpe_extend(
     Returns only the NEW merges, steps numbered from ``len(merges)``."""
     spark = documents.sparkSession
     words = _word_table(documents).localCheckpoint()
+    replay: list[DataFrame] = []
     for a, b in merges:
         words = _apply_merge_round(words, a, b)
-    new_merges = _train_rounds(words, start_step=len(merges), n_rounds=n_more)
+        replay.append(words)
+    # every replayed generation but the LAST is superseded as soon as the
+    # first discovery argmax materializes the chain; _train_rounds
+    # releases them then (the last one is `words` itself -- the normal
+    # prev-unpersist bookkeeping covers it)
+    new_merges = _train_rounds(
+        words, start_step=len(merges), n_rounds=n_more, stale=replay[:-1]
+    )
     return spark.createDataFrame(
         new_merges,
         "step long, left string, right string, merged string, pair_count long",

@@ -277,7 +277,16 @@ def kmeans_fit(
     first ``k`` sampled rows, the repo's ``mixture_sample`` idiom -- so
     an undersized fitset fails LOUDLY at first action while query
     BUILD still runs zero jobs (the laziness contract).  Out-of-range
-    fractions raise ``ValueError`` at build time."""
+    fractions raise ``ValueError`` at build time.
+
+    Memory footprint (ADVICE r14): the fit input -- the full
+    (vec_id, double vec, norm) projection on the UNSAMPLED path -- is
+    ``track()``-persisted in MEMORY_AND_DISK for the life of the tracked
+    registry (roughly doubling the corpus's storage footprint at large
+    SF) and is freed only when the caller honors the
+    ``release_caches()`` contract; large-scale callers should pass
+    ``sample_fraction`` so the cached fitset is the sample, not the
+    corpus."""
     from ..cache import track
     from ..plans.shape import scan_parallel
     from .sampling import hash_sample
