@@ -668,12 +668,15 @@ def dedup_clusters(
     Algorithm: iterative min-label propagation over DataFrames -- the
     k-means-shaped driver loop (bounded iterations of pure DataFrame ops,
     no data ever driver-side).  Each round every node takes the minimum
-    label among itself and its neighbors; the loop stops when the global
-    label sum (an O(1) action; labels only ever decrease, so the sum is
-    strictly monotone until the fixed point) stops changing, after at most
-    graph-diameter rounds.  Near-dup clusters are shallow (duplicates of a
-    common original), so the diameter is small and propagation wins on
-    constant factors (one pass per round vs contraction's two).
+    label among itself and its neighbors; the loop stops when a round
+    changes NO label (an O(1) changed-count action fused into the
+    round's own job; labels only ever decrease, so a no-change round IS
+    the fixed point), after at most graph-diameter rounds.  Round 1 is
+    seeded -- with identity labels the neighbor-min is just the minimum
+    neighbor id, one groupBy over the edge table (r15).  Near-dup
+    clusters are shallow (duplicates of a common original), so the
+    diameter is small and propagation wins on constant factors (one pass
+    per round vs contraction's two).
 
     AUTO-HYBRID (r12, r11 verdict ask #5): if propagation has not
     converged after ``switch_after`` rounds (default 4 ~ log2 of the
@@ -698,16 +701,11 @@ def dedup_clusters(
     """
     from ..cache import track
 
-    # materialize the edge set ONCE (r11): both `nodes` and `sym` derive
-    # from it, and without the barrier the entire upstream PAIR-FORMATION
-    # chain (minhash/simhash banding -- ~5 s at sf0.1) re-executes for
-    # each consumer
+    # materialize the edge set ONCE (r11): `sym` (and the hybrid path's
+    # quotient) derive from it, and without the barrier the entire
+    # upstream PAIR-FORMATION chain (minhash/simhash banding -- ~5 s at
+    # sf0.1) re-executes for each consumer
     edges = track(pairs.select("doc_a", "doc_b").distinct())
-    nodes = (
-        edges.select(F.col("doc_a").alias("node"))
-        .unionByName(edges.select(F.col("doc_b").alias("node")))
-        .distinct()
-    )
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -733,20 +731,39 @@ def dedup_clusters(
     # idiom; k-means avoids it only because its per-round state is the
     # tiny collected centroid list).
     # LAZY checkpoint + one action per round (r14, guide §1.2/§5): the
-    # former eager localCheckpoint ran its own job and the convergence
-    # sum ran a second one -- 2 jobs per round of pure scheduling
-    # overhead on a tiny label table.  The lazy form marks the RDD for
-    # local checkpointing and the sum action both MATERIALIZES the
-    # blocks and reads the convergence signal in a single job; later
-    # rounds read the pinned blocks exactly as before.  Labels are
-    # bit-identical (same plan, same fixed point).
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
-        eager=False
+    # action both MATERIALIZES the checkpoint blocks and reads the
+    # convergence signal in a single job.
+    #
+    # r15 (guide §1.2, r14 verdict ask #4 -- fuse the CC bookkeeping into
+    # the propagation jobs):
+    # - ROUND 1 IS SEEDED: with identity labels, a node's neighbor-min is
+    #   simply its minimum neighbor id, so round 1 is ONE groupBy over
+    #   the cached symmetric edge table -- no label join, no separate
+    #   `nodes` union-distinct pass, and no dedicated init job for the
+    #   baseline convergence sum (the old shape paid all three).
+    # - CONVERGENCE IS A PER-ROUND CHANGED-COUNT carried on the
+    #   checkpointed frame itself (labels only ever decrease, so
+    #   "no label decreased this round" IS the fixed point -- the same
+    #   signal the old label-sum comparison read, detected in the round
+    #   that produced it, with no baseline needed).
+    # Labels after every round are bit-identical to the old shape (same
+    # min-propagation, same fixed point); only the bookkeeping moved.
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nmin")).alias("label"),
+            (F.col("_nmin") < F.col("src")).cast("long").alias("_chg"),
+        )
+        .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    label_rounds = 0
-    converged = False
-    for _ in range(min(max_iters, switch_after) if switch_after else max_iters):
+    label_rounds = 1
+    n_changed = labels.agg(F.sum("_chg")).first()[0]
+    # empty edge set => empty labels (sum NULL): already the fixed point
+    converged = not n_changed
+    bound = min(max_iters, switch_after) if switch_after else max_iters
+    while not converged and label_rounds < bound:
         neigh = (
             sym.join(
                 labels.select(
@@ -765,15 +782,16 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_chg"),
             )
             .localCheckpoint(eager=False)
         )
         label_rounds += 1
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
+        n_changed = labels.agg(F.sum("_chg")).first()[0]
+        if not n_changed:
             converged = True
-            break
-        prev_sum = new_sum
     star_rounds = 0
     if not converged and switch_after and label_rounds >= switch_after:
         # hand off to contraction on the LABEL QUOTIENT: connectivity is
