@@ -796,31 +796,42 @@ def image_ahash(media: DataFrame) -> DataFrame:
 
     g = AHASH_GRID
 
+    # bit weights for the two 32-bit halves, built once per task
+    _w_lo = (1 << np.arange(32, dtype=np.int64))
+    _w_hi = (1 << np.arange(32, dtype=np.int64))
+
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, los, his = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, pix = decode_gray_png(bytes(payload))
                 a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
-                micro = []
-                for r in range(g):
-                    y0, y1 = r * h // g, (r + 1) * h // g
-                    for c in range(g):
-                        x0, x1 = c * w // g, (c + 1) * w // g
-                        n = (y1 - y0) * (x1 - x0)
-                        micro.append(
-                            0
-                            if n == 0
-                            else int(a[y0:y1, x0:x1].sum()) * AHASH_MICRO // n
-                        )
-                thresh = sum(micro) // (g * g)
-                lo = hi = 0
-                for k, m in enumerate(micro):
-                    if m > thresh:
-                        if k < 32:
-                            lo |= 1 << k
-                        else:
-                            hi |= 1 << (k - 32)
+                # r15 (guide §4.2): one integral-image pass replaces the
+                # 64 per-block numpy slice-sums (the per-image Python
+                # cost was the slicing overhead, not the adds).  Block
+                # edges, floor means and the threshold are the SAME
+                # integer arithmetic as the loop form -- block sums are
+                # exact int64, `//` on nonnegative int64 is the same
+                # floor division -- so the hash is bit-identical.
+                ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+                np.cumsum(a, axis=0, dtype=np.int64, out=ii[1:, 1:])
+                np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+                ys = np.array([r * h // g for r in range(g + 1)], dtype=np.int64)
+                xs = np.array([c * w // g for c in range(g + 1)], dtype=np.int64)
+                s = (
+                    ii[ys[1:, None], xs[None, 1:]]
+                    - ii[ys[:-1, None], xs[None, 1:]]
+                    - ii[ys[1:, None], xs[None, :-1]]
+                    + ii[ys[:-1, None], xs[None, :-1]]
+                )
+                n = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+                micro = np.where(
+                    n == 0, 0, s * AHASH_MICRO // np.maximum(n, 1)
+                ).ravel()  # row-major == the loop's r-outer/c-inner order
+                thresh = int(micro.sum()) // (g * g)
+                bits = micro > thresh
+                lo = int((_w_lo[bits[:32]]).sum())
+                hi = int((_w_hi[bits[32:]]).sum())
                 ids.append(int(doc_id))
                 ws.append(w)
                 hs.append(h)

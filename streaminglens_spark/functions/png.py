@@ -78,6 +78,20 @@ def decode_gray_png(data: bytes) -> tuple[int, int, bytes]:
     stride = width + 1
     if len(raw) != stride * height:
         raise ValueError("decompressed size mismatch")
+    # r15 fast path (guide §4.2): filter-0-only images -- every PNG this
+    # repo's encoder emits -- need no unfiltering at all, just the
+    # per-scanline filter byte stripped.  One strided numpy copy replaces
+    # the per-row Python loop; any other filter type falls through to the
+    # spec-complete path below.  numpy is already a hard dependency of
+    # every caller (Arrow batches); the stdlib path remains complete.
+    try:
+        import numpy as _np
+
+        arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(height, stride)
+        if not arr[:, 0].any():
+            return width, height, arr[:, 1:].tobytes()
+    except ImportError:  # pragma: no cover - stdlib-only environment
+        pass
     out = bytearray(width * height)
     prev = bytes(width)
     for y in range(height):
