@@ -323,6 +323,51 @@ def _ingest_admitted(
     return track(admitted.filter(F.col("clean_tokens") > 0))
 
 
+def _admitted_and_split(
+    documents: DataFrame,
+    sources: DataFrame,
+    budgets: dict[str, int],
+    n_per_domain: int | None,
+    split_corpus: DataFrame | None,
+    val_frac: float,
+):
+    """Build the funnel's two INDEPENDENT legs concurrently (r15, guide
+    §2.6 "overlap independent jobs"): the admission chain (cleanup ->
+    cap -> budgets over the injected corpus) and the split's
+    pairs->components chain (MinHash -> connected components over the
+    raw split corpus) share no inputs until the final id join, yet both
+    run long serial chains of driver-submitted stage jobs at PLAN-BUILD
+    time (the lazy-checkpoint seams execute their upstream AQE stages
+    during `.rdd` conversion, and the eager cache fills are actions) --
+    measured 149 sequential one-stage jobs for the packed flagship at
+    sf0.1, wall ~= jobs x scheduling latency, the box mostly idle.  Two
+    driver threads let the scheduler interleave the legs' stages
+    (FIFO back-fill); each leg's own plan, values and partitioning are
+    untouched, so results are bit-identical.  Exceptions propagate
+    through the futures."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from .dedup import leakage_safe_split
+
+    corpus = split_corpus if split_corpus is not None else documents
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        adm = pool.submit(
+            inheritable_thread_target(
+                lambda: _ingest_admitted(
+                    documents, sources, budgets, n_per_domain
+                )
+            )
+        )
+        spl = pool.submit(
+            inheritable_thread_target(
+                lambda: leakage_safe_split(corpus, val_frac)
+            )
+        )
+        return adm.result(), spl.result()
+
+
 def ingest_full(
     documents: DataFrame,
     sources: DataFrame,
@@ -369,12 +414,10 @@ def ingest_full(
     join+exchange nodes vs ~9 KB for the packed sibling whose seam is
     the checkpoint cut, and Catalyst re-plans that tree on every
     action; same fix as the admitted spine, results identical)."""
-    from .dedup import leakage_safe_split
     from .sampling import corpus_shuffle
 
-    admitted = _ingest_admitted(documents, sources, budgets, n_per_domain)
-    split = leakage_safe_split(
-        split_corpus if split_corpus is not None else documents, val_frac
+    admitted, split = _admitted_and_split(
+        documents, sources, budgets, n_per_domain, split_corpus, val_frac
     )
     joined = admitted.select("doc_id").join(
         split.select("doc_id", "cluster_id", "split"), "doc_id"
@@ -439,7 +482,6 @@ def ingest_packed(
     same range-sharded rank ``corpus_shuffle`` uses -- no global sort.
     Returns (shard, seq_id, n_docs, filled, docs_digest)."""
     from ..cache import track
-    from .dedup import leakage_safe_split
     from .sampling import corpus_shuffle, curriculum_order
     from .text import PACK_SEQ_LEN, sequence_manifest
 
@@ -447,9 +489,8 @@ def ingest_packed(
         raise ValueError(f"order must be 'epoch' or 'curriculum', got {order!r}")
     if seq_len is None:
         seq_len = PACK_SEQ_LEN
-    admitted = _ingest_admitted(documents, sources, budgets, n_per_domain)
-    split = leakage_safe_split(
-        split_corpus if split_corpus is not None else documents, val_frac
+    admitted, split = _admitted_and_split(
+        documents, sources, budgets, n_per_domain, split_corpus, val_frac
     )
     train_ids = track(
         admitted.select("doc_id", "clean_tokens")
