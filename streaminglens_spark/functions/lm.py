@@ -99,10 +99,23 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
     model) measured 43.4 s at sf1; this one 31.4 s (the remaining cost
     is the irreducible instance-stream shuffle into the first
     pre-aggregation).  Same values, same oracle."""
+    from ..cache import track
+
     dbc = doc_bigrams(documents).groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )
-    c12 = dbc.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    # r15 (guide §2.3): the model table is read by THREE pruning-divergent
+    # consumers (c1, vocab, the scoring join), and per-branch column
+    # pruning makes their dbc subtrees canonicalize differently, so
+    # exchange reuse does NOT kick in -- the bigram explode ran 3x per
+    # action (profiled: three Generate+Exchange stages of 1.8-2.9 s each
+    # at sf0.1).  Persisting c12 -- O(distinct corpus bigrams), far
+    # smaller than the per-doc dbc table whose persist REGRESSED in r14
+    # -- lets the model/vocab branches read the cache; only the scoring
+    # join's dbc branch and the cache build still explode (3x -> 2x).
+    c12 = track(
+        dbc.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     model = c12.join(c1, "w1")
     vocab = (
